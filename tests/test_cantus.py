@@ -1,0 +1,116 @@
+"""CANTUS CSV ingestion tests with synthetic fixture CSVs reproducing the
+reference column layout (parse_cantus_csv.py:38-128)."""
+
+import csv
+
+import pytest
+
+from text_alignment_tpu.lang import clean, combine_transcripts, filename_to_text_func
+
+
+def test_clean():
+    assert clean("Ave Maria, gratia plena!") == "ave maria gratia plena"
+    assert clean("a  b   c") == "a b c"
+    assert clean("deus | meus") == "deus meus"
+    # ASCII \w semantics: accented characters are stripped (py2 byte parity)
+    assert clean("dómine") == "dmine"
+
+
+def test_combine_transcripts_j_grafting():
+    # j's in the standardized spelling are grafted onto the MS spelling
+    assert combine_transcripts("alleluia Jesu", "alleluia iesu") == "alleluia jesu"
+    assert combine_transcripts("", "iesu") == "iesu"
+    # 'ihe' normalization happens before grafting
+    assert combine_transcripts("", "ihesu") == "iesu"
+    assert combine_transcripts("Jerusalem", "ierusalem") == "jerusalem"
+
+
+def _write_csv(path, rows):
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        for r in rows:
+            w.writerow(r)
+
+
+def _row(folio, seq, mode, standard, ms):
+    r = [""] * 15
+    r[2] = folio
+    r[3] = str(seq)
+    r[10] = mode
+    r[13] = standard
+    r[14] = ms
+    return r
+
+
+@pytest.fixture
+def chant_csv(tmp_path):
+    p = tmp_path / "chants.csv"
+    header = ["id", "x", "folio", "seq"] + [""] * 6 + ["mode", "", "", "std", "ms"]
+    rows = [
+        header,
+        _row("001r", 1, "1", "Jesu domine", "iesu domine"),
+        _row("001r", 2, "2", "", "ave maria"),
+        _row("001v", 1, "3", "", "gloria patri"),
+        _row("001v", 2, "*", "", "SKIPPED no melody"),
+        _row("002r", 1, "4", "", "credo in unum"),
+    ]
+    _write_csv(p, rows)
+    return str(p)
+
+
+def test_folio_lookup_by_name(chant_csv):
+    func = filename_to_text_func(chant_csv)
+    fname, text = func("001r")
+    # first folio: "previous" folio is mapping[-1] = last folio (002r)
+    assert fname == "001r"
+    assert "jesu domine" in text
+    assert "ave maria" in text
+
+
+def test_prev_page_chant_prepended(chant_csv):
+    func = filename_to_text_func(chant_csv)
+    _, text = func("001v")
+    # last chant of 001r ("ave maria") prepended; '*'-mode chant dropped
+    assert text.startswith("ave maria")
+    assert "gloria patri" in text
+    assert "skipped" not in text
+
+
+def test_seq_lookup_and_mapping(tmp_path, chant_csv):
+    mapping = tmp_path / "mapping.csv"
+    _write_csv(
+        mapping,
+        [
+            ["seq", "folio", "filename"],
+            ["10", "001r", "CF-page1"],
+            ["11", "001v", "CF-page2"],
+            ["12", "002r", "CF-page3"],
+        ],
+    )
+    func = filename_to_text_func(chant_csv, str(mapping))
+    fname, text = func(11)
+    assert fname == "page2"  # 'CF-' prefix stripped
+    assert text.startswith("ave maria")
+
+    with pytest.raises(ValueError):
+        func(99)
+    with pytest.raises(ValueError):
+        func("zzz")
+
+
+def test_chants_sorted_by_sequence(tmp_path):
+    p = tmp_path / "c.csv"
+    _write_csv(
+        p,
+        [
+            ["h"] * 15,
+            _row("005r", 2, "1", "", "secundus"),
+            _row("005r", 1, "1", "", "primus"),
+        ],
+    )
+    func = filename_to_text_func(str(p))
+    _, text = func("005r")
+    # mapping[idx - 1] wraps to the folio itself for a single-folio CSV, so
+    # its own last chant is prepended (reference parse_cantus_csv.py:109-117);
+    # within the folio's own chants, sequence order holds
+    assert text == "secundus primus secundus"

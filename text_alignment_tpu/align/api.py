@@ -1,0 +1,64 @@
+"""Public alignment API: ``perform_alignment`` with selectable fill backend.
+
+Same contract as the reference (textSeqCompare.py:13-177): takes element
+lists (usually single characters), appends a ``' '`` sentinel to both,
+fills the Gotoh matrices, and returns equal-length aligned element lists with
+``'_'`` gap symbols.
+
+Backends:
+- ``"host"``   — numpy fill (exact oracle / CPU baseline).
+- ``"jax"``    — anti-diagonal wavefront fill on the default JAX device
+  (TPU), packed pointers streamed back for host traceback.
+- ``"auto"``   — jax when available and the problem is big enough to amortize
+  dispatch, else host.
+"""
+
+from __future__ import annotations
+
+from .scoring import resolve_scoring
+from .nw_host import fill_host
+from .traceback import DensePtrView, DiagPtrView, traceback
+
+# problems smaller than this are faster on host than a device round-trip
+_AUTO_DEVICE_MIN_CELLS = 512 * 512
+
+
+def perform_alignment(transcript, ocr, scoring_system=None, verbose=False,
+                      backend="auto"):
+    """Globally align ``transcript`` against ``ocr``.
+
+    Both arguments are lists of hashable elements (typically 1-char strings).
+    Returns ``(tra_align, ocr_align)`` lists of equal length.
+    """
+    transcript = list(transcript) + [" "]
+    ocr = list(ocr) + [" "]
+
+    sc = resolve_scoring(scoring_system)
+
+    if backend == "auto":
+        if len(transcript) * len(ocr) >= _AUTO_DEVICE_MIN_CELLS:
+            backend = "jax"
+        else:
+            backend = "host"
+
+    if backend == "host":
+        ptrs = DensePtrView(*fill_host(transcript, ocr, sc))
+    elif backend == "jax":
+        from .nw_jax import fill_jax_packed
+
+        ptrs = DiagPtrView(fill_jax_packed(transcript, ocr, sc))
+    elif backend == "reference":
+        from .nw_host import fill_reference_slow
+
+        ptrs = DensePtrView(*fill_reference_slow(transcript, ocr, sc))
+    else:
+        raise ValueError("unknown backend {!r}".format(backend))
+
+    tra_align, ocr_align = traceback(transcript, ocr, ptrs)
+
+    if verbose:
+        for n in range(len(tra_align)):
+            marker = "O" if tra_align[n] == ocr_align[n] else "~"
+            print("{} {} {}".format(tra_align[n], ocr_align[n], marker))
+
+    return tra_align, ocr_align

@@ -1,0 +1,73 @@
+"""Scoring-system resolution for affine-gap Needleman–Wunsch.
+
+Accepted forms (reference: textSeqCompare.py:13-42):
+
+- ``[match_func(a, b), gap_open_x, gap_open_y, gap_extend_x, gap_extend_y]``
+- ``[match, mismatch, gap_open_x, gap_open_y, gap_extend_x, gap_extend_y]``
+- ``[match, mismatch, gap_open, gap_extend]``
+
+Default: ``[8, -4, -7, -7, -3, 0]`` (textSeqCompare.py:10).
+
+Boundary rows of the DP matrices use the module-level constant
+``BOUNDARY_GAP_EXTEND = -1`` regardless of the scoring system — a reference
+quirk preserved for parity (textSeqCompare.py:9, :53-60).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Sequence
+
+DEFAULT_SYS = [8, -4, -7, -7, -3, 0]
+BOUNDARY_GAP_EXTEND = -1
+
+
+@dataclass
+class Scoring:
+    score: Callable  # score(a, b) -> number
+    gap_open_x: float
+    gap_open_y: float
+    gap_extend_x: float
+    gap_extend_y: float
+    # (match, mismatch) when the score function is the default equality test;
+    # None for custom callables. Lets device backends skip building a full
+    # substitution matrix.
+    match_mismatch: Optional[tuple] = None
+
+    @property
+    def is_integral(self) -> bool:
+        vals = [self.gap_open_x, self.gap_open_y, self.gap_extend_x, self.gap_extend_y]
+        if self.match_mismatch is not None:
+            vals += list(self.match_mismatch)
+        return all(float(v) == int(v) for v in vals)
+
+
+def resolve_scoring(scoring_system: Optional[Sequence]) -> Scoring:
+    if scoring_system is None:
+        scoring_system = DEFAULT_SYS
+
+    if len(scoring_system) == 5 and callable(scoring_system[0]):
+        scoring_method = scoring_system[0]
+        gox, goy, gex, gey = scoring_system[-4:]
+        return Scoring(scoring_method, gox, goy, gex, gey, None)
+
+    if len(scoring_system) == 6:
+        match, mismatch = scoring_system[0], scoring_system[1]
+
+        def default_score_method(a, b):
+            return match if a == b else mismatch
+
+        gox, goy, gex, gey = scoring_system[-4:]
+        return Scoring(default_score_method, gox, goy, gex, gey, (match, mismatch))
+
+    if len(scoring_system) == 4:
+        match, mismatch = scoring_system[0], scoring_system[1]
+
+        def default_score_method(a, b):
+            return match if a == b else mismatch
+
+        gox = goy = scoring_system[2]
+        gex = gey = scoring_system[3]
+        return Scoring(default_score_method, gox, goy, gex, gey, (match, mismatch))
+
+    raise ValueError("scoring_system {} invalid".format(scoring_system))
