@@ -1,0 +1,174 @@
+"""Projection smoothing and peak-prominence line detection (host-side).
+
+Exact ports of the reference's pure-Python routines
+(textAlignPreprocessing.py:59-157). These run on the ~H-length projection
+vector, so they are cheap; they stay host-side in float64 on *both* pipeline
+paths so that peak decisions are bit-identical.
+
+``calculate_peak_prominence`` is vectorized but reproduces every reference
+quirk: zero prominence at edges / non-strict maxima / flat-topped peaks,
+log(value) for the global max, nearest-higher-index tie broken toward the
+right when distances are equal (the reference's ``>`` comparison,
+textAlignPreprocessing.py:97-100), and key col = min over the half-open
+slice ``data[lo:hi]``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FILTER_SIZE = 30
+PROMINENCE_TOLERANCE = 0.70
+
+
+def moving_avg_filter(data, filter_size: int = FILTER_SIZE) -> np.ndarray:
+    """Moving average of width 2*filter_size+1; the first and last
+    ``filter_size`` entries are left zero (textAlignPreprocessing.py:147-157)."""
+    data = np.asarray(data, dtype=np.float64)
+    smoothed = np.zeros(len(data))
+    for n in range(filter_size, len(data) - filter_size):
+        vals = data[n - filter_size : n + filter_size + 1]
+        smoothed[n] = np.mean(vals)
+    return smoothed
+
+
+def calculate_peak_prominence(data, index: int) -> float:
+    """Log prominence of the peak at ``index``
+    (textAlignPreprocessing.py:59-110)."""
+    data = np.asarray(data, dtype=np.float64)
+    current_peak = data[index]
+
+    if (
+        index == 0
+        or index == len(data) - 1
+        or data[index - 1] > current_peak
+        or data[index + 1] > current_peak
+        or (data[index - 1] == current_peak and data[index + 1] == current_peak)
+    ):
+        return 0
+
+    if current_peak == max(data):
+        return np.log(current_peak)
+
+    higher_peaks_inds = [i for i, x in enumerate(data) if x > current_peak]
+
+    right_peaks = [x for x in higher_peaks_inds if x > index]
+    closest_right_ind = min(right_peaks) if right_peaks else np.inf
+    left_peaks = [x for x in higher_peaks_inds if x < index]
+    closest_left_ind = max(left_peaks) if left_peaks else -np.inf
+
+    right_distance = closest_right_ind - index
+    left_distance = index - closest_left_ind
+
+    if right_distance > left_distance:
+        closest = closest_left_ind
+    else:
+        closest = closest_right_ind
+
+    lo = min(closest, index)
+    hi = max(closest, index)
+    between_slice = data[int(lo) : int(hi)]
+    key_col = min(between_slice)
+
+    return np.log(data[index] - key_col + 1)
+
+
+def _prominences_vectorized(data: np.ndarray) -> np.ndarray:
+    """All-peaks prominence in O(n log n)-ish numpy, identical values to
+    calling ``calculate_peak_prominence`` at every index."""
+    n = len(data)
+    prom = np.zeros(n)
+    if n < 3:
+        return prom
+
+    interior = np.arange(1, n - 1)
+    left, mid, right = data[:-2], data[1:-1], data[2:]
+    is_peak = ~(
+        (left > mid) | (right > mid) | ((left == mid) & (right == mid))
+    )
+    peak_idx = interior[is_peak]
+    if len(peak_idx) == 0:
+        return prom
+
+    dmax = data.max()
+
+    # nearest strictly-higher index on each side, via monotonic stacks
+    higher_left = np.full(n, -1, dtype=np.int64)
+    stack: list[int] = []
+    for i in range(n):
+        while stack and data[stack[-1]] <= data[i]:
+            stack.pop()
+        higher_left[i] = stack[-1] if stack else -1
+        stack.append(i)
+    higher_right = np.full(n, n, dtype=np.int64)
+    stack = []
+    for i in range(n - 1, -1, -1):
+        while stack and data[stack[-1]] <= data[i]:
+            stack.pop()
+        higher_right[i] = stack[-1] if stack else n
+        stack.append(i)
+
+    # sparse-table range-minimum for key cols
+    log2 = np.zeros(n + 1, dtype=np.int64)
+    for i in range(2, n + 1):
+        log2[i] = log2[i // 2] + 1
+    K = int(log2[n]) + 1
+    sp = np.empty((K, n))
+    sp[0] = data
+    for k in range(1, K):
+        span = 1 << k
+        half = span >> 1
+        sp[k, : n - span + 1] = np.minimum(
+            sp[k - 1, : n - span + 1], sp[k - 1, half : n - span + 1 + half]
+        )
+
+    def range_min(lo, hi):  # min of data[lo:hi], hi > lo
+        k = int(log2[hi - lo])
+        return min(sp[k, lo], sp[k, hi - (1 << k)])
+
+    for i in peak_idx:
+        if data[i] == dmax:
+            prom[i] = np.log(data[i])
+            continue
+        cr = higher_right[i] if higher_right[i] < n else np.inf
+        cl = higher_left[i] if higher_left[i] >= 0 else -np.inf
+        if (cr - i) > (i - cl):
+            closest = cl
+        else:
+            closest = cr
+        lo, hi = int(min(closest, i)), int(max(closest, i))
+        key_col = range_min(lo, hi)
+        prom[i] = np.log(data[i] - key_col + 1)
+    return prom
+
+
+def find_peak_locations(data, tol: float = PROMINENCE_TOLERANCE, ranked: bool = False):
+    """Prominent-peak indices of a smoothed projection
+    (textAlignPreprocessing.py:113-144), including the flat-top adjacent
+    dedup quirk (:134-137)."""
+    data = np.asarray(data, dtype=np.float64)
+    prom = _prominences_vectorized(data)
+    prominences = [(i, prom[i]) for i in range(len(data))]
+
+    prom_max = max((x[1] for x in prominences), default=0)
+    if prom_max == 0 or len(prominences) == 0:
+        return []
+
+    prominences = [(x[0], x[1] / prom_max) for x in prominences]
+    peak_locs = [x for x in prominences if x[1] > tol]
+
+    # flat-topped peaks: drop the former of adjacent equal prominences
+    to_remove = [
+        peak_locs[i]
+        for i in range(len(peak_locs) - 2)
+        if peak_locs[i][1] == peak_locs[i + 1][1]
+    ]
+    for r in to_remove:
+        peak_locs.remove(r)
+
+    if ranked:
+        peak_locs.sort(key=lambda x: x[1] * -1)
+    else:
+        peak_locs = [x[0] for x in peak_locs]
+
+    return peak_locs
