@@ -181,12 +181,14 @@ def test_moving_avg_edges_zero():
 
 
 def test_find_peak_locations_simple():
-    # three clean peaks over a flat floor
+    # three clean peaks over a flat floor. NB: heights must differ — the
+    # reference's flat-top dedup removes list-adjacent peaks with *equal*
+    # normalized prominence (textAlignPreprocessing.py:134-137), even when
+    # they are far apart spatially.
     data = np.zeros(300)
-    for c in (60, 150, 240):
-        data[c - 20 : c + 21] += np.concatenate(
-            [np.arange(21), np.arange(20)[::-1]]
-        )
+    for c, h in ((60, 20), (150, 24), (240, 22)):
+        ramp = np.concatenate([np.arange(h + 1), np.arange(h)[::-1]])
+        data[c - h : c + h + 1] += ramp
     sm = moving_avg_filter(data, 10)
     peaks = find_peak_locations(sm)
     assert len(peaks) == 3
