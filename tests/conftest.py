@@ -1,14 +1,20 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Must set flags before jax initializes (hence top of conftest). The real-TPU
-benchmark path is exercised by bench.py, not the unit tests.
+The ambient environment pins a TPU platform (JAX_PLATFORMS=axon) and the
+jaxtyping pytest plugin imports jax before this conftest runs, so setting the
+env var alone is not enough — we also update jax.config directly (backends
+have not been initialized yet at conftest import time).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

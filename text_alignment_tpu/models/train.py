@@ -1,0 +1,116 @@
+"""CTC training for the line recognizer — the ocropus-rtrain equivalent
+(reference workflow: README.md:52-56, SURVEY.md §3.5).
+
+A jitted optax train step over the batched BiLSTM. The forward reuses the
+inference code path but takes logits pre-softmax for a numerically stable
+CTC loss. Checkpoints are written in the reference's iteration-stamped
+``*-NNNNNNNN.pyrnn.gz`` shape via :mod:`.pyrnn`, so trained models plug into
+the same alignment pipeline (and back into the reference's tooling).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from .codec import Codec
+from .lstm_jax import (
+    BiLSTMParams,
+    init_bilstm,
+    _direction_scan,
+    _reverse_by_length,
+    params_to_np,
+)
+from .ctc import ctc_loss
+from .pyrnn import save_pyrnn
+
+
+def bilstm_logits(params: BiLSTMParams, xs, lengths):
+    """(B, T, nout) UN-normalized logits (clipped like the reference's
+    softmax layer)."""
+    f = _direction_scan(params.fwd, xs)
+    b = _reverse_by_length(_direction_scan(params.bwd, _reverse_by_length(xs, lengths)), lengths)
+    y = jnp.concatenate([f, b], axis=2)
+    ones = jnp.ones(y.shape[:2] + (1,), jnp.float32)
+    inputs = jnp.concatenate([ones, y], axis=2)
+    logits = jnp.einsum(
+        "btk,ok->bto", inputs, params.W2, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.clip(logits, -100, 100)
+
+
+def make_train_step(optimizer):
+    @jax.jit
+    def train_step(params, opt_state, xs, xlens, labels, llens):
+        def loss_fn(p):
+            logits = bilstm_logits(p, xs, xlens)
+            return ctc_loss(logits, xlens, labels, llens)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+@dataclass
+class Trainer:
+    """Minimal CTC trainer over (frames, text) line pairs."""
+
+    codec: Codec
+    ni: int = 48
+    ns: int = 100
+    lr: float = 1e-3
+    seed: int = 0
+
+    def __post_init__(self):
+        self.params = init_bilstm(
+            jax.random.PRNGKey(self.seed), self.ni, self.ns, len(self.codec)
+        )
+        self.optimizer = optax.adam(self.lr)
+        self.opt_state = self.optimizer.init(self.params)
+        self._step = make_train_step(self.optimizer)
+        self.iteration = 0
+
+    def step(self, xs, xlens, labels, llens) -> float:
+        """One update. xs: (B, T, ni) float32; labels: (B, S) int32."""
+        self.params, self.opt_state, loss = self._step(
+            self.params,
+            self.opt_state,
+            jnp.asarray(xs),
+            jnp.asarray(xlens, jnp.int32),
+            jnp.asarray(labels, jnp.int32),
+            jnp.asarray(llens, jnp.int32),
+        )
+        self.iteration += 1
+        return float(loss)
+
+    def save(self, prefix: str) -> str:
+        """Write an iteration-stamped checkpoint like ocropus-rtrain."""
+        path = f"{prefix}-{self.iteration:08d}.pyrnn.gz"
+        save_pyrnn(path, params_to_np(self.params), self.codec, self.ni)
+        return path
+
+
+def batch_lines(frame_list, text_list, codec: Codec, T: int, S: int):
+    """Pack variable-length (frames, text) pairs into fixed (B,T,ni)/(B,S)."""
+    B = len(frame_list)
+    ni = frame_list[0].shape[1]
+    xs = np.zeros((B, T, ni), np.float32)
+    xlens = np.zeros(B, np.int32)
+    labels = np.zeros((B, S), np.int32)
+    llens = np.zeros(B, np.int32)
+    for i, (fr, txt) in enumerate(zip(frame_list, text_list)):
+        t = min(len(fr), T)
+        xs[i, :t] = fr[:t]
+        xlens[i] = t
+        lab = codec.s2l(txt)[:S]
+        labels[i, : len(lab)] = lab
+        llens[i] = len(lab)
+    return xs, xlens, labels, llens
