@@ -1,0 +1,224 @@
+"""Page preprocessing and text-line segmentation.
+
+Reference semantics: textAlignPreprocessing.py:160-285 (`preprocess_images`,
+`identify_text_lines`), re-expressed over the framework's raster engines.
+Both engines produce identical pixels/strips:
+
+- ``backend="host"``  — numpy oracle ops (the CPU baseline path);
+- ``backend="device"``— JAX/TPU kernels from :mod:`..ops.device`; page
+  tensors stay on device across the fused op sequence, with only the
+  projection vector, histogram, and compact CC table coming back to host.
+
+Projection smoothing, peak prominence, and all per-CC list logic are
+host-side float64/python on *both* paths (they are O(H) / O(#CCs)), so every
+data-dependent decision (peaks, separators, strip bboxes) is bit-identical
+across backends by construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops import oracle
+from ..ops.projections import (
+    moving_avg_filter,
+    find_peak_locations,
+    FILTER_SIZE,
+)
+
+# PARAMETERS (reference: textAlignPreprocessing.py:12-26; the unused
+# saturation_thresh / cc_group_gap_min / max_distance_to_staff are dropped)
+SAT_AREA_THRESH = 150       # CCs taller than this many rows are removed
+DESPECKLE_AMT = 100
+NOISE_AREA_THRESH = 100
+COLLISION_STRIP_SCALE = 1
+REMOVE_CAPITALS_SCALE = 10000
+
+
+@dataclass
+class PreprocParams:
+    sat_area_thresh: int = SAT_AREA_THRESH
+    despeckle_amt: int = DESPECKLE_AMT
+    noise_area_thresh: int = NOISE_AREA_THRESH
+    filter_size: int = FILTER_SIZE
+    collision_strip_scale: float = COLLISION_STRIP_SCALE
+    remove_capitals_scale: float = REMOVE_CAPITALS_SCALE
+
+
+@dataclass
+class LineStrip:
+    """A text-line crop of the binarized page. Coordinate contract matches
+    the Gamera subimages the reference passes to OCR (alignToOCR.py:160-162):
+    ``height`` is nrows - 1, so offset_y + height = the strip's last row."""
+
+    img: np.ndarray  # bool (nrows, ncols)
+    offset_x: int
+    offset_y: int
+
+    @property
+    def height(self) -> int:
+        return self.img.shape[0] - 1
+
+    @property
+    def width(self) -> int:
+        return self.img.shape[1] - 1
+
+
+def vertically_coincide(hline_position, comp_offset, comp_nrows, collision,
+                        collision_scale=COLLISION_STRIP_SCALE):
+    """True if any part of the component lies within the strip around the
+    line position (textAlignPreprocessing.py:38-56)."""
+    collision *= collision_scale
+    component_top = comp_offset
+    component_bottom = comp_offset + comp_nrows
+    strip_top = hline_position - int(collision / 2)
+    strip_bottom = hline_position + int(collision / 2)
+    both_above = component_top < strip_top and component_bottom < strip_top
+    both_below = component_top > strip_bottom and component_bottom > strip_bottom
+    return not both_above and not both_below
+
+
+def preprocess_images(input_image, despeckle_amt: int = DESPECKLE_AMT,
+                      filter_runs: int = 1, filter_runs_amt: int = 2,
+                      correct_rotation: bool = True, backend: str = "host",
+                      params: PreprocParams | None = None):
+    """Binarize + denoise + deskew (textAlignPreprocessing.py:160-195).
+
+    Returns (image_bin, image_eroded, angle) as numpy bool arrays.
+    """
+    p = params or PreprocParams()
+    input_image = np.asarray(input_image)
+
+    if backend == "device":
+        from ..ops import device as eng
+        import jax.numpy as jnp
+
+        img = eng.to_onebit(input_image)
+        img = eng.despeckle(img, despeckle_amt)
+        img = ~eng.despeckle(~img, despeckle_amt)  # invert-despeckle-invert
+        img = eng.remove_tall_ccs(img, p.sat_area_thresh)
+        angle = eng.rotation_angle_projections(img, -6, 6)
+        if correct_rotation:
+            img = eng.rotate_onebit(img, angle)
+        eroded = img
+        for _ in range(filter_runs):
+            eroded = eng.filter_short_runs(eroded, filter_runs_amt, "black")
+            eroded = eng.filter_narrow_runs(eroded, filter_runs_amt, "black")
+        return np.asarray(img), np.asarray(eroded), angle
+
+    img = oracle.to_onebit(input_image)
+    img = oracle.despeckle(img, despeckle_amt)
+    img = ~oracle.despeckle(~img, despeckle_amt)
+    img = oracle.remove_tall_ccs(img, p.sat_area_thresh)
+    angle = oracle.rotation_angle_projections(img, -6, 6)
+    if correct_rotation:
+        img = oracle.rotate_onebit(img, angle)
+    eroded = img.copy()
+    for _ in range(filter_runs):
+        eroded = oracle.filter_short_runs(eroded, filter_runs_amt, "black")
+        eroded = oracle.filter_narrow_runs(eroded, filter_runs_amt, "black")
+    return img, eroded, angle
+
+
+def _cc_table(img, backend):
+    """(uly, lry, ulx, lrx, area) int rows for every CC, scan order."""
+    if backend == "device":
+        from ..ops import device as eng
+
+        table, count = eng.cc_stats_compact(img)
+        table = np.asarray(table)
+        count = int(count)
+        if count > table.shape[0]:
+            raise RuntimeError(
+                f"page has {count} CCs > MAX_CCS={table.shape[0]}"
+            )
+        return table[:count].astype(np.int64)
+    _, table = oracle.cc_stats(np.asarray(img))
+    return table
+
+
+def identify_text_lines(image_bin, image_eroded, backend: str = "host",
+                        params: PreprocParams | None = None, verbose: bool = False):
+    """Find text lines (textAlignPreprocessing.py:198-285).
+
+    Returns (line_strips, peak_locations, smoothed_projection).
+    """
+    p = params or PreprocParams()
+
+    if backend == "device":
+        from ..ops import device as eng
+        import jax.numpy as jnp
+
+        eroded_dev = jnp.asarray(np.asarray(image_eroded))
+        project = np.asarray(eng.projection_rows(eroded_dev))
+    else:
+        project = oracle.projection_rows(np.asarray(image_eroded))
+
+    if verbose:
+        print("finding projection peaks...")
+    smoothed_projection = moving_avg_filter(project, p.filter_size)
+    peak_locations = find_peak_locations(smoothed_projection)
+
+    # white separator lines at inter-peak projection minima (2 px thick)
+    sep_rows = []
+    for i in range(len(peak_locations) - 1):
+        start = peak_locations[i]
+        end = peak_locations[i + 1]
+        idx = int(np.argmin(smoothed_projection[start:end])) + start
+        sep_rows.append(idx)
+
+    if verbose:
+        print("connected component analysis...")
+
+    if backend == "device":
+        import jax.numpy as jnp
+        from ..ops import device as eng
+
+        H = int(image_eroded.shape[0])
+        mask = np.zeros(H, dtype=bool)
+        for idx in sep_rows:
+            mask[idx : idx + 2] = True
+        eroded_cut = eng.erase_rows(jnp.asarray(np.asarray(image_eroded)), jnp.asarray(mask))
+        table = _cc_table(eroded_cut, "device")
+    else:
+        eroded_cut = np.asarray(image_eroded)
+        for idx in sep_rows:
+            eroded_cut = oracle.draw_hline_white(eroded_cut, idx, 2)
+        table = _cc_table(eroded_cut, "host")
+
+    # drop small CCs (strictly greater than the threshold survives —
+    # textAlignPreprocessing.py:235), then the (inert) capitals filter
+    comps = [r for r in table if r[4] > p.noise_area_thresh]
+    if not comps:
+        return [], peak_locations, smoothed_projection
+
+    nrows = lambda r: r[1] - r[0] + 1
+    med_comp_height = np.median([nrows(r) for r in comps])
+    comps = [r for r in comps if nrows(r) < med_comp_height * p.remove_capitals_scale]
+
+    cc_median_height = np.median([nrows(r) for r in comps])
+
+    image_bin_np = np.asarray(image_bin)
+    line_strips = []
+    for line_loc in peak_locations:
+        res = [
+            r
+            for r in comps
+            if vertically_coincide(
+                line_loc, r[0], nrows(r), cc_median_height, p.collision_strip_scale
+            )
+        ]
+        if not res:
+            # the reference would crash on min() of an empty list
+            # (textAlignPreprocessing.py:251); we skip the empty line
+            continue
+        ulx = min(int(r[2]) for r in res)
+        uly = min(int(r[0]) for r in res)
+        lrx = max(int(r[3]) for r in res)
+        lry = max(int(r[1]) for r in res)
+        strip = oracle.subimage(image_bin_np, (ulx, uly), (lrx, lry))
+        line_strips.append(LineStrip(strip, ulx, uly))
+
+    return line_strips, peak_locations, smoothed_projection

@@ -1,0 +1,160 @@
+"""End-to-end page alignment: the framework's `process()`.
+
+Public contract mirrors the reference (alignToOCR.py:187-351): given a text
+layer image and a transcript string, returns
+``(syl_boxes, image, lines_peak_locs, all_chars)`` and ``to_JSON_dict``
+serializes the canonical output (including the reference's
+75th-percentile-as-"median" line spacing quirk, alignToOCR.py:338).
+
+Differences by design (TPU-native architecture, same behavior):
+- OCR runs in-process through the batched JAX BiLSTM+CTC recognizer instead
+  of an ocropus-rpred subprocess + llocs tempfiles; ``wkdir_name`` and
+  ``parallel`` are accepted for signature compatibility and ignored.
+- ``backend`` selects host-oracle vs TPU kernels for raster + NW stages.
+- ``existing_ocr_pickle`` keeps the reference's stage-memoization behavior
+  (alignToOCR.py:225-233); ``existing_ocr`` injects the char stream
+  directly (the generalized fixture-injection hook, SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+from ..charbox import CharBox
+from ..align import perform_alignment
+from ..lang.syllabify import syllabify_text
+from ..utils.timing import stage_timer
+from .preprocess import preprocess_images, identify_text_lines
+from .assemble import (
+    llocs_to_charboxes,
+    expand_abbreviations,
+    group_syllables,
+    rotate_bbox,
+)
+
+MEDIAN_LINE_MULT = 2  # threaded but unused, as in the reference (alignToOCR.py:25,193)
+
+
+def _resolve_recognizer(ocropus_model):
+    if ocropus_model is None:
+        return None
+    if isinstance(ocropus_model, str):
+        from ..models.recognizer import SeqRecognizer
+
+        return SeqRecognizer.from_pyrnn(ocropus_model)
+    return ocropus_model  # already a SeqRecognizer
+
+
+def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
+            wkdir_name=None, parallel=None, median_line_mult=MEDIAN_LINE_MULT,
+            existing_ocr_pickle=None, existing_preproc_images=None,
+            verbose=True, backend="host", existing_ocr=None, timer=None,
+            preproc_params=None):
+    """Align ``transcript`` to the text-layer ``raw_image``.
+
+    raw_image: (H, W[, C]) uint8/bool numpy array (or anything np.asarray
+    accepts). Returns (syl_boxes, image, lines_peak_locs, all_chars_copy) or
+    None when OCR fails/produces nothing alignable.
+    """
+    del wkdir_name, parallel, existing_preproc_images  # subprocess-era knobs
+    raw_image = np.asarray(raw_image)
+    timer = timer or stage_timer(enabled=False)
+
+    # -- PRE-PROCESSING --
+    with timer("preprocess"):
+        image, eroded, angle = preprocess_images(
+            raw_image, backend=backend, params=preproc_params
+        )
+    with timer("identify_lines"):
+        cc_strips, lines_peak_locs, _ = identify_text_lines(
+            image, eroded, backend=backend, verbose=verbose,
+            params=preproc_params,
+        )
+
+    # -- OCR --
+    all_chars = []
+    if existing_ocr is not None:
+        all_chars = list(existing_ocr)
+    elif existing_ocr_pickle:
+        try:
+            with open(existing_ocr_pickle, "rb") as f:
+                all_chars = pickle.load(f)
+            if verbose:
+                print("using pickled ocr results in {}...".format(existing_ocr_pickle))
+        except IOError:
+            if verbose:
+                print(
+                    "Pickle file {} not found - performing ocr instead".format(
+                        existing_ocr_pickle
+                    )
+                )
+        except AttributeError:
+            if verbose:
+                print("Pickle error: re-performing ocr")
+
+    if not all_chars:
+        recognizer = _resolve_recognizer(ocropus_model)
+        if recognizer is None:
+            raise ValueError(
+                "no OCR source: pass ocropus_model, existing_ocr, or a "
+                "readable existing_ocr_pickle"
+            )
+        with timer("ocr"):
+            llocs_rows = recognizer.recognize_batch([s.img for s in cc_strips])
+            all_chars, _other = llocs_to_charboxes(cc_strips, llocs_rows)
+
+    if not all_chars:
+        if verbose:
+            print("OCR produced no characters! Skipping current file.")
+        return None
+
+    # -- ABBREVIATIONS --
+    with timer("abbreviations"):
+        all_chars = expand_abbreviations(all_chars)
+
+    ocr = "".join(x.char for x in all_chars)
+    all_chars_copy = list(all_chars)
+
+    # -- ALIGNMENT + ASSEMBLY --
+    with timer("align"):
+        nw_backend = {"host": "host", "device": "jax"}.get(backend, "auto")
+        tra_align, ocr_align = perform_alignment(
+            list(transcript), list(ocr), scoring_system=seq_align_params,
+            verbose=False, backend=nw_backend,
+        )
+    tra_align = "".join(tra_align)
+    ocr_align = "".join(ocr_align)
+
+    with timer("assemble"):
+        syls = syllabify_text(transcript)
+        syl_boxes = group_syllables(syls, tra_align, ocr_align, all_chars)
+        syl_boxes = [
+            rotate_bbox(sb, -1 * angle, image.shape, raw_image.shape)
+            for sb in syl_boxes
+        ]
+
+    return syl_boxes, image, lines_peak_locs, all_chars_copy
+
+
+def to_JSON_dict(syl_boxes, lines_peak_locs) -> dict:
+    """Canonical output dict (alignToOCR.py:333-351). NB
+    'median_line_spacing' is the 75th percentile of inter-peak gaps — a
+    reference quirk preserved for downstream MEI-encoding compatibility."""
+    med_line_spacing = np.quantile(np.diff(lines_peak_locs), 0.75)
+
+    data = {}
+    data["median_line_spacing"] = med_line_spacing
+    data["syl_boxes"] = []
+
+    for s in syl_boxes:
+        data["syl_boxes"].append(
+            {
+                "syl": s.char,
+                "ul": [int(s.ul[0]), int(s.ul[1])],
+                "lr": [int(s.lr[0]), int(s.lr[1])],
+            }
+        )
+
+    return data
