@@ -1,0 +1,213 @@
+"""End-to-end benchmark: folios/sec through the full alignment pipeline.
+
+Prints ONE JSON line:
+  {"metric": "folios/sec", "value": N, "unit": "folios/sec", "vs_baseline": N}
+
+Flow per folio (identical stage graph on both paths):
+  binarize -> despeckle x2 -> tall-CC removal -> skew detect -> rotate ->
+  run filters -> projection/peaks -> separator CC analysis -> line strips ->
+  BiLSTM+CTC recognizer over all strips -> affine-gap NW (transcript vs OCR
+  char stream) -> abbreviation/syllable assembly -> JSON dict.
+
+- device path: TPU kernels (ops.device), batched JAX recognizer, wavefront
+  NW fill; host only for peaks/assembly (by design, see pipeline docs).
+- baseline path: the host oracle pipeline with the *reference's* pure-Python
+  NW fill (textSeqCompare.py:62-88 port) and the pure-numpy per-line LSTM —
+  the faithful stand-in for the CPU reference stack, which is Python 2 +
+  Gamera/OCRopus and cannot run here (SURVEY.md §0, §6).
+
+OCR weights are untrained (the reference's trained .pyrnn blobs are stripped
+from the mount), so the recognizer's *output* is not meaningful; its compute
+is still timed at realistic shapes, and the NW/assembly stages run on an
+injected OCR char stream with realistic error rates so alignment cost is
+representative. Secondary metrics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BENCH_SEED = 1234
+N_DEVICE_FOLIOS = 6
+N_BASELINE_FOLIOS = 1
+
+
+def make_bench_page(seed):
+    from text_alignment_tpu.synth import make_page
+
+    return make_page(
+        np.random.default_rng(seed),
+        n_lines=10,
+        words_per_line=3,
+        H=2000,
+        W=1600,
+        char_h=70,
+        char_w=40,
+        gap=8,
+        space_w=60,
+        line_spacing=180,
+        speckles=200,
+        margin_x=60,
+        angle=0.8,
+    )
+
+
+def folio_flow(page, ocr_chars, recognizer, backend):
+    """One folio end-to-end; returns the JSON dict."""
+    from text_alignment_tpu.pipeline import process, to_JSON_dict
+
+    # OCR engine timing: run the recognizer over the page's strips (output
+    # not used for alignment quality — weights are untrained)
+    from text_alignment_tpu.pipeline.preprocess import (
+        preprocess_images,
+        identify_text_lines,
+    )
+
+    image, eroded, angle = preprocess_images(page.image, backend=backend)
+    strips, peaks, _ = identify_text_lines(image, eroded, backend=backend,
+                                           verbose=False)
+    _ = recognizer(strips)
+
+    result = process(
+        page.image,
+        page.transcript,
+        existing_ocr=ocr_chars,
+        existing_preproc_images=(image, eroded, angle),
+        verbose=False,
+        backend=backend,
+    )
+    syl_boxes, _, lines_peak_locs, _ = result
+    return to_JSON_dict(syl_boxes, lines_peak_locs)
+
+
+def device_recognizer():
+    import jax
+    from text_alignment_tpu.models.lstm_jax import init_bilstm
+    from text_alignment_tpu.models.recognizer import SeqRecognizer
+    from text_alignment_tpu.models.codec import Codec
+
+    codec = Codec()
+    rec = SeqRecognizer(
+        init_bilstm(jax.random.PRNGKey(0), 48, 100, len(codec)), codec
+    )
+
+    def run(strips):
+        return rec.recognize_batch([s.img for s in strips])
+
+    return run
+
+
+def baseline_recognizer():
+    """Pure-numpy per-line recognizer (the ocropy-equivalent CPU path)."""
+    import jax
+    from text_alignment_tpu.models.lstm_jax import init_bilstm, params_to_np
+    from text_alignment_tpu.models.lstm_np import bilstm_forward_np
+    from text_alignment_tpu.models.ctc import translate_back_np
+    from text_alignment_tpu.models.lineest import normalize_strip
+
+    d = params_to_np(init_bilstm(jax.random.PRNGKey(0), 48, 100, 64))
+
+    def run(strips):
+        out = []
+        for s in strips:
+            norm = normalize_strip(s.img)
+            if norm is None:
+                out.append([])
+                continue
+            frames, _ = norm
+            posteriors = bilstm_forward_np(d, frames)
+            out.append(translate_back_np(posteriors))
+        return out
+
+    return run
+
+
+def injected_ocr(page, seed):
+    from text_alignment_tpu.synth import corrupt_ocr, ocr_with_spaces
+
+    rng = np.random.default_rng(seed)
+    return ocr_with_spaces(corrupt_ocr(rng, page.char_boxes))
+
+
+def nw_gcups_stress(n=4096):
+    """Secondary metric: wavefront NW fill throughput at 4k x 4k."""
+    import random
+    from text_alignment_tpu.align.scoring import resolve_scoring
+    from text_alignment_tpu.align.nw_jax import fill_jax_packed
+
+    rng = random.Random(0)
+    t = [rng.choice("abcdefgh ") for _ in range(n)] + [" "]
+    o = [rng.choice("abcdefgh ") for _ in range(n)] + [" "]
+    sc = resolve_scoring(None)
+    fill_jax_packed(t, o, sc)  # compile
+    t0 = time.perf_counter()
+    fill_jax_packed(t, o, sc)
+    dt = time.perf_counter() - t0
+    return (n * n) / dt / 1e9
+
+
+def main():
+    import jax
+
+    platform = jax.devices()[0].platform
+    print(f"# default backend: {platform} ({jax.devices()})", file=sys.stderr)
+
+    pages = [make_bench_page(BENCH_SEED + i) for i in range(N_DEVICE_FOLIOS + 1)]
+    ocrs = [injected_ocr(p, 77 + i) for i, p in enumerate(pages)]
+
+    dev_rec = device_recognizer()
+
+    # warmup/compile on folio 0
+    t0 = time.perf_counter()
+    folio_flow(pages[0], ocrs[0], dev_rec, backend="device")
+    print(f"# device warmup (incl. compile): {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for i in range(1, N_DEVICE_FOLIOS + 1):
+        folio_flow(pages[i], ocrs[i], dev_rec, backend="device")
+    dev_dt = (time.perf_counter() - t0) / N_DEVICE_FOLIOS
+    print(f"# device: {dev_dt*1e3:.0f} ms/folio", file=sys.stderr)
+
+    # CPU baseline: host oracle pipeline + reference NW + numpy LSTM
+    base_rec = baseline_recognizer()
+    import text_alignment_tpu.pipeline.process as proc_mod
+    from text_alignment_tpu.align import api as align_api
+
+    orig = align_api.perform_alignment
+
+    def ref_nw_alignment(t, o, scoring_system=None, verbose=False, backend="auto"):
+        return orig(t, o, scoring_system=scoring_system, verbose=verbose,
+                    backend="reference")
+
+    t0 = time.perf_counter()
+    proc_mod.perform_alignment = ref_nw_alignment
+    try:
+        for i in range(N_BASELINE_FOLIOS):
+            folio_flow(pages[i], ocrs[i], base_rec, backend="host")
+    finally:
+        proc_mod.perform_alignment = orig
+    base_dt = (time.perf_counter() - t0) / N_BASELINE_FOLIOS
+    print(f"# cpu baseline: {base_dt*1e3:.0f} ms/folio", file=sys.stderr)
+
+    try:
+        gcups = nw_gcups_stress()
+        print(f"# nw wavefront fill: {gcups:.2f} GCUPS @ 4096x4096",
+              file=sys.stderr)
+    except Exception as e:  # stress metric must not sink the headline
+        print(f"# nw stress failed: {e}", file=sys.stderr)
+
+    folios_per_sec = 1.0 / dev_dt
+    vs_baseline = base_dt / dev_dt
+    print(json.dumps({
+        "metric": "folios/sec",
+        "value": round(folios_per_sec, 3),
+        "unit": "folios/sec",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

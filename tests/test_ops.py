@@ -124,9 +124,23 @@ def test_rotate_parity(rng, angle):
 
 
 def test_rotate_zero_is_identity(rng):
-    img = _blobby_page(rng)
+    # dims on the canvas quantum: zero rotation is the exact identity
+    img = _blobby_page(rng)[:96, :128]
     out = oracle.rotate_onebit(img, 0.0)
     np.testing.assert_array_equal(out, img)
+
+
+def test_rotate_zero_quantized_canvas_centers(rng):
+    # off-quantum dims: the canvas grows symmetrically; content is centered
+    img = _blobby_page(rng)  # 120 x 160
+    out = oracle.rotate_onebit(img, 0.0)
+    H2, W2 = fxp.rotated_canvas(*img.shape, 0.0)
+    assert out.shape == (H2, W2)
+    oy, ox = (H2 - img.shape[0]) // 2, (W2 - img.shape[1]) // 2
+    np.testing.assert_array_equal(
+        out[oy : oy + img.shape[0], ox : ox + img.shape[1]], img
+    )
+    assert out.sum() == img.sum()
 
 
 def test_skew_detection_recovers_angle(rng):

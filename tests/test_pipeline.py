@@ -15,6 +15,7 @@ from text_alignment_tpu.pipeline import (
 from text_alignment_tpu.pipeline.assemble import (
     expand_abbreviations,
     llocs_to_charboxes,
+    to_processed_frame,
 )
 from text_alignment_tpu.pipeline.preprocess import LineStrip, PreprocParams
 
@@ -35,9 +36,10 @@ def test_preprocess_finds_lines(page):
     assert abs(angle) < 0.5  # unrotated page
     strips, peaks, smoothed = identify_text_lines(image, eroded, backend="host", params=SYNTH_PARAMS)
     assert len(peaks) == 5
-    # peak locations near the known baselines
+    # peak locations near the known baselines (+ the symmetric canvas pad)
+    dy = (image.shape[0] - page.image.shape[0]) // 2
     for p, b in zip(peaks, page.line_baselines):
-        assert abs(p - b) < 8
+        assert abs(p - (b + dy)) < 8
     assert len(strips) == 5
     for s in strips:
         assert s.img.any()
@@ -59,13 +61,26 @@ def test_preprocess_host_device_parity(page):
         np.testing.assert_array_equal(a.img, b.img)
 
 
+def _inject(page, ocr_chars, backend="host"):
+    """Injected OCR boxes are raw-frame ground truth; lift them into the
+    processed frame the pipeline's char stream lives in."""
+    image, eroded, angle = preprocess_images(page.image, backend=backend)
+    lifted = [
+        to_processed_frame(cb, angle, image.shape, page.image.shape)
+        for cb in ocr_chars
+    ]
+    return lifted, (image, eroded, angle)
+
+
 def test_process_with_injected_ocr_host(page):
     rng = np.random.default_rng(5)
     ocr_chars = ocr_with_spaces(corrupt_ocr(rng, page.char_boxes))
+    lifted, preproc = _inject(page, ocr_chars)
     result = process(
         page.image,
         page.transcript,
-        existing_ocr=ocr_chars,
+        existing_ocr=lifted,
+        existing_preproc_images=preproc,
         verbose=False,
         backend="host",
         preproc_params=SYNTH_PARAMS,
@@ -102,9 +117,14 @@ def test_process_with_injected_ocr_host(page):
 def test_process_host_device_identical_json(page):
     rng = np.random.default_rng(11)
     ocr_chars = ocr_with_spaces(corrupt_ocr(rng, page.char_boxes))
-    r_host = process(page.image, page.transcript, existing_ocr=ocr_chars,
+    lifted_h, pre_h = _inject(page, ocr_chars, backend="host")
+    lifted_d, pre_d = _inject(page, ocr_chars, backend="device")
+    assert [ (c.ul, c.lr) for c in lifted_h ] == [ (c.ul, c.lr) for c in lifted_d ]
+    r_host = process(page.image, page.transcript, existing_ocr=lifted_h,
+                     existing_preproc_images=pre_h,
                      verbose=False, backend="host", preproc_params=SYNTH_PARAMS)
-    r_dev = process(page.image, page.transcript, existing_ocr=ocr_chars,
+    r_dev = process(page.image, page.transcript, existing_ocr=lifted_d,
+                    existing_preproc_images=pre_d,
                     verbose=False, backend="device", preproc_params=SYNTH_PARAMS)
     j_host = to_JSON_dict(r_host[0], r_host[2])
     j_dev = to_JSON_dict(r_dev[0], r_dev[2])

@@ -43,18 +43,19 @@ def perform_alignment(transcript, ocr, scoring_system=None, verbose=False,
 
     if backend == "host":
         ptrs = DensePtrView(*fill_host(transcript, ocr, sc))
+        tra_align, ocr_align = traceback(transcript, ocr, ptrs)
     elif backend == "jax":
-        from .nw_jax import fill_jax_packed
+        from .nw_jax import align_jax_ops, replay_ops
 
-        ptrs = DiagPtrView(fill_jax_packed(transcript, ocr, sc))
+        ops, count, xpt, ypt = align_jax_ops(transcript, ocr, sc)
+        tra_align, ocr_align = replay_ops(transcript, ocr, ops, count, xpt, ypt)
     elif backend == "reference":
         from .nw_host import fill_reference_slow
 
         ptrs = DensePtrView(*fill_reference_slow(transcript, ocr, sc))
+        tra_align, ocr_align = traceback(transcript, ocr, ptrs)
     else:
         raise ValueError("unknown backend {!r}".format(backend))
-
-    tra_align, ocr_align = traceback(transcript, ocr, ptrs)
 
     if verbose:
         for n in range(len(tra_align)):

@@ -39,13 +39,23 @@ def shear_shifts(angle_deg: float, width: int) -> np.ndarray:
     return ((t * x + (SCALE // 2)) >> SCALE_BITS).astype(np.int32)
 
 
+CANVAS_QUANTUM = 32
+
+
 def rotated_canvas(H: int, W: int, angle_deg: float) -> tuple[int, int]:
-    """Expanded canvas size for a rotation (Gamera-style grow-to-fit)."""
+    """Expanded canvas size for a rotation (grow-to-fit), rounded up to a
+    CANVAS_QUANTUM multiple. Quantizing is canonical (both backends): it
+    keeps the rotated-page shape stable across nearby detected angles, so
+    every downstream jitted kernel compiles once per page geometry instead
+    of once per folio. The extra padding is symmetric white margin, which
+    rotate_bbox's (orig - target) // 2 compensation already absorbs
+    (alignToOCR.py:93-96)."""
     r = math.radians(angle_deg)
     c, s = abs(math.cos(r)), abs(math.sin(r))
     W2 = int(math.ceil(W * c + H * s))
     H2 = int(math.ceil(H * c + W * s))
-    return H2, W2
+    q = CANVAS_QUANTUM
+    return ((H2 + q - 1) // q) * q, ((W2 + q - 1) // q) * q
 
 
 def rotation_coeffs(angle_deg: float) -> tuple[int, int]:

@@ -58,6 +58,34 @@ def rotate_bbox(cbox: CharBox, angle: float, orig_shape, target_shape,
     return CharBox(cbox.char, new_ul, new_lr)
 
 
+def to_processed_frame(cbox: CharBox, angle: float, orig_shape,
+                       target_shape) -> CharBox:
+    """Exact inverse of :func:`rotate_bbox`'s back-mapping: lift a box from
+    the raw page frame into the processed (rotated, padded) frame, i.e.
+    p_proc = R(angle) (p_raw - pivot + d) + pivot. Used to inject
+    raw-frame fixture OCR at the stage boundary (tests, eval harness)."""
+    orig_nrows, orig_ncols = orig_shape[:2]
+    target_nrows, target_ncols = target_shape[:2]
+    pivot_x = orig_ncols // 2
+    pivot_y = orig_nrows // 2
+    dx = (orig_ncols - target_ncols) // 2
+    dy = (orig_nrows - target_nrows) // 2
+
+    a = angle * np.pi / 180
+    s, c = np.sin(a), np.cos(a)
+
+    def fwd(x, y):
+        tx = x - (pivot_x - dx)
+        ty = y - (pivot_y - dy)
+        return (tx * c - ty * s + pivot_x, tx * s + ty * c + pivot_y)
+
+    ulx, uly = fwd(cbox.ulx, cbox.uly)
+    lrx, lry = fwd(cbox.lrx, cbox.lry)
+    new_ul = np.round([ulx, uly]).astype("int16")
+    new_lr = np.round([lrx, lry]).astype("int16")
+    return CharBox(cbox.char, new_ul, new_lr)
+
+
 def llocs_to_charboxes(strips, llocs_rows) -> tuple[list[CharBox], list[CharBox]]:
     """Per-line (char, x) rows -> page-coordinate CharBoxes
     (alignToOCR.py:153-184). OCR reports each character's rightmost edge, so

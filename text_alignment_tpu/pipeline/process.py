@@ -58,15 +58,21 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
     accepts). Returns (syl_boxes, image, lines_peak_locs, all_chars_copy) or
     None when OCR fails/produces nothing alignable.
     """
-    del wkdir_name, parallel, existing_preproc_images  # subprocess-era knobs
+    del wkdir_name, parallel  # subprocess-era knobs
     raw_image = np.asarray(raw_image)
     timer = timer or stage_timer(enabled=False)
 
     # -- PRE-PROCESSING --
-    with timer("preprocess"):
-        image, eroded, angle = preprocess_images(
-            raw_image, backend=backend, params=preproc_params
-        )
+    # existing_preproc_images revives the reference's (commented-out)
+    # preproc memoization hook (alignToOCR.py:207-215): a tuple
+    # (image_bin, image_eroded, angle) skips the raster stage.
+    if existing_preproc_images is not None:
+        image, eroded, angle = existing_preproc_images
+    else:
+        with timer("preprocess"):
+            image, eroded, angle = preprocess_images(
+                raw_image, backend=backend, params=preproc_params
+            )
     with timer("identify_lines"):
         cc_strips, lines_peak_locs, _ = identify_text_lines(
             image, eroded, backend=backend, verbose=verbose,
