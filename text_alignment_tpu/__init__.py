@@ -26,6 +26,24 @@ Layer map (TPU-first, not a translation):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: TPU compiles here go through a remote
+# tunnel and cost seconds-to-minutes; caching makes every process after the
+# first start warm. Opt out with TEXT_ALIGNMENT_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("TEXT_ALIGNMENT_TPU_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "text_alignment_tpu_xla"),
+        )
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # jax config API drift must never break imports
+        pass
+
 from .charbox import CharBox
 from .textio import read_file
 

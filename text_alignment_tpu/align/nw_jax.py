@@ -179,7 +179,8 @@ def _traceback_ops(packed, Nt, No, P):
     xpt, ypt, mpt, k, ops = jax.lax.while_loop(
         cond, body, (Nt - 1, No - 1, mpt0, jnp.int32(0), ops0)
     )
-    return ops, k, xpt, ypt
+    # int32 on the wire: sub-word dtypes cross the device tunnel slowly
+    return ops.astype(jnp.int32), k, xpt, ypt
 
 
 def align_jax_ops(transcript, ocr, sc: Scoring):

@@ -69,7 +69,9 @@ class SeqRecognizer:
             buckets.setdefault(_bucket_T(frames.shape[0]), []).append(k)
 
         for Tb, members in sorted(buckets.items()):
-            B = len(members)
+            # pad the batch dim to a power of two as well (blank lines decode
+            # to zero regions) so repeated folios reuse one compilation
+            B = max(8, 1 << (len(members) - 1).bit_length())
             xs = np.zeros((B, Tb, self.target_height), np.float32)
             lengths = np.zeros(B, np.int32)
             for bi, k in enumerate(members):

@@ -38,10 +38,41 @@ _CC_MAX_ITERS = 192
 # connected components
 # ---------------------------------------------------------------------------
 
+def _segmin_scan(vals, img, axis, reverse):
+    """Segmented running min of ``vals`` along ``axis`` within runs of black
+    pixels (white resets the segment). Associative scan — log-depth, fully
+    vectorized, no gathers."""
+    boundary = ~img  # a white pixel starts a new segment
+
+    def combine(a, b):
+        av, ab = a
+        bv, bb = b
+        return jnp.where(bb, bv, jnp.minimum(av, bv)), ab | bb
+
+    out, _ = jax.lax.associative_scan(
+        combine, (vals, boundary), axis=axis, reverse=reverse
+    )
+    return out
+
+
+def _run_min(vals, img, axis):
+    """Min label over each pixel's full run along ``axis``."""
+    fwd = _segmin_scan(vals, img, axis, reverse=False)
+    bwd = _segmin_scan(vals, img, axis, reverse=True)
+    return jnp.minimum(fwd, bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iters",))
 def cc_label(img, max_iters=_CC_MAX_ITERS):
     """8-connected labeling. Returns int32 (H, W) where each black pixel
-    holds its component's min flat index and white pixels hold H*W."""
+    holds its component's min flat index and white pixels hold H*W.
+
+    Run-based propagation: each iteration takes the min over the
+    8-neighborhood (shift passes), then spreads labels across entire
+    horizontal and vertical runs via segmented min-scans. A label crosses a
+    whole run per step, so convergence takes roughly the number of "turns"
+    in a component's shape (a handful for glyphs), not its pixel diameter —
+    and nothing ever gathers."""
     H, W = img.shape
     INF = jnp.int32(H * W)
     flat = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
@@ -57,20 +88,16 @@ def cc_label(img, max_iters=_CC_MAX_ITERS):
                 best = jnp.minimum(best, p[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W])
         return jnp.where(img, best, INF)
 
-    def jump(f):
-        fe = jnp.concatenate([f, jnp.full((1,), INF, jnp.int32)])
-        return fe[f]
-
     def cond(state):
         _, changed, it = state
         return changed & (it < max_iters)
 
     def body(state):
         lbl, _, it = state
-        h = jnp.minimum(lbl, nbr_min(lbl))
-        f = h.reshape(-1)
-        f = jump(jump(f))
-        new = f.reshape(H, W)
+        new = jnp.minimum(lbl, nbr_min(lbl))
+        new = _run_min(new, img, axis=1)
+        new = _run_min(new, img, axis=0)
+        new = jnp.where(img, new, INF)
         return new, jnp.any(new != lbl), it + 1
 
     lbl, _, _ = jax.lax.while_loop(cond, body, (lbl0, jnp.bool_(True), jnp.int32(0)))
@@ -161,16 +188,20 @@ def _run_length_map_axis0(img):
     return nz - lz - 1
 
 
-@functools.partial(jax.jit, static_argnames=("color", "axis"))
-def filter_runs(img, k, color="black", axis=0):
-    """Remove runs of ``color`` along ``axis`` with length < k.
-    axis=0 == Gamera filter_short_runs; axis=1 == filter_narrow_runs."""
+def filter_runs_impl(img, k, color, axis):
     target = img if color == "black" else ~img
     t = target if axis == 0 else target.T
     lens = _run_length_map_axis0(t)
     keep = t & (lens >= k)
     keep = keep if axis == 0 else keep.T
     return keep if color == "black" else ~keep
+
+
+@functools.partial(jax.jit, static_argnames=("color", "axis"))
+def filter_runs(img, k, color="black", axis=0):
+    """Remove runs of ``color`` along ``axis`` with length < k.
+    axis=0 == Gamera filter_short_runs; axis=1 == filter_narrow_runs."""
+    return filter_runs_impl(img, k, color, axis)
 
 
 def filter_short_runs(img, k, color="black"):
@@ -241,6 +272,100 @@ def erase_rows(img, row_mask):
 
 
 # ---------------------------------------------------------------------------
+# bit packing (device->host page transfers)
+# ---------------------------------------------------------------------------
+# The tunnel to the remote chip moves int32 at a few tens of MB/s and uint8
+# pathologically slowly; a onebit page crosses it 8x smaller as a bitmask.
+
+def _packed_width(W: int) -> int:
+    return (W + 31) // 32
+
+
+@jax.jit
+def pack_bool(img):
+    """(H, W) bool -> (H, ceil(W/32)) int32 bitmask (little-endian bits)."""
+    H, W = img.shape
+    Wp = _packed_width(W) * 32
+    x = jnp.pad(img, ((0, 0), (0, Wp - W))).reshape(H, Wp // 32, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    packed = jnp.sum(x.astype(jnp.uint32) * weights, axis=2)
+    return packed.astype(jnp.int32)
+
+
+def unpack_bool(packed: np.ndarray, W: int) -> np.ndarray:
+    """Host-side inverse of pack_bool."""
+    packed = np.asarray(packed).astype(np.uint32)
+    H = packed.shape[0]
+    bits = (packed[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1
+    return bits.reshape(H, -1)[:, :W].astype(bool)
+
+
+def get_bool(img_dev) -> np.ndarray:
+    """Download a device bool image via the packed path."""
+    W = int(img_dev.shape[1])
+    return unpack_bool(np.asarray(pack_bool(img_dev)), W)
+
+
+# ---------------------------------------------------------------------------
+# fused preprocessing stages (one dispatch each; pages stay on device)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def preproc_stage1(grey, thresh, despeckle_amt, sat_area_thresh):
+    """binarize -> despeckle(black) -> despeckle(white) -> remove tall CCs
+    (textAlignPreprocessing.py:166-178) in a single dispatch."""
+    img = grey <= thresh
+
+    lbl = cc_label(img)
+    area, *_ = _scatter_stats(img, lbl)
+    img = img & (area[lbl] > despeckle_amt)
+
+    inv = ~img
+    lbl = cc_label(inv)
+    area, *_ = _scatter_stats(inv, lbl)
+    img = ~(inv & (area[lbl] > despeckle_amt))
+
+    lbl = cc_label(img)
+    _, rmin, rmax, _, _ = _scatter_stats(img, lbl)
+    nrows = rmax[lbl] - rmin[lbl] + 1
+    return img & ~(nrows > sat_area_thresh)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H2", "W2", "filter_runs", "filter_runs_amt")
+)
+def rotate_erode_project(img, cfix, sfix, H2, W2, filter_runs,
+                         filter_runs_amt):
+    """rotate -> run-filter erosion -> row projection
+    (textAlignPreprocessing.py:185-193, :211) in a single dispatch. Returns
+    (packed binarized page, packed eroded page, projection)."""
+    rot = _rotate_gather_body(img, cfix, sfix, H2, W2)
+    eroded = rot
+    for _ in range(filter_runs):
+        eroded = filter_runs_impl(eroded, filter_runs_amt, "black", 0)
+        eroded = filter_runs_impl(eroded, filter_runs_amt, "black", 1)
+    proj = jnp.sum(eroded.astype(jnp.int32), axis=1)
+    return pack_bool(rot), pack_bool(eroded), proj
+
+
+@functools.partial(jax.jit, static_argnames=("max_ccs",))
+def erase_and_ccstats(eroded, row_mask, max_ccs=MAX_CCS):
+    """separator erase + CC stats table in a single dispatch."""
+    img = eroded & ~row_mask[:, None]
+    lbl = cc_label(img)
+    area, rmin, rmax, cmin, cmax = _scatter_stats(img, lbl)
+    H, W = img.shape
+    present = area > 0
+    count = jnp.sum(present.astype(jnp.int32))
+    roots = jnp.nonzero(present, size=max_ccs, fill_value=H * W)[0]
+    table = jnp.stack(
+        [rmin[roots], rmax[roots], cmin[roots], cmax[roots], area[roots]],
+        axis=1,
+    )
+    return table, count
+
+
+# ---------------------------------------------------------------------------
 # skew detection + rotation
 # ---------------------------------------------------------------------------
 
@@ -281,8 +406,7 @@ def rotation_angle_projections(img, minangle=-6.0, maxangle=6.0):
     return float(best)
 
 
-@functools.partial(jax.jit, static_argnames=("H2", "W2"))
-def _rotate_gather(img, cfix, sfix, H2, W2):
+def _rotate_gather_body(img, cfix, sfix, H2, W2):
     H, W = img.shape
     x2 = jnp.arange(W2, dtype=jnp.int32)[None, :]
     y2 = jnp.arange(H2, dtype=jnp.int32)[:, None]
@@ -297,6 +421,9 @@ def _rotate_gather(img, cfix, sfix, H2, W2):
     syc = jnp.clip(src_y, 0, H - 1)
     sxc = jnp.clip(src_x, 0, W - 1)
     return img[syc, sxc] & valid
+
+
+_rotate_gather = jax.jit(_rotate_gather_body, static_argnames=("H2", "W2"))
 
 
 def rotate_onebit(img, angle_deg: float):

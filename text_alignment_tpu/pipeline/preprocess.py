@@ -93,20 +93,44 @@ def preprocess_images(input_image, despeckle_amt: int = DESPECKLE_AMT,
 
     if backend == "device":
         from ..ops import device as eng
+        from ..ops import fixedpoint as fxp
         import jax.numpy as jnp
 
-        img = eng.to_onebit(input_image)
-        img = eng.despeckle(img, despeckle_amt)
-        img = ~eng.despeckle(~img, despeckle_amt)  # invert-despeckle-invert
-        img = eng.remove_tall_ccs(img, p.sat_area_thresh)
+        # stage 0: greyscale + histogram on device; Otsu criterion on host
+        grey = eng.to_greyscale(jnp.asarray(input_image))
+        hist = np.asarray(eng.grey_histogram(grey))
+        thresh = eng._otsu_from_hist(hist)
+
+        # stage 1 (one dispatch): binarize + despeckle x2 + tall-CC removal
+        img = eng.preproc_stage1(
+            grey,
+            jnp.uint8(thresh),
+            jnp.int32(despeckle_amt),
+            jnp.int32(p.sat_area_thresh),
+        )
+
         angle = eng.rotation_angle_projections(img, -6, 6)
+
         if correct_rotation:
-            img = eng.rotate_onebit(img, angle)
-        eroded = img
-        for _ in range(filter_runs):
-            eroded = eng.filter_short_runs(eroded, filter_runs_amt, "black")
-            eroded = eng.filter_narrow_runs(eroded, filter_runs_amt, "black")
-        return np.asarray(img), np.asarray(eroded), angle
+            H, W = int(img.shape[0]), int(img.shape[1])
+            H2, W2 = fxp.rotated_canvas(H, W, angle)
+            cfix, sfix = fxp.rotation_coeffs(angle)
+            packed_bin, packed_eroded, _proj = eng.rotate_erode_project(
+                img, jnp.int32(cfix), jnp.int32(sfix), H2, W2,
+                filter_runs, filter_runs_amt,
+            )
+            W_out = W2
+        else:
+            packed_bin, packed_eroded, _proj = eng.rotate_erode_project(
+                img, jnp.int32(fxp.SCALE), jnp.int32(0),
+                int(img.shape[0]), int(img.shape[1]),
+                filter_runs, filter_runs_amt,
+            )
+            W_out = int(img.shape[1])
+
+        image_bin = eng.unpack_bool(np.asarray(packed_bin), W_out)
+        image_eroded = eng.unpack_bool(np.asarray(packed_eroded), W_out)
+        return image_bin, image_eroded, angle
 
     img = oracle.to_onebit(input_image)
     img = oracle.despeckle(img, despeckle_amt)
@@ -180,8 +204,14 @@ def identify_text_lines(image_bin, image_eroded, backend: str = "host",
         mask = np.zeros(H, dtype=bool)
         for idx in sep_rows:
             mask[idx : idx + 2] = True
-        eroded_cut = eng.erase_rows(jnp.asarray(np.asarray(image_eroded)), jnp.asarray(mask))
-        table = _cc_table(eroded_cut, "device")
+        table_dev, count = eng.erase_and_ccstats(
+            jnp.asarray(np.asarray(image_eroded)), jnp.asarray(mask)
+        )
+        count = int(count)
+        table = np.asarray(table_dev)
+        if count > table.shape[0]:
+            raise RuntimeError(f"page has {count} CCs > MAX_CCS={table.shape[0]}")
+        table = table[:count].astype(np.int64)
     else:
         eroded_cut = np.asarray(image_eroded)
         for idx in sep_rows:
