@@ -1,0 +1,260 @@
+"""Tests for auxiliary subsystems: evaluation harness, MEI merger, Rodan
+wrapper, training-data cleaner, renderer, CLI plumbing."""
+
+import json
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+from text_alignment_tpu.evaluate import (
+    intersect,
+    IOU,
+    black_area_IOU,
+    parse_gt_xml,
+    evaluate_alignment,
+    scoring_grid,
+)
+from text_alignment_tpu import mei
+from text_alignment_tpu import rodan_job
+from text_alignment_tpu.training_data import clean_image, union_line_strips
+from text_alignment_tpu.synth import make_page
+from text_alignment_tpu.charbox import CharBox
+from text_alignment_tpu.pipeline.render import draw_results_on_page
+from text_alignment_tpu.pipeline.preprocess import PreprocParams
+
+SYNTH_PARAMS = PreprocParams(filter_size=8)
+
+
+def test_intersect_and_iou():
+    a = {"ul": (0, 0), "lr": (10, 10)}
+    b = {"ul": (5, 5), "lr": (15, 15)}
+    c = {"ul": (20, 20), "lr": (30, 30)}
+    assert intersect(a, b) == 25
+    assert intersect(a, c) is False
+    assert IOU(a, a) == 1.0
+    assert 0 < IOU(a, b) < 1
+
+
+def test_black_area_iou():
+    img = np.zeros((40, 40), dtype=bool)
+    img[10:20, 10:20] = True
+    a = {"ul": (10, 10), "lr": (19, 19)}
+    assert black_area_IOU(a, a, img) == 1.0
+    b = {"ul": (15, 10), "lr": (24, 19)}
+    v = black_area_IOU(a, b, img)
+    assert 0 < v < 1
+
+
+def test_parse_gt_and_evaluate(tmp_path):
+    root = ET.Element("annotation")
+    for i, (syl, diff) in enumerate([("do", 0), ("mi", 0), ("nus", 1)]):
+        obj = ET.SubElement(root, "object")
+        ET.SubElement(obj, "name").text = syl
+        ET.SubElement(obj, "difficult").text = str(diff)
+        bb = ET.SubElement(obj, "bndbox")
+        ET.SubElement(bb, "xmin").text = str(10 + i * 30)
+        ET.SubElement(bb, "ymin").text = "10"
+        ET.SubElement(bb, "xmax").text = str(30 + i * 30)
+        ET.SubElement(bb, "ymax").text = "30"
+    path = tmp_path / "x_gt.xml"
+    ET.ElementTree(root).write(path)
+
+    gt = parse_gt_xml(str(path))
+    assert len(gt) == 3 and gt[2]["difficult"] == 1
+
+    img = np.zeros((60, 120), dtype=bool)
+    img[12:28, 12:28] = True
+    img[12:28, 42:58] = True
+    pred = [
+        {"syl": "do", "ul": [10, 10], "lr": [30, 30]},
+        {"syl": "mi", "ul": [45, 12], "lr": [58, 28]},
+    ]
+    iou, ink = evaluate_alignment(gt, pred, img)
+    assert iou > 0.4  # 'do' exact, 'mi' partial, 'nus' skipped (difficult)
+    assert ink > 0.4
+
+
+def test_scoring_grid_size():
+    g = scoring_grid()
+    assert g.shape == (729, 6)
+    assert list(g[0]) == [5, -4, -2, -2, 0, 0]
+
+
+def _mini_mei():
+    NSM = "http://www.music-encoding.org/ns/mei"
+    NSI = "http://www.w3.org/XML/1998/namespace"
+    ET.register_namespace("", NSM)
+    root = ET.Element(f"{{{NSM}}}mei")
+    surface = ET.SubElement(root, f"{{{NSM}}}surface")
+    layer = ET.SubElement(root, f"{{{NSM}}}layer")
+    for i in range(3):
+        zone = ET.SubElement(surface, f"{{{NSM}}}zone")
+        zone.set(f"{{{NSI}}}id", f"z{i}")
+        zone.set("ulx", str(10 + i * 50))
+        zone.set("uly", "10")
+        zone.set("lrx", str(40 + i * 50))
+        zone.set("lry", "30")
+        syl = ET.SubElement(layer, f"{{{NSM}}}syllable")
+        syl.set(f"{{{NSI}}}id", f"s{i}")
+        neume = ET.SubElement(syl, f"{{{NSM}}}neume")
+        nc = ET.SubElement(neume, f"{{{NSM}}}nc")
+        nc.set("facs", f"z{i}")
+    return ET.ElementTree(root)
+
+
+def test_add_text_to_mei():
+    tree = _mini_mei()
+    # text boxes sit below the neumes by ~line spacing
+    syls_boxes = [
+        ("al", (10, 50), (40, 70)),
+        ("le", (60, 50), (90, 70)),
+        ("lu", (110, 50), (140, 70)),
+    ]
+    tree, all_bboxes, assign_lines = mei.add_text_to_mei_file(tree, syls_boxes, 40)
+    NSM = "{http://www.music-encoding.org/ns/mei}"
+    syllables = tree.getroot().findall(f".//{NSM}syllable")
+    texts = [s.find("syl").text for s in syllables if s.find("syl") is not None]
+    assert texts == ["al", "le", "lu"]
+    assert len(all_bboxes) == 3
+    # new zones registered for each new syl
+    zones = tree.getroot().findall(f".//{NSM}zone")
+    assert len(zones) == 6
+
+
+def test_mei_repair_xml():
+    raw = '<mei meiversion="4.0.0"></mei>'
+    fixed = mei.repair_xml(raw)
+    assert "xmlns:xlink" in fixed
+    assert fixed.index("xlink") < fixed.index("meiversion")
+
+
+def test_mei_merge_same_text():
+    tree = _mini_mei()
+    # only one text box: neumes 2 and 3 must merge into the first syllable
+    syls_boxes = [("al", (10, 50), (140, 70))]
+    tree, _, _ = mei.add_text_to_mei_file(tree, syls_boxes, 40)
+    NSM = "{http://www.music-encoding.org/ns/mei}"
+    syllables = tree.getroot().findall(f".//{NSM}syllable")
+    assert len(syllables) == 1
+    assert len(syllables[0].findall(f"{NSM}neume")) == 3
+
+
+def test_rodan_task_body(tmp_path):
+    page = make_page(np.random.default_rng(1), n_lines=4, words_per_line=2)
+    from PIL import Image
+
+    img_path = tmp_path / "layer.png"
+    Image.fromarray(page.image).save(img_path)
+    tr_path = tmp_path / "transcript.txt"
+    tr_path.write_text("# comment line\n" + page.transcript + "\n")
+    out_path = tmp_path / "out.json"
+
+    # a tiny recognizer checkpoint to exercise the model-loading path
+    import jax
+    from text_alignment_tpu.models.codec import Codec
+    from text_alignment_tpu.models.lstm_jax import init_bilstm, params_to_np
+    from text_alignment_tpu.models.pyrnn import save_pyrnn
+
+    codec = Codec()
+    model_path = str(tmp_path / "tiny-00000001.pyrnn.gz")
+    save_pyrnn(model_path, params_to_np(init_bilstm(jax.random.PRNGKey(0), 48, 8, len(codec))), codec, 48)
+
+    ok = rodan_job.run_task(
+        inputs={
+            "Transcript": [{"resource_path": str(tr_path)}],
+            "Text Layer": [{"resource_path": str(img_path)}],
+        },
+        settings={"MEI Version": "3.9.9", "OCR Model": model_path},
+        outputs={"JSON": [{"resource_path": str(out_path)}]},
+        backend="host",
+    )
+    if ok:
+        data = json.loads(out_path.read_text())
+        assert "syl_boxes" in data and "median_line_spacing" in data
+    # untrained weights may legitimately produce no characters -> ok False
+
+
+def test_rodan_schema_matches_reference():
+    assert rodan_job.SETTINGS["properties"]["MEI Version"]["enum"] == [
+        "4.0.0", "3.9.9",
+    ]
+    assert [p["name"] for p in rodan_job.INPUT_PORT_TYPES] == [
+        "Text Layer", "Transcript",
+    ]
+    assert rodan_job.OUTPUT_PORT_TYPES[0]["resource_types"] == [
+        "application/JSON"
+    ]
+
+
+def test_training_data_cleaner():
+    page = make_page(np.random.default_rng(2), n_lines=4, words_per_line=2)
+    cleaned, angle = clean_image(page.image)
+    assert cleaned.dtype == bool
+    assert cleaned.any()
+
+    unioned, strips = union_line_strips(page.image, preproc_params=SYNTH_PARAMS)
+    assert len(strips) == 4
+    assert unioned.any()
+    # unioned page only contains ink inside strip bboxes
+    mask = np.zeros_like(unioned)
+    for s in strips:
+        h, w = s.img.shape
+        mask[s.offset_y : s.offset_y + h, s.offset_x : s.offset_x + w] = True
+    assert not (unioned & ~mask).any()
+
+
+def test_renderer(tmp_path):
+    page = make_page(np.random.default_rng(4), n_lines=3, words_per_line=2)
+    boxes = [CharBox("do", (50, 50), (90, 70)), CharBox("mi", (100, 50), (140, 70))]
+    out = tmp_path / "overlay.png"
+    im = draw_results_on_page(page.image, boxes, [60, 150, 240], str(out))
+    assert out.exists()
+    assert im.size == (page.image.shape[1], page.image.shape[0])
+
+
+def test_cli_align_smoke(tmp_path):
+    """End-to-end CLI run over a synthetic manuscript + CSV."""
+    import csv as csv_mod
+    from PIL import Image
+    import jax
+    from text_alignment_tpu.models.codec import Codec
+    from text_alignment_tpu.models.lstm_jax import init_bilstm, params_to_np
+    from text_alignment_tpu.models.pyrnn import save_pyrnn
+    from text_alignment_tpu.cli import main
+
+    png_dir = tmp_path / "png"
+    png_dir.mkdir()
+    page = make_page(np.random.default_rng(8), n_lines=4, words_per_line=2)
+    Image.fromarray(page.image).save(png_dir / "synth_001r_text.png")
+
+    csv_path = tmp_path / "chants.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv_mod.writer(f)
+        w.writerow(["h"] * 15)
+        row = [""] * 15
+        row[2], row[3], row[10], row[13], row[14] = "001r", "1", "1", "", page.transcript
+        w.writerow(row)
+
+    codec = Codec()
+    model_path = str(tmp_path / "m-00000001.pyrnn.gz")
+    save_pyrnn(model_path, params_to_np(init_bilstm(jax.random.PRNGKey(0), 48, 8, len(codec))), codec, 48)
+
+    rc = main([
+        "align",
+        "--csv", str(csv_path),
+        "--manuscript", "synth",
+        "--model", model_path,
+        "--png-dir", str(png_dir),
+        "--out-json", str(tmp_path / "out_json"),
+        "--folios", "001r",
+        "--backend", "host",
+    ])
+    assert rc == 0
+    # untrained model may yield nothing alignable; if output exists it must
+    # follow the JSON contract
+    out = tmp_path / "out_json" / "synth_001r.json"
+    if out.exists():
+        data = json.loads(out.read_text())
+        assert set(data.keys()) == {"median_line_spacing", "syl_boxes"}

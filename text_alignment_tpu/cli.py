@@ -1,0 +1,245 @@
+"""Command-line driver — the alignToOCR.py:378-438 batch workflow as a real
+CLI (the reference selected manuscripts by editing commented-out blocks;
+README.md:14).
+
+Usage:
+    python -m text_alignment_tpu align --csv csv/123723_Salzinnes.csv \
+        --mapping csv/mapping.csv --manuscript salzinnes \
+        --model models/salzinnes_model-00054500.pyrnn.gz \
+        --png-dir ./png --out-json ./out_json --folios 60 61
+    python -m text_alignment_tpu train ...
+    python -m text_alignment_tpu evaluate ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+import numpy as np
+
+
+def _load_image(path):
+    from PIL import Image
+
+    return np.asarray(Image.open(path))
+
+
+def _folio_ids(values):
+    out = []
+    for v in values:
+        try:
+            out.append(int(v))
+        except ValueError:
+            out.append(v)
+    return out
+
+
+def cmd_align(args):
+    from .lang import filename_to_text_func
+    from .pipeline import process, to_JSON_dict
+    from .pipeline.render import draw_results_on_page
+    from .utils.timing import stage_timer
+
+    text_func = filename_to_text_func(args.csv, args.mapping)
+    os.makedirs(args.out_json, exist_ok=True)
+    if args.pickle_dir:
+        os.makedirs(args.pickle_dir, exist_ok=True)
+    if args.out_imgs:
+        os.makedirs(args.out_imgs, exist_ok=True)
+
+    timer = stage_timer(enabled=args.timing)
+    for ind in _folio_ids(args.folios):
+        try:
+            fname, transcript = text_func(ind)
+        except ValueError as e:
+            print(e)
+            print("no chants listed for page {}".format(ind))
+            continue
+
+        fname = "{}_{}".format(args.manuscript, fname)
+        text_layer_fname = os.path.join(args.png_dir, fname + "_text.png")
+        if not os.path.isfile(text_layer_fname):
+            print("cannot find files for {}.".format(fname))
+            continue
+
+        print("processing {}...".format(fname))
+        raw_image = _load_image(text_layer_fname)
+
+        ocr_pickle = (
+            os.path.join(args.pickle_dir, fname + "_boxes.pickle")
+            if args.pickle_dir
+            else None
+        )
+        result = process(
+            raw_image,
+            transcript,
+            ocropus_model=args.model,
+            existing_ocr_pickle=ocr_pickle if args.reuse_ocr else None,
+            backend=args.backend,
+            verbose=args.verbose,
+            timer=timer,
+        )
+        if result is None:
+            continue
+        syl_boxes, image, lines_peak_locs, all_chars = result
+
+        out_path = os.path.join(args.out_json, fname + ".json")
+        with open(out_path, "w") as f:
+            json.dump(to_JSON_dict(syl_boxes, lines_peak_locs), f)
+        print("wrote {}".format(out_path))
+
+        if args.pickle_dir:
+            with open(ocr_pickle, "wb") as f:
+                pickle.dump(all_chars, f, -1)
+        if args.out_imgs:
+            draw_results_on_page(
+                raw_image, syl_boxes, lines_peak_locs,
+                os.path.join(args.out_imgs, fname + "_alignment.png"),
+            )
+    if args.timing:
+        print(timer.report())
+    return 0
+
+
+def cmd_evaluate(args):
+    from .lang import filename_to_text_func
+    from .evaluate import parse_gt_xml, grid_search
+
+    text_func = filename_to_text_func(args.csv, args.mapping)
+    fixtures = []
+    for ind in _folio_ids(args.folios):
+        fname, transcript = text_func(ind)
+        fname = "{}_{}".format(args.manuscript, fname)
+        raw_image = _load_image(
+            os.path.join(args.png_dir, fname + "_text.png")
+        )
+        with open(
+            os.path.join(args.pickle_dir, fname + "_boxes.pickle"), "rb"
+        ) as f:
+            existing_ocr = pickle.load(f)
+        fixtures.append(
+            {
+                "raw_image": raw_image,
+                "transcript": transcript,
+                "gt_boxes": parse_gt_xml(
+                    os.path.join(args.gt_dir, fname + "_gt.xml")
+                ),
+                "existing_ocr": existing_ocr,
+            }
+        )
+    logs, ranked = grid_search(fixtures, backend=args.backend)
+    print(ranked[-10:])
+    return 0
+
+
+def cmd_train(args):
+    from .models.codec import Codec
+    from .models.train import Trainer, batch_lines
+    from .models.lineest import normalize_strip
+
+    # line images + ground-truth text files, ocropus-rtrain style pairing:
+    # X.png with X.gt.txt
+    pairs = []
+    for fn in sorted(os.listdir(args.lines_dir)):
+        if not fn.endswith(".png"):
+            continue
+        gt = os.path.join(args.lines_dir, fn[:-4] + ".gt.txt")
+        if not os.path.isfile(gt):
+            continue
+        pairs.append((os.path.join(args.lines_dir, fn), gt))
+    if not pairs:
+        print("no training pairs found in", args.lines_dir)
+        return 1
+
+    charset = [""] + ["~", " "]
+    texts = []
+    frames = []
+    for img_path, gt_path in pairs:
+        with open(gt_path) as f:
+            text = f.read().strip()
+        norm = normalize_strip(_load_image(img_path))
+        if norm is None:
+            continue
+        frames.append(norm[0])
+        texts.append(text)
+        for ch in text:
+            if ch not in charset:
+                charset.append(ch)
+
+    codec = Codec(charset)
+    trainer = Trainer(codec, ni=48, ns=args.hidden, lr=args.lr)
+
+    rng = np.random.default_rng(0)
+    T = max(len(f) for f in frames)
+    S = max(len(t) for t in texts) + 2
+    idx = np.arange(len(frames))
+    for it in range(args.iterations):
+        batch = rng.choice(idx, size=min(args.batch_size, len(idx)),
+                           replace=False)
+        xs, xl, lb, ll = batch_lines(
+            [frames[i] for i in batch], [texts[i] for i in batch],
+            codec, T=T, S=S,
+        )
+        loss = trainer.step(xs, xl, lb, ll)
+        if it % args.log_every == 0:
+            print(f"iter {it}: ctc loss {loss:.4f}")
+        if args.save_every and it > 0 and it % args.save_every == 0:
+            print("saved", trainer.save(args.output_prefix))
+
+    print("saved", trainer.save(args.output_prefix))
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="text_alignment_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("align", help="align transcripts to manuscript pages")
+    a.add_argument("--csv", required=True)
+    a.add_argument("--mapping", default=None)
+    a.add_argument("--manuscript", required=True)
+    a.add_argument("--model", required=True)
+    a.add_argument("--png-dir", default="./png")
+    a.add_argument("--out-json", default="./out_json")
+    a.add_argument("--pickle-dir", default=None)
+    a.add_argument("--out-imgs", default=None)
+    a.add_argument("--folios", nargs="+", required=True)
+    a.add_argument("--backend", default="device", choices=["host", "device"])
+    a.add_argument("--reuse-ocr", action="store_true")
+    a.add_argument("--timing", action="store_true")
+    a.add_argument("--verbose", action="store_true")
+    a.set_defaults(func=cmd_align)
+
+    e = sub.add_parser("evaluate", help="IoU evaluation + scoring grid search")
+    e.add_argument("--csv", required=True)
+    e.add_argument("--mapping", default=None)
+    e.add_argument("--manuscript", required=True)
+    e.add_argument("--png-dir", default="./png")
+    e.add_argument("--pickle-dir", default="./pik")
+    e.add_argument("--gt-dir", default="./ground-truth-alignments")
+    e.add_argument("--folios", nargs="+", required=True)
+    e.add_argument("--backend", default="host", choices=["host", "device"])
+    e.set_defaults(func=cmd_evaluate)
+
+    t = sub.add_parser("train", help="train a CTC line recognizer")
+    t.add_argument("--lines-dir", required=True,
+                   help="dir of X.png + X.gt.txt line pairs")
+    t.add_argument("--output-prefix", default="./model")
+    t.add_argument("--iterations", type=int, default=10000)
+    t.add_argument("--batch-size", type=int, default=16)
+    t.add_argument("--hidden", type=int, default=100)
+    t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--log-every", type=int, default=100)
+    t.add_argument("--save-every", type=int, default=5000)
+    t.set_defaults(func=cmd_train)
+
+    args = p.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
