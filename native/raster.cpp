@@ -1,0 +1,217 @@
+// Native host raster engine for text_alignment_tpu.
+//
+// The reference delegated its raster work to Gamera's C++ plugins
+// (SURVEY.md §2.9). The TPU path replaces those with XLA kernels; this
+// module is the native *host* engine: a drop-in accelerated implementation
+// of the numpy oracle's semantics (ops/oracle.py) used by the CPU
+// fallback/baseline path and by host-side stage code. Exposed via a plain C
+// ABI and loaded with ctypes (no pybind11 in this image).
+//
+// Semantics contract (must match ops/oracle.py exactly; tested):
+// - images are uint8 row-major H x W, nonzero = black;
+// - cc_label: 8-connected, labels 1..n in scan order of first pixel;
+// - despeckle(k): remove black CCs with area <= k;
+// - filter_runs: remove runs of `color` along `axis` with length < k;
+// - projections/black area: int64 counts.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// union-find over provisional labels
+struct UF {
+  std::vector<int32_t> parent;
+  int32_t make() {
+    parent.push_back((int32_t)parent.size());
+    return (int32_t)parent.size() - 1;
+  }
+  int32_t find(int32_t x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
+    }
+    return x;
+  }
+  void unite(int32_t a, int32_t b) {
+    a = find(a);
+    b = find(b);
+    if (a == b) return;
+    if (a < b) parent[b] = a; else parent[a] = b;
+  }
+};
+
+// two-pass 8-connected labeling; fills labels (H*W int32, 0 = background),
+// returns number of components. Scan-order label ids (1..n).
+int32_t label_impl(const uint8_t* img, int64_t H, int64_t W,
+                   int32_t* labels) {
+  UF uf;
+  uf.parent.reserve(1024);
+  std::vector<int32_t> prov(H * W, -1);
+
+  for (int64_t y = 0; y < H; ++y) {
+    const uint8_t* row = img + y * W;
+    int32_t* prow = prov.data() + y * W;
+    const int32_t* prev = prov.data() + (y - 1) * W;
+    for (int64_t x = 0; x < W; ++x) {
+      if (!row[x]) continue;
+      int32_t best = -1;
+      // west
+      if (x > 0 && prow[x - 1] >= 0) best = prow[x - 1];
+      if (y > 0) {
+        for (int64_t dx = -1; dx <= 1; ++dx) {
+          int64_t xx = x + dx;
+          if (xx < 0 || xx >= W) continue;
+          int32_t p = prev[xx];
+          if (p < 0) continue;
+          if (best < 0) best = p;
+          else uf.unite(best, p);
+        }
+      }
+      if (best < 0) best = uf.make();
+      prow[x] = best;
+    }
+  }
+
+  // compress + renumber in scan order of first occurrence
+  std::vector<int32_t> remap(uf.parent.size(), 0);
+  int32_t n = 0;
+  for (int64_t i = 0; i < H * W; ++i) {
+    int32_t p = prov[i];
+    if (p < 0) {
+      labels[i] = 0;
+      continue;
+    }
+    int32_t r = uf.find(p);
+    if (remap[r] == 0) remap[r] = ++n;
+    labels[i] = remap[r];
+  }
+  return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// labels: int32[H*W] out. returns component count.
+int32_t ta_cc_label(const uint8_t* img, int64_t H, int64_t W,
+                    int32_t* labels) {
+  return label_impl(img, H, W, labels);
+}
+
+// table: int64[max_ccs*5] out rows (uly, lry, ulx, lrx, area).
+// returns count (may exceed max_ccs; only max_ccs rows written).
+int32_t ta_cc_stats(const uint8_t* img, int64_t H, int64_t W,
+                    int64_t* table, int32_t max_ccs) {
+  std::vector<int32_t> labels(H * W);
+  int32_t n = label_impl(img, H, W, labels.data());
+  std::vector<int64_t> uly(n + 1, INT64_MAX), lry(n + 1, -1),
+      ulx(n + 1, INT64_MAX), lrx(n + 1, -1), area(n + 1, 0);
+  for (int64_t y = 0; y < H; ++y)
+    for (int64_t x = 0; x < W; ++x) {
+      int32_t l = labels[y * W + x];
+      if (!l) continue;
+      if (y < uly[l]) uly[l] = y;
+      if (y > lry[l]) lry[l] = y;
+      if (x < ulx[l]) ulx[l] = x;
+      if (x > lrx[l]) lrx[l] = x;
+      area[l]++;
+    }
+  int32_t rows = n < max_ccs ? n : max_ccs;
+  for (int32_t k = 1; k <= rows; ++k) {
+    int64_t* r = table + (int64_t)(k - 1) * 5;
+    r[0] = uly[k]; r[1] = lry[k]; r[2] = ulx[k]; r[3] = lrx[k]; r[4] = area[k];
+  }
+  return n;
+}
+
+// remove black CCs with area <= k, in place.
+void ta_despeckle(uint8_t* img, int64_t H, int64_t W, int64_t k) {
+  std::vector<int32_t> labels(H * W);
+  int32_t n = label_impl(img, H, W, labels.data());
+  std::vector<int64_t> area(n + 1, 0);
+  for (int64_t i = 0; i < H * W; ++i) area[labels[i]]++;
+  for (int64_t i = 0; i < H * W; ++i)
+    if (labels[i] && area[labels[i]] <= k) img[i] = 0;
+}
+
+// remove CCs with area < min_area (fill_white small-CC pass), in place.
+void ta_remove_small(uint8_t* img, int64_t H, int64_t W, int64_t min_area) {
+  std::vector<int32_t> labels(H * W);
+  int32_t n = label_impl(img, H, W, labels.data());
+  std::vector<int64_t> area(n + 1, 0);
+  for (int64_t i = 0; i < H * W; ++i) area[labels[i]]++;
+  for (int64_t i = 0; i < H * W; ++i)
+    if (labels[i] && area[labels[i]] < min_area) img[i] = 0;
+}
+
+// remove CCs whose row count exceeds max_nrows, in place.
+void ta_remove_tall(uint8_t* img, int64_t H, int64_t W, int64_t max_nrows) {
+  std::vector<int32_t> labels(H * W);
+  int32_t n = label_impl(img, H, W, labels.data());
+  std::vector<int64_t> rmin(n + 1, INT64_MAX), rmax(n + 1, -1);
+  for (int64_t y = 0; y < H; ++y)
+    for (int64_t x = 0; x < W; ++x) {
+      int32_t l = labels[y * W + x];
+      if (!l) continue;
+      if (y < rmin[l]) rmin[l] = y;
+      if (y > rmax[l]) rmax[l] = y;
+    }
+  for (int64_t i = 0; i < H * W; ++i) {
+    int32_t l = labels[i];
+    if (l && (rmax[l] - rmin[l] + 1) > max_nrows) img[i] = 0;
+  }
+}
+
+// remove runs of `color` (1=black, 0=white) with length < k along `axis`
+// (0 = vertical runs, 1 = horizontal), in place.
+void ta_filter_runs(uint8_t* img, int64_t H, int64_t W, int64_t k,
+                    int32_t color, int32_t axis) {
+  const uint8_t target = color ? 1 : 0;
+  if (axis == 1) {
+    for (int64_t y = 0; y < H; ++y) {
+      uint8_t* row = img + y * W;
+      int64_t x = 0;
+      while (x < W) {
+        bool is_t = (row[x] != 0) == (target != 0);
+        int64_t s = x;
+        while (x < W && ((row[x] != 0) == (target != 0)) == is_t) ++x;
+        if (is_t && (x - s) < k)
+          for (int64_t i = s; i < x; ++i) row[i] = target ? 0 : 1;
+      }
+    }
+  } else {
+    for (int64_t x = 0; x < W; ++x) {
+      int64_t y = 0;
+      while (y < H) {
+        bool is_t = (img[y * W + x] != 0) == (target != 0);
+        int64_t s = y;
+        while (y < H && ((img[y * W + x] != 0) == (target != 0)) == is_t) ++y;
+        if (is_t && (y - s) < k)
+          for (int64_t i = s; i < y; ++i) img[i * W + x] = target ? 0 : 1;
+      }
+    }
+  }
+}
+
+// black pixel count per row. proj: int64[H] out.
+void ta_projection_rows(const uint8_t* img, int64_t H, int64_t W,
+                        int64_t* proj) {
+  for (int64_t y = 0; y < H; ++y) {
+    int64_t s = 0;
+    const uint8_t* row = img + y * W;
+    for (int64_t x = 0; x < W; ++x) s += row[x] != 0;
+    proj[y] = s;
+  }
+}
+
+int64_t ta_black_area(const uint8_t* img, int64_t n) {
+  int64_t s = 0;
+  for (int64_t i = 0; i < n; ++i) s += img[i] != 0;
+  return s;
+}
+
+int32_t ta_abi_version() { return 1; }
+
+}  // extern "C"

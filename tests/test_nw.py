@@ -137,3 +137,20 @@ def test_callable_scoring_system():
 def test_invalid_scoring_system():
     with pytest.raises(ValueError):
         perform_alignment(list("ab"), list("ab"), scoring_system=[1, 2, 3])
+
+
+def test_align_grid_jax_matches_host():
+    from text_alignment_tpu.align.nw_jax import align_grid_jax
+
+    rng = random.Random(7)
+    t, o = _corrupted_pair(rng, 60)
+    params = [
+        [8, -4, -7, -7, -3, 0],
+        [5, -4, -2, -2, 0, 0],
+        [11, -10, -7, -7, -5, -5],
+        [10, -5, -7, -7, -7, -7],
+    ]
+    grid_results = align_grid_jax(t, o, params)
+    for p, got in zip(params, grid_results):
+        want = perform_alignment(t, o, scoring_system=p, backend="host")
+        assert tuple(got) == tuple(want), p

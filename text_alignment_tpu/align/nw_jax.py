@@ -271,6 +271,77 @@ def replay_ops(transcript, ocr, ops, count, xpt_tail, ypt_tail):
     return tra_align[-1:0:-1], ocr_align[-1:0:-1]
 
 
+@functools.partial(jax.jit, static_argnames=("L", "NoP", "is_int"))
+def _align_fused_grid(t_ext, o_feed, params6, Nt, No, L, NoP, is_int):
+    """vmap of the fused fill+traceback over a (P, 6) scoring-parameter
+    batch [match, mismatch, gox, goy, gex, gey] — the whole 729-combination
+    grid search (evaluate_text_alignment.py:181-189) becomes one device
+    dispatch with P wavefronts advancing in lockstep."""
+    S = jnp.zeros((1, 1), jnp.int32)
+
+    def one(p):
+        match, mismatch, gox, goy, gex, gey = p
+        packed = _fill_scan(
+            t_ext, o_feed, S, match, mismatch, gox, goy, gex, gey,
+            L=L, NoP=NoP, is_int=is_int, use_matrix=False,
+        )
+        return _traceback_ops(packed, Nt, No, P=L + NoP)
+
+    ops, k, xpt, ypt = jax.vmap(one)(params6)
+    return ops.astype(jnp.int32), k, xpt, ypt
+
+
+def align_grid_jax(transcript, ocr, params_list, chunk: int = 128):
+    """Batched alignment of one (transcript, ocr) pair under many integer
+    scoring systems. Returns a list of (tra_align, ocr_align) per params row.
+
+    ``transcript``/``ocr`` exclude the sentinel (it is appended here, like
+    perform_alignment does)."""
+    transcript = list(transcript) + [" "]
+    ocr = list(ocr) + [" "]
+    Nt, No = len(transcript), len(ocr)
+
+    vocab = sorted(set(transcript) | set(ocr))
+    ids = {v: k for k, v in enumerate(vocab)}
+    t_ids = np.array([ids[c] for c in transcript], np.int32)
+    o_ids = np.array([ids[c] for c in ocr], np.int32)
+
+    L = _bucket(Nt)
+    NoP = _bucket(No)
+    D = L + NoP - 1
+    steps = ((D + UNROLL - 1) // UNROLL) * UNROLL
+
+    t_ext = np.zeros(L, np.int32)
+    t_ext[1:Nt] = t_ids[: Nt - 1]
+    o_feed = np.zeros(steps, np.int32)
+    o_feed[1:No] = o_ids[: No - 1]
+
+    params = np.asarray(params_list, np.int32)
+    assert params.shape[1] == 6
+
+    results = []
+    for c0 in range(0, len(params), chunk):
+        pc = params[c0 : c0 + chunk]
+        ops, k, xpt, ypt = _align_fused_grid(
+            jnp.asarray(t_ext),
+            jnp.asarray(o_feed),
+            jnp.asarray(pc),
+            jnp.asarray(Nt, jnp.int32),
+            jnp.asarray(No, jnp.int32),
+            L=L,
+            NoP=NoP,
+            is_int=True,
+        )
+        ops, k = np.asarray(ops), np.asarray(k)
+        xpt, ypt = np.asarray(xpt), np.asarray(ypt)
+        for b in range(len(pc)):
+            results.append(
+                replay_ops(transcript, ocr, ops[b], int(k[b]), int(xpt[b]),
+                           int(ypt[b]))
+            )
+    return results
+
+
 def _encode(transcript, ocr, sc: Scoring):
     """Map elements to ids; materialize a substitution matrix only for
     callable scoring systems."""

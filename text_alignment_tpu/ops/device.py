@@ -311,24 +311,30 @@ def get_bool(img_dev) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 @jax.jit
-def preproc_stage1(grey, thresh, despeckle_amt, sat_area_thresh):
-    """binarize -> despeckle(black) -> despeckle(white) -> remove tall CCs
-    (textAlignPreprocessing.py:166-178) in a single dispatch."""
-    img = grey <= thresh
+def binarize(grey, thresh):
+    return grey <= thresh
 
-    lbl = cc_label(img)
-    area, *_ = _scatter_stats(img, lbl)
-    img = img & (area[lbl] > despeckle_amt)
 
+@jax.jit
+def despeckle_white(img, k):
+    """Remove white CCs with area <= k (the reference's
+    invert-despeckle-invert, textAlignPreprocessing.py:169-171)."""
     inv = ~img
     lbl = cc_label(inv)
     area, *_ = _scatter_stats(inv, lbl)
-    img = ~(inv & (area[lbl] > despeckle_amt))
+    return ~(inv & (area[lbl] > k))
 
-    lbl = cc_label(img)
-    _, rmin, rmax, _, _ = _scatter_stats(img, lbl)
-    nrows = rmax[lbl] - rmin[lbl] + 1
-    return img & ~(nrows > sat_area_thresh)
+
+def preproc_stage1(grey, thresh, despeckle_amt, sat_area_thresh):
+    """binarize -> despeckle(black) -> despeckle(white) -> remove tall CCs
+    (textAlignPreprocessing.py:166-178). Four small dispatches — page
+    tensors stay on device between them; the per-op programs compile far
+    faster (remote compile cost grows superlinearly with program size) and
+    their jit cache entries are reusable by other callers."""
+    img = binarize(grey, thresh)
+    img = despeckle(img, despeckle_amt)
+    img = despeckle_white(img, despeckle_amt)
+    return remove_tall_ccs(img, sat_area_thresh)
 
 
 @functools.partial(

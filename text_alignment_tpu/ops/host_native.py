@@ -1,0 +1,156 @@
+"""ctypes bindings for the native C++ host raster engine (native/raster.cpp).
+
+Compiled on first use with g++ (cached in ~/.cache); every function is a
+semantics-exact accelerated version of the numpy oracle (tested in
+tests/test_native.py). ``available()`` gates use — import never fails when a
+toolchain is missing, callers fall back to the oracle.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+
+import numpy as np
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "raster.cpp",
+)
+_lib = None
+_load_error: str | None = None
+
+
+def _build_and_load():
+    global _lib, _load_error
+    if _lib is not None or _load_error is not None:
+        return
+    try:
+        with open(_SRC, "rb") as f:
+            src = f.read()
+        tag = hashlib.sha256(src).hexdigest()[:16]
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "text_alignment_tpu_native"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        so_path = os.path.join(cache_dir, f"raster_{tag}.so")
+        if not os.path.exists(so_path):
+            tmp = so_path + ".tmp"
+            subprocess.check_call(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", tmp, _SRC],
+                stderr=subprocess.DEVNULL,
+            )
+            os.replace(tmp, so_path)
+        lib = ctypes.CDLL(so_path)
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i64 = ctypes.c_int64
+        i32 = ctypes.c_int32
+
+        lib.ta_cc_label.restype = i32
+        lib.ta_cc_label.argtypes = [u8p, i64, i64, i32p]
+        lib.ta_cc_stats.restype = i32
+        lib.ta_cc_stats.argtypes = [u8p, i64, i64, i64p, i32]
+        lib.ta_despeckle.argtypes = [u8p, i64, i64, i64]
+        lib.ta_remove_small.argtypes = [u8p, i64, i64, i64]
+        lib.ta_remove_tall.argtypes = [u8p, i64, i64, i64]
+        lib.ta_filter_runs.argtypes = [u8p, i64, i64, i64, i32, i32]
+        lib.ta_projection_rows.argtypes = [u8p, i64, i64, i64p]
+        lib.ta_black_area.restype = i64
+        lib.ta_black_area.argtypes = [u8p, i64]
+        assert lib.ta_abi_version() == 1
+        _lib = lib
+    except Exception as e:  # no toolchain / build failure -> oracle fallback
+        _load_error = repr(e)
+
+
+def available() -> bool:
+    _build_and_load()
+    return _lib is not None
+
+
+def _as_u8(img: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(img, dtype=np.uint8)
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def cc_label(img: np.ndarray):
+    _build_and_load()
+    a = _as_u8(img)
+    H, W = a.shape
+    labels = np.zeros((H, W), np.int32)
+    n = _lib.ta_cc_label(_u8p(a), H, W,
+                         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return labels, int(n)
+
+
+def cc_stats(img: np.ndarray, max_ccs: int = 1 << 20):
+    _build_and_load()
+    a = _as_u8(img)
+    H, W = a.shape
+    table = np.zeros((max_ccs, 5), np.int64)
+    n = _lib.ta_cc_stats(_u8p(a), H, W,
+                         table.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                         max_ccs)
+    return table[: min(n, max_ccs)].copy()
+
+
+def despeckle(img: np.ndarray, k: int) -> np.ndarray:
+    _build_and_load()
+    a = _as_u8(img)
+    _lib.ta_despeckle(_u8p(a), a.shape[0], a.shape[1], k)
+    return a.astype(bool)
+
+
+def remove_small_ccs(img: np.ndarray, min_area: int) -> np.ndarray:
+    _build_and_load()
+    a = _as_u8(img)
+    _lib.ta_remove_small(_u8p(a), a.shape[0], a.shape[1], min_area)
+    return a.astype(bool)
+
+
+def remove_tall_ccs(img: np.ndarray, max_nrows: int) -> np.ndarray:
+    _build_and_load()
+    a = _as_u8(img)
+    _lib.ta_remove_tall(_u8p(a), a.shape[0], a.shape[1], max_nrows)
+    return a.astype(bool)
+
+
+def filter_short_runs(img: np.ndarray, k: int, color: str = "black") -> np.ndarray:
+    _build_and_load()
+    a = _as_u8(img)
+    _lib.ta_filter_runs(_u8p(a), a.shape[0], a.shape[1], k,
+                        1 if color == "black" else 0, 0)
+    return a.astype(bool)
+
+
+def filter_narrow_runs(img: np.ndarray, k: int, color: str = "black") -> np.ndarray:
+    _build_and_load()
+    a = _as_u8(img)
+    _lib.ta_filter_runs(_u8p(a), a.shape[0], a.shape[1], k,
+                        1 if color == "black" else 0, 1)
+    return a.astype(bool)
+
+
+def projection_rows(img: np.ndarray) -> np.ndarray:
+    _build_and_load()
+    a = _as_u8(img)
+    proj = np.zeros(a.shape[0], np.int64)
+    _lib.ta_projection_rows(_u8p(a), a.shape[0], a.shape[1],
+                            proj.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return proj
+
+
+def black_area(img: np.ndarray) -> int:
+    _build_and_load()
+    a = _as_u8(img)
+    return int(_lib.ta_black_area(_u8p(a), a.size))
