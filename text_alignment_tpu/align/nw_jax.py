@@ -342,6 +342,88 @@ def align_grid_jax(transcript, ocr, params_list, chunk: int = 128):
     return results
 
 
+@functools.partial(jax.jit, static_argnames=("L", "NoP", "is_int"))
+def _align_fused_pairs(t_exts, o_feeds, Nts, Nos, match, mismatch,
+                       gox, goy, gex, gey, L, NoP, is_int):
+    """vmap of the fused fill+traceback over a batch of sequence pairs
+    sharing one (L, NoP) bucket and one scoring system — the folio-batch
+    path: every page's alignment advances in lockstep on one dispatch."""
+    S = jnp.zeros((1, 1), jnp.int32)
+
+    def one(t_ext, o_feed, Nt, No):
+        packed = _fill_scan(
+            t_ext, o_feed, S, match, mismatch, gox, goy, gex, gey,
+            L=L, NoP=NoP, is_int=is_int, use_matrix=False,
+        )
+        return _traceback_ops(packed, Nt, No, P=L + NoP)
+
+    ops, k, xpt, ypt = jax.vmap(one)(t_exts, o_feeds, Nts, Nos)
+    return ops.astype(jnp.int32), k, xpt, ypt
+
+
+def align_pairs_jax(pairs, sc: Scoring):
+    """Batched alignment of many (transcript, ocr) pairs under one integer
+    match/mismatch scoring system. Pairs are grouped by their padded
+    (L, NoP) bucket; each group is one device dispatch. Returns a list of
+    (tra_align, ocr_align) in input order. Sentinels are appended here."""
+    if sc.match_mismatch is None or not sc.is_integral:
+        return [
+            None  # caller falls back per pair
+            for _ in pairs
+        ]
+    match, mismatch = (int(v) for v in sc.match_mismatch)
+
+    prepared = []
+    for t, o in pairs:
+        t = list(t) + [" "]
+        o = list(o) + [" "]
+        vocab = sorted(set(t) | set(o))
+        ids = {v: k for k, v in enumerate(vocab)}
+        prepared.append(
+            (t, o,
+             np.array([ids[c] for c in t], np.int32),
+             np.array([ids[c] for c in o], np.int32))
+        )
+
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, (t, o, _, _) in enumerate(prepared):
+        groups.setdefault((_bucket(len(t)), _bucket(len(o))), []).append(i)
+
+    results = [None] * len(pairs)
+    dt = jnp.int32
+    for (L, NoP), members in sorted(groups.items()):
+        D = L + NoP - 1
+        steps = ((D + UNROLL - 1) // UNROLL) * UNROLL
+        B = len(members)
+        t_exts = np.zeros((B, L), np.int32)
+        o_feeds = np.zeros((B, steps), np.int32)
+        Nts = np.zeros(B, np.int32)
+        Nos = np.zeros(B, np.int32)
+        for bi, i in enumerate(members):
+            t, o, t_ids, o_ids = prepared[i]
+            Nt, No = len(t), len(o)
+            t_exts[bi, 1:Nt] = t_ids[: Nt - 1]
+            o_feeds[bi, 1:No] = o_ids[: No - 1]
+            Nts[bi], Nos[bi] = Nt, No
+
+        ops, k, xpt, ypt = _align_fused_pairs(
+            jnp.asarray(t_exts), jnp.asarray(o_feeds),
+            jnp.asarray(Nts), jnp.asarray(Nos),
+            jnp.asarray(match, dt), jnp.asarray(mismatch, dt),
+            jnp.asarray(sc.gap_open_x, dt), jnp.asarray(sc.gap_open_y, dt),
+            jnp.asarray(sc.gap_extend_x, dt), jnp.asarray(sc.gap_extend_y, dt),
+            L=L, NoP=NoP, is_int=True,
+        )
+        ops, k = np.asarray(ops), np.asarray(k)
+        xpt, ypt = np.asarray(xpt), np.asarray(ypt)
+        for bi, i in enumerate(members):
+            t, o, _, _ = prepared[i]
+            results[i] = replay_ops(
+                t, o, ops[bi], int(k[bi]), int(xpt[bi]), int(ypt[bi])
+            )
+    return results
+
+
 def _encode(transcript, ocr, sc: Scoring):
     """Map elements to ids; materialize a substitution matrix only for
     callable scoring systems."""

@@ -1,0 +1,137 @@
+"""Batched multi-folio pipeline (BASELINE.json config 3).
+
+Stage-major scheduling instead of folio-major: all pages preprocess first
+(device kernels hit one jit cache), then every line strip of every page
+feeds one cross-folio recognizer batch (big MXU batches instead of 10-line
+dispatches), then all alignments run as bucket-vmapped NW wavefronts
+(one dispatch per size bucket), then host assembly. This replaces the
+reference's process-level fan-out (`ocropus-rpred -Q 2` + Rodan job
+parallelism, SURVEY.md §2 parallelism checklist) with on-chip batching; on a
+multi-chip mesh the folio axis shards over 'data' (see parallel.train_dp
+for the sharding pattern).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..align.scoring import resolve_scoring
+from ..align.nw_jax import align_pairs_jax
+from ..align import perform_alignment
+from ..lang.syllabify import syllabify_text
+from ..pipeline.preprocess import preprocess_images, identify_text_lines
+from ..pipeline.assemble import (
+    llocs_to_charboxes,
+    expand_abbreviations,
+    group_syllables,
+    rotate_bbox,
+)
+from ..pipeline.process import to_JSON_dict
+from ..utils.timing import StageTimer
+
+
+@dataclass
+class FolioResult:
+    syl_boxes: list
+    peaks: list
+    json_dict: dict
+
+
+def process_batch(folios, recognizer, seq_align_params=None,
+                  backend: str = "device", preproc_params=None,
+                  timer: StageTimer | None = None,
+                  existing_ocr: list | None = None) -> list[FolioResult | None]:
+    """folios: list of (raw_image, transcript). Returns FolioResult per
+    folio (None where OCR produced nothing alignable).
+
+    ``existing_ocr`` optionally injects per-folio CharBox streams (stage
+    fixture hook), skipping the recognizer."""
+    timer = timer or StageTimer(enabled=False)
+    n = len(folios)
+
+    # stage 1: preprocess + line identification (device-resident rasters)
+    pre = []
+    with timer("preprocess"):
+        for raw_image, _ in folios:
+            image, eroded, angle = preprocess_images(
+                np.asarray(raw_image), backend=backend, params=preproc_params
+            )
+            strips, peaks, _ = identify_text_lines(
+                image, eroded, backend=backend, params=preproc_params,
+                verbose=False,
+            )
+            pre.append((image, angle, strips, peaks))
+
+    # stage 2: one cross-folio OCR batch
+    if existing_ocr is not None:
+        all_chars_per_folio = [list(x) for x in existing_ocr]
+    else:
+        flat_strips = []
+        spans = []
+        for _, _, strips, _ in pre:
+            spans.append((len(flat_strips), len(flat_strips) + len(strips)))
+            flat_strips.extend(strips)
+        with timer("ocr"):
+            rows_flat = recognizer.recognize_batch([s.img for s in flat_strips])
+        all_chars_per_folio = []
+        for (lo, hi), (_, _, strips, _) in zip(spans, pre):
+            chars, _ = llocs_to_charboxes(strips, rows_flat[lo:hi])
+            all_chars_per_folio.append(chars)
+
+    # stage 3: abbreviations (host) + bucket-vmapped NW
+    with timer("abbreviations"):
+        all_chars_per_folio = [
+            expand_abbreviations(ch) if ch else ch
+            for ch in all_chars_per_folio
+        ]
+
+    sc = resolve_scoring(seq_align_params)
+    pairs = []
+    pair_idx = []
+    for i, ((_, transcript), chars) in enumerate(zip(folios, all_chars_per_folio)):
+        if not chars:
+            continue
+        ocr = "".join(x.char for x in chars)
+        pairs.append((list(transcript), list(ocr)))
+        pair_idx.append(i)
+
+    with timer("align"):
+        if backend == "device":
+            aligned = align_pairs_jax(pairs, sc)
+            # non-integer/custom scoring falls back per pair
+            aligned = [
+                a
+                if a is not None
+                else perform_alignment(t, o, scoring_system=seq_align_params,
+                                       backend="host")
+                for a, (t, o) in zip(aligned, pairs)
+            ]
+        else:
+            aligned = [
+                perform_alignment(t, o, scoring_system=seq_align_params,
+                                  backend="host")
+                for t, o in pairs
+            ]
+
+    # stage 4: host assembly
+    results: list[FolioResult | None] = [None] * n
+    with timer("assemble"):
+        for (i, (tra_align, ocr_align)) in zip(pair_idx, aligned):
+            raw_image, transcript = folios[i]
+            image, angle, strips, peaks = pre[i]
+            chars = all_chars_per_folio[i]
+            syls = syllabify_text(transcript)
+            syl_boxes = group_syllables(
+                syls, "".join(tra_align), "".join(ocr_align), chars
+            )
+            syl_boxes = [
+                rotate_bbox(sb, -1 * angle, image.shape,
+                            np.asarray(raw_image).shape)
+                for sb in syl_boxes
+            ]
+            results[i] = FolioResult(
+                syl_boxes, peaks, to_JSON_dict(syl_boxes, peaks)
+            )
+    return results
