@@ -9,8 +9,11 @@ Flow per folio (identical stage graph on both paths):
   BiLSTM+CTC recognizer over all strips -> affine-gap NW (transcript vs OCR
   char stream) -> abbreviation/syllable assembly -> JSON dict.
 
-- device path: TPU kernels (ops.device), batched JAX recognizer, wavefront
-  NW fill; host only for peaks/assembly (by design, see pipeline docs).
+- device path (backend from TEXT_ALIGNMENT_TPU_BENCH_BACKEND, default
+  "hybrid"): native C++ raster engine for the branch-heavy CC stages,
+  batched JAX recognizer + wavefront NW fill on TPU ("device" forces the
+  all-XLA raster path; see pipeline.preprocess docs for why hybrid is the
+  production default).
 - baseline path: the host oracle pipeline with the *reference's* pure-Python
   NW fill (textSeqCompare.py:62-88 port) and the pure-numpy per-line LSTM —
   the faithful stand-in for the CPU reference stack, which is Python 2 +
@@ -24,6 +27,7 @@ representative. Secondary metrics go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -32,6 +36,7 @@ import numpy as np
 BENCH_SEED = 1234
 N_DEVICE_FOLIOS = 6
 N_BASELINE_FOLIOS = 1
+DEVICE_BACKEND = os.environ.get("TEXT_ALIGNMENT_TPU_BENCH_BACKEND", "hybrid")
 
 
 def make_bench_page(seed):
@@ -161,15 +166,15 @@ def main():
 
     # warmup/compile on folio 0
     t0 = time.perf_counter()
-    folio_flow(pages[0], ocrs[0], dev_rec, backend="device")
-    print(f"# device warmup (incl. compile): {time.perf_counter()-t0:.1f}s",
+    folio_flow(pages[0], ocrs[0], dev_rec, backend=DEVICE_BACKEND)
+    print(f"# device[{DEVICE_BACKEND}] warmup (incl. compile): {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(1, N_DEVICE_FOLIOS + 1):
-        folio_flow(pages[i], ocrs[i], dev_rec, backend="device")
+        folio_flow(pages[i], ocrs[i], dev_rec, backend=DEVICE_BACKEND)
     dev_dt = (time.perf_counter() - t0) / N_DEVICE_FOLIOS
-    print(f"# device: {dev_dt*1e3:.0f} ms/folio", file=sys.stderr)
+    print(f"# device[{DEVICE_BACKEND}]: {dev_dt*1e3:.0f} ms/folio", file=sys.stderr)
 
     # CPU baseline: host oracle pipeline + reference NW + numpy LSTM
     base_rec = baseline_recognizer()

@@ -212,6 +212,55 @@ int64_t ta_black_area(const uint8_t* img, int64_t n) {
   return s;
 }
 
-int32_t ta_abi_version() { return 1; }
+// Row projections of the column-sheared image for A candidate angles in one
+// pass over the page (the skew-detection hot loop; semantics =
+// oracle.shear_projection: sheared[y, x] = img[y + shifts[a, x], x] when in
+// range). shifts: int32[A*W]; proj: int64[A*H] out, zeroed here.
+void ta_shear_projections(const uint8_t* img, int64_t H, int64_t W,
+                          const int32_t* shifts, int64_t A, int64_t* proj) {
+  for (int64_t i = 0; i < A * H; ++i) proj[i] = 0;
+  for (int64_t ys = 0; ys < H; ++ys) {
+    const uint8_t* row = img + ys * W;
+    for (int64_t a = 0; a < A; ++a) {
+      const int32_t* sh = shifts + a * W;
+      int64_t* p = proj + a * H;
+      for (int64_t x = 0; x < W; ++x) {
+        if (!row[x]) continue;
+        int64_t y = ys - sh[x];  // destination row: y + shifts[x] == ys
+        if (y >= 0 && y < H) p[y]++;
+      }
+    }
+  }
+}
+
+// Integer luminance greyscale, exact oracle.to_greyscale semantics:
+// (299 R + 587 G + 114 B + 500) / 1000, RGBA composited over white first
+// ((c * a + 255 * (255 - a) + 127) / 255). C in {1, 3, 4}.
+void ta_greyscale(const uint8_t* img, int64_t n_px, int32_t C,
+                  uint8_t* out) {
+  if (C == 1) {
+    std::memcpy(out, img, (size_t)n_px);
+    return;
+  }
+  for (int64_t i = 0; i < n_px; ++i) {
+    const uint8_t* p = img + i * C;
+    int32_t r = p[0], g = p[1], b = p[2];
+    if (C == 4) {
+      int32_t a = p[3];
+      r = (r * a + 255 * (255 - a) + 127) / 255;
+      g = (g * a + 255 * (255 - a) + 127) / 255;
+      b = (b * a + 255 * (255 - a) + 127) / 255;
+    }
+    out[i] = (uint8_t)((299 * r + 587 * g + 114 * b + 500) / 1000);
+  }
+}
+
+// 256-bin histogram of a uint8 image. hist: int64[256] out, zeroed here.
+void ta_grey_histogram(const uint8_t* img, int64_t n, int64_t* hist) {
+  for (int32_t i = 0; i < 256; ++i) hist[i] = 0;
+  for (int64_t i = 0; i < n; ++i) hist[img[i]]++;
+}
+
+int32_t ta_abi_version() { return 2; }
 
 }  // extern "C"

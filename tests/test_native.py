@@ -72,3 +72,30 @@ def test_projection_and_area(rng):
         host_native.projection_rows(img), oracle.projection_rows(img)
     )
     assert host_native.black_area(img) == oracle.black_area(img)
+
+
+def test_shear_projections_and_skew(rng):
+    from text_alignment_tpu.ops import fixedpoint as fxp
+
+    img = _page(rng, h=120, w=160, density=0.2)
+    cands = fxp.angle_grid(-6, 6, 1.0)
+    shifts = np.stack([fxp.shear_shifts(a, img.shape[1]) for a in cands])
+    native = host_native.shear_projections(img, shifts)
+    ref = np.stack([oracle.shear_projection(img, s) for s in shifts])
+    np.testing.assert_array_equal(native, ref)
+    assert host_native.rotation_angle_projections(
+        img, -6, 6
+    ) == oracle.rotation_angle_projections(img, -6, 6)
+
+
+def test_greyscale_onebit(rng):
+    rgb = (rng.random((40, 50, 3)) * 255).astype(np.uint8)
+    rgba = (rng.random((40, 50, 4)) * 255).astype(np.uint8)
+    grey = (rng.random((40, 50)) * 255).astype(np.uint8)
+    for img in (rgb, rgba, grey):
+        np.testing.assert_array_equal(
+            host_native.to_greyscale(img), oracle.to_greyscale(img)
+        )
+        np.testing.assert_array_equal(
+            host_native.to_onebit(img), oracle.to_onebit(img)
+        )

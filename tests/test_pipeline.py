@@ -203,3 +203,31 @@ def test_llocs_to_charboxes_contract():
 def test_process_requires_ocr_source(page):
     with pytest.raises(ValueError):
         process(page.image, page.transcript, verbose=False)
+
+
+def test_hybrid_backend_matches_host(page):
+    """The hybrid (native C++ raster) backend must produce bit-identical
+    preprocessing, strips, and peaks to the pure-numpy host path."""
+    from text_alignment_tpu.ops import host_native
+    import pytest as _pytest
+
+    if not host_native.available():
+        _pytest.skip("native toolchain unavailable")
+    import numpy as np
+    from text_alignment_tpu.pipeline.preprocess import (
+        preprocess_images,
+        identify_text_lines,
+    )
+
+    ih, eh, ah = preprocess_images(page.image, backend="host")
+    sh, ph, _ = identify_text_lines(ih, eh, backend="host", verbose=False)
+    iy, ey, ay = preprocess_images(page.image, backend="hybrid")
+    sy, py, _ = identify_text_lines(iy, ey, backend="hybrid", verbose=False)
+    assert ah == ay
+    np.testing.assert_array_equal(ih, iy)
+    np.testing.assert_array_equal(eh, ey)
+    assert list(ph) == list(py)
+    assert len(sh) == len(sy)
+    for a, b in zip(sh, sy):
+        np.testing.assert_array_equal(a.img, b.img)
+        assert (a.offset_x, a.offset_y) == (b.offset_x, b.offset_y)

@@ -1,0 +1,248 @@
+"""Pallas TPU kernel for the affine-gap NW wavefront fill.
+
+Same recurrence, boundary quirks, and first-max tie-breaking as
+:mod:`.nw_jax` (which itself mirrors the reference's pure-Python fill,
+textSeqCompare.py:45-88), but written as a single Mosaic kernel:
+
+- DP lanes live in VMEM as an ``(R, 128)`` int32 tile grid (row-major flat
+  lane order), matched to the VPU's native (8, 128) vregs — not a (1, L)
+  row vector that would waste 7/8 sublanes.
+- The TPU grid iterates over chunks of ``CHUNK`` anti-diagonals; carry
+  state persists across grid steps in VMEM scratch (the TPU grid is
+  sequential), so the whole fill is ONE dispatch regardless of problem
+  size, and pointers stream to HBM one ``(CHUNK, R, 128)`` block at a time.
+- Per diagonal only three value shifts are needed: the shifted d-2 lanes
+  equal the shift of the carried d-1 lanes computed on the *previous*
+  step, so the kernel re-carries them instead of re-shifting (the
+  ``lax.scan`` formulation shifts six arrays per step).
+- OCR elements are injected one per diagonal from an SMEM-resident chunk
+  of the feed; scoring is the match/mismatch lane-equality test (the
+  reference's standard case — substitution-matrix scoring falls back to
+  the XLA scan path).
+
+Pointer packing and diagonal layout are identical to ``nw_jax``:
+``packed[i + j, i] = mp | xp << 2 | yp << 4`` (uint8), so traceback and
+``DiagPtrView`` consumers work unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .scoring import Scoring, BOUNDARY_GAP_EXTEND
+
+_INT_NEG = -(2**30)
+CHUNK = 256  # anti-diagonals per grid step
+LANE = 128
+
+
+def _bucket(n: int) -> int:
+    b = 128
+    while b < n:
+        b *= 2
+    return b
+
+
+def _shift_down(v, row_ids, neg):
+    """Row-major flat shift by one: out[f] = v[f-1], out[0] = NEG, where
+    f = r*128 + c over an (R, 128) tile."""
+    rolled = pltpu.roll(v, 1, axis=1)           # [r, 0] <- v[r, 127]
+    wrap = pltpu.roll(rolled[:, :1], 1, axis=0)  # [r, 0] <- v[r-1, 127]
+    head = jnp.where(row_ids[:, :1] == 0, neg, wrap)
+    return jnp.concatenate([head, rolled[:, 1:]], axis=1)
+
+
+def _first_max3(a, b, c):
+    """(max, argmax) over three lanes with first-max-wins tie-breaking
+    (the reference's ``list.index(max(...))``, textSeqCompare.py:72-88)."""
+    v01 = jnp.maximum(a, b)
+    p01 = jnp.where(a >= b, 0, 1)
+    v = jnp.maximum(v01, c)
+    p = jnp.where(v01 >= c, p01, 2)
+    return v, p
+
+
+def _nw_kernel(params_ref, o_ref, t_ref, out_ref, state):
+    """One grid step: CHUNK diagonals.
+
+    params_ref: SMEM (8,) int32 [match, mismatch, gox+gex, goy+gey, gex,
+                gey, NoP, D]
+    o_ref:      SMEM (CHUNK,) int32 — this chunk of the OCR feed
+    t_ref:      VMEM (R, 128) int32 — extended transcript lanes
+    out_ref:    VMEM (CHUNK, R, 128) uint8 — packed pointers block
+    state:      VMEM (7, R, 128) int32 scratch carried across grid steps:
+                [m2s, x2s, y2s, m1, x1, y1, o_lane]
+    """
+    g = pl.program_id(0)
+    R = t_ref.shape[0]
+    NEG = jnp.int32(_INT_NEG)
+    BGE = jnp.int32(BOUNDARY_GAP_EXTEND)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
+    lane_i = row_ids * LANE + col_ids
+
+    @pl.when(g == 0)
+    def _init():
+        state[...] = jnp.full((7, R, LANE), NEG, jnp.int32)
+        state[6] = jnp.zeros((R, LANE), jnp.int32)
+
+    match = params_ref[0]
+    mismatch = params_ref[1]
+    gox_gex = params_ref[2]
+    goy_gey = params_ref[3]
+    gex = params_ref[4]
+    gey = params_ref[5]
+    NoP = params_ref[6]
+
+    t_ext = t_ref[...]
+    carry0 = (state[0], state[1], state[2], state[3], state[4], state[5],
+              state[6])
+
+    def body(k, carry):
+        m2s, x2s, y2s, m1, x1, y1, o_lane = carry
+        d = g * CHUNK + k
+
+        o_elem = o_ref[k]
+        o_rolled = pltpu.roll(o_lane, 1, axis=1)
+        o_wrap = pltpu.roll(o_rolled[:, :1], 1, axis=0)
+        o_head = jnp.where(row_ids[:, :1] == 0, o_elem, o_wrap)
+        o_lane = jnp.concatenate([o_head, o_rolled[:, 1:]], axis=1)
+
+        s = jnp.where(t_ext == o_lane, match, mismatch)
+
+        # shifted d-1 lanes; these become next step's shifted d-2 lanes
+        m1s = _shift_down(m1, row_ids, NEG)
+        x1s = _shift_down(x1, row_ids, NEG)
+        y1s = _shift_down(y1, row_ids, NEG)
+
+        m_int, mp = _first_max3(m2s, x2s, y2s)
+        m_int = m_int + s
+        y_int, yp = _first_max3(m1 + goy_gey, x1 + goy_gey, y1 + gey)
+        x_int, xp = _first_max3(m1s + gox_gex, x1s + gex, y1s + gox_gex)
+
+        # boundary conditions (textSeqCompare.py:53-60 overwrite order)
+        j = d - lane_i
+        row0 = lane_i == 0
+        col0 = (j == 0) & (lane_i > 0)
+        invalid = (j < 0) | (j >= NoP)
+
+        m_v = jnp.where(row0, BGE * j, jnp.where(col0, BGE * lane_i, m_int))
+        x_v = jnp.where(row0, BGE * j, jnp.where(col0, NEG, x_int))
+        y_v = jnp.where(row0, NEG, jnp.where(col0, BGE * lane_i, y_int))
+
+        m_v = jnp.where(invalid, NEG, m_v)
+        x_v = jnp.where(invalid, NEG, x_v)
+        y_v = jnp.where(invalid, NEG, y_v)
+
+        packed = (mp | (xp << 2) | (yp << 4)).astype(jnp.uint8)
+        out_ref[k] = packed
+
+        return m1s, x1s, y1s, m_v, x_v, y_v, o_lane
+
+    carry = jax.lax.fori_loop(0, CHUNK, body, carry0)
+    for idx in range(7):
+        state[idx] = carry[idx]
+
+
+@functools.partial(jax.jit, static_argnames=("L", "NoP", "interpret"))
+def _fill_pallas(t_ext2d, o_feed, params, L, NoP, interpret=False):
+    R = L // LANE
+    D = L + NoP - 1
+    G = (D + CHUNK - 1) // CHUNK
+    out = pl.pallas_call(
+        _nw_kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params, whole array
+            pl.BlockSpec((CHUNK,), lambda g: (g,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, LANE), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CHUNK, R, LANE), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G * CHUNK, R, LANE), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((7, R, LANE), jnp.int32)],
+        interpret=interpret,
+    )(params, o_feed, t_ext2d)
+    return out.reshape(G * CHUNK, L)[:D]
+
+
+def supported(sc: Scoring) -> bool:
+    """The Pallas fill covers the reference's standard scoring form:
+    integer match/mismatch + affine gaps."""
+    return sc.match_mismatch is not None and sc.is_integral
+
+
+def _prepare(transcript, ocr, sc: Scoring):
+    Nt, No = len(transcript), len(ocr)
+    vocab = sorted(set(transcript) | set(ocr))
+    ids = {v: k for k, v in enumerate(vocab)}
+    t_ids = np.array([ids[c] for c in transcript], np.int32)
+    o_ids = np.array([ids[c] for c in ocr], np.int32)
+
+    L = _bucket(Nt)
+    NoP = _bucket(No)
+    D = L + NoP - 1
+    G = (D + CHUNK - 1) // CHUNK
+
+    t_ext = np.zeros(L, np.int32)
+    t_ext[1:Nt] = t_ids[: Nt - 1]
+    o_feed = np.zeros(G * CHUNK, np.int32)
+    o_feed[1:No] = o_ids[: No - 1]
+
+    match, mismatch = (int(v) for v in sc.match_mismatch)
+    params = np.array(
+        [
+            match,
+            mismatch,
+            int(sc.gap_open_x) + int(sc.gap_extend_x),
+            int(sc.gap_open_y) + int(sc.gap_extend_y),
+            int(sc.gap_extend_x),
+            int(sc.gap_extend_y),
+            NoP,
+            D,
+        ],
+        np.int32,
+    )
+    return t_ext.reshape(L // LANE, LANE), o_feed, params, L, NoP
+
+
+def fill_pallas_packed(transcript, ocr, sc: Scoring, interpret=False):
+    """Drop-in for nw_jax.fill_jax_packed on the Pallas path: returns packed
+    pointers in diagonal layout (numpy uint8, (Nt + NoP buckets' D, L))."""
+    t_ext2d, o_feed, params, L, NoP = _prepare(transcript, ocr, sc)
+    packed = _fill_pallas(
+        jnp.asarray(t_ext2d), jnp.asarray(o_feed), jnp.asarray(params),
+        L=L, NoP=NoP, interpret=interpret,
+    )
+    return np.asarray(jax.device_get(packed))
+
+
+@functools.partial(jax.jit, static_argnames=("L", "NoP", "interpret"))
+def _align_fused_pallas(t_ext2d, o_feed, params, Nt, No, L, NoP,
+                        interpret=False):
+    from .nw_jax import _traceback_ops
+
+    packed = _fill_pallas(t_ext2d, o_feed, params, L=L, NoP=NoP,
+                          interpret=interpret)
+    return _traceback_ops(packed, Nt, No, P=L + NoP)
+
+
+def align_pallas_ops(transcript, ocr, sc: Scoring, interpret=False):
+    """Fused Pallas fill + on-device traceback; same return contract as
+    nw_jax.align_jax_ops (ops array, count, xpt, ypt)."""
+    t_ext2d, o_feed, params, L, NoP = _prepare(transcript, ocr, sc)
+    ops, k, xpt, ypt = _align_fused_pallas(
+        jnp.asarray(t_ext2d), jnp.asarray(o_feed), jnp.asarray(params),
+        jnp.asarray(len(transcript), jnp.int32),
+        jnp.asarray(len(ocr), jnp.int32),
+        L=L, NoP=NoP, interpret=interpret,
+    )
+    return np.asarray(ops), int(k), int(xpt), int(ypt)

@@ -208,7 +208,8 @@ def main(argv=None):
     a.add_argument("--pickle-dir", default=None)
     a.add_argument("--out-imgs", default=None)
     a.add_argument("--folios", nargs="+", required=True)
-    a.add_argument("--backend", default="device", choices=["host", "device"])
+    a.add_argument("--backend", default="hybrid",
+                   choices=["host", "hybrid", "device"])
     a.add_argument("--reuse-ocr", action="store_true")
     a.add_argument("--timing", action="store_true")
     a.add_argument("--verbose", action="store_true")
@@ -222,7 +223,8 @@ def main(argv=None):
     e.add_argument("--pickle-dir", default="./pik")
     e.add_argument("--gt-dir", default="./ground-truth-alignments")
     e.add_argument("--folios", nargs="+", required=True)
-    e.add_argument("--backend", default="host", choices=["host", "device"])
+    e.add_argument("--backend", default="host",
+                   choices=["host", "hybrid", "device"])
     e.set_defaults(func=cmd_evaluate)
 
     t = sub.add_parser("train", help="train a CTC line recognizer")

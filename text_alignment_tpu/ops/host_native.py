@@ -64,7 +64,10 @@ def _build_and_load():
         lib.ta_projection_rows.argtypes = [u8p, i64, i64, i64p]
         lib.ta_black_area.restype = i64
         lib.ta_black_area.argtypes = [u8p, i64]
-        assert lib.ta_abi_version() == 1
+        lib.ta_shear_projections.argtypes = [u8p, i64, i64, i32p, i64, i64p]
+        lib.ta_greyscale.argtypes = [u8p, i64, i32, u8p]
+        lib.ta_grey_histogram.argtypes = [u8p, i64, i64p]
+        assert lib.ta_abi_version() == 2
         _lib = lib
     except Exception as e:  # no toolchain / build failure -> oracle fallback
         _load_error = repr(e)
@@ -154,3 +157,69 @@ def black_area(img: np.ndarray) -> int:
     _build_and_load()
     a = _as_u8(img)
     return int(_lib.ta_black_area(_u8p(a), a.size))
+
+
+def shear_projections(img: np.ndarray, shifts: np.ndarray) -> np.ndarray:
+    """Row projections of the column-sheared page for a batch of candidate
+    angles; semantics = oracle.shear_projection per shifts row."""
+    _build_and_load()
+    a = _as_u8(img)
+    H, W = a.shape
+    sh = np.ascontiguousarray(shifts, dtype=np.int32)
+    A = sh.shape[0]
+    assert sh.shape[1] == W
+    proj = np.zeros((A, H), np.int64)
+    _lib.ta_shear_projections(
+        _u8p(a), H, W,
+        sh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), A,
+        proj.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return proj
+
+
+def to_greyscale(img: np.ndarray) -> np.ndarray:
+    """Exact oracle.to_greyscale (integer luminance, RGBA over white)."""
+    _build_and_load()
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        return a.copy()
+    H, W, C = a.shape
+    out = np.zeros((H, W), np.uint8)
+    _lib.ta_greyscale(_u8p(a), H * W, C, _u8p(out))
+    return out
+
+
+def to_onebit(img: np.ndarray) -> np.ndarray:
+    """Greyscale + Otsu binarization, oracle.to_onebit parity (the Otsu
+    criterion itself runs on 256 host bins — cost-free)."""
+    from . import oracle
+
+    _build_and_load()
+    grey = to_greyscale(img)
+    hist = np.zeros(256, np.int64)
+    _lib.ta_grey_histogram(_u8p(grey), grey.size,
+                           hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    t = oracle.otsu_from_hist(hist)
+    return grey <= t
+
+
+def rotation_angle_projections(img: np.ndarray, minangle: float = -6.0,
+                               maxangle: float = 6.0) -> float:
+    """Coarse-to-fine skew estimate; same grid/criterion/first-max rule as
+    oracle.rotation_angle_projections, with the shear-projection inner loop
+    in native code (one page pass per refinement round)."""
+    from . import fixedpoint as fxp
+    from .oracle import criterion_from_projections
+
+    a = _as_u8(img)
+    W = a.shape[1]
+    best, step, lo, hi = 0.0, 1.0, minangle, maxangle
+    for _ in range(3):
+        cands = fxp.angle_grid(lo, hi, step)
+        shifts = np.stack([fxp.shear_shifts(ang, W) for ang in cands])
+        projs = shear_projections(a, shifts)
+        scores = criterion_from_projections(projs)
+        best = cands[int(np.argmax(scores))]
+        lo, hi = best - step * 0.9, best + step * 0.9
+        step /= 10.0
+    return float(best)

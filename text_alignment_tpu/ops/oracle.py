@@ -49,7 +49,13 @@ def to_greyscale(rgb: np.ndarray) -> np.ndarray:
 def otsu_threshold(grey: np.ndarray) -> int:
     """Otsu threshold over the exact 256-bin histogram (float64 criterion).
     Returns t; black = grey <= t."""
-    hist = np.bincount(grey.reshape(-1), minlength=256).astype(np.float64)
+    return otsu_from_hist(np.bincount(grey.reshape(-1), minlength=256))
+
+
+def otsu_from_hist(hist) -> int:
+    """Otsu criterion from a 256-bin histogram (shared by the numpy, native,
+    and device binarization paths)."""
+    hist = np.asarray(hist).astype(np.float64)
     total = hist.sum()
     if total == 0:
         return 127

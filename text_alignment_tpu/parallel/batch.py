@@ -98,7 +98,7 @@ def process_batch(folios, recognizer, seq_align_params=None,
         pair_idx.append(i)
 
     with timer("align"):
-        if backend == "device":
+        if backend in ("device", "hybrid"):
             aligned = align_pairs_jax(pairs, sc)
             # non-integer/custom scoring falls back per pair
             aligned = [

@@ -2,15 +2,22 @@
 
 Reference semantics: textAlignPreprocessing.py:160-285 (`preprocess_images`,
 `identify_text_lines`), re-expressed over the framework's raster engines.
-Both engines produce identical pixels/strips:
+All engines produce identical pixels/strips:
 
 - ``backend="host"``  — numpy oracle ops (the CPU baseline path);
+- ``backend="hybrid"``— the native C++ raster engine (:mod:`..ops.
+  host_native`, union-find CC / run filters) with numpy for the rest; the
+  production default for the raster stage. Connected-component labeling is
+  branch-heavy integer chasing — a union-find in C++ runs the whole page in
+  ~10 ms, while the equivalent XLA program at page shape is a known
+  compile-time pathology on remote-compile TPU runtimes. The FLOP-heavy
+  stages (recognizer, NW) still run on TPU; see ``process()``.
 - ``backend="device"``— JAX/TPU kernels from :mod:`..ops.device`; page
   tensors stay on device across the fused op sequence, with only the
   projection vector, histogram, and compact CC table coming back to host.
 
 Projection smoothing, peak prominence, and all per-CC list logic are
-host-side float64/python on *both* paths (they are O(H) / O(#CCs)), so every
+host-side float64/python on *all* paths (they are O(H) / O(#CCs)), so every
 data-dependent decision (peaks, separators, strip bboxes) is bit-identical
 across backends by construction.
 """
@@ -64,6 +71,18 @@ class LineStrip:
     @property
     def width(self) -> int:
         return self.img.shape[1] - 1
+
+
+def _raster_engine(backend: str):
+    """Host raster op namespace for the given backend: the native C++
+    engine for ``hybrid`` (falling back to the oracle when no toolchain is
+    present), the pure-numpy oracle otherwise."""
+    if backend == "hybrid":
+        from ..ops import host_native
+
+        if host_native.available():
+            return host_native
+    return oracle
 
 
 def vertically_coincide(hline_position, comp_offset, comp_nrows, collision,
@@ -132,17 +151,18 @@ def preprocess_images(input_image, despeckle_amt: int = DESPECKLE_AMT,
         image_eroded = eng.unpack_bool(np.asarray(packed_eroded), W_out)
         return image_bin, image_eroded, angle
 
-    img = oracle.to_onebit(input_image)
-    img = oracle.despeckle(img, despeckle_amt)
-    img = ~oracle.despeckle(~img, despeckle_amt)
-    img = oracle.remove_tall_ccs(img, p.sat_area_thresh)
-    angle = oracle.rotation_angle_projections(img, -6, 6)
+    eng = _raster_engine(backend)
+    img = eng.to_onebit(input_image)
+    img = eng.despeckle(img, despeckle_amt)
+    img = ~eng.despeckle(~img, despeckle_amt)
+    img = eng.remove_tall_ccs(img, p.sat_area_thresh)
+    angle = eng.rotation_angle_projections(img, -6, 6)
     if correct_rotation:
         img = oracle.rotate_onebit(img, angle)
     eroded = img.copy()
     for _ in range(filter_runs):
-        eroded = oracle.filter_short_runs(eroded, filter_runs_amt, "black")
-        eroded = oracle.filter_narrow_runs(eroded, filter_runs_amt, "black")
+        eroded = eng.filter_short_runs(eroded, filter_runs_amt, "black")
+        eroded = eng.filter_narrow_runs(eroded, filter_runs_amt, "black")
     return img, eroded, angle
 
 
@@ -159,6 +179,9 @@ def _cc_table(img, backend):
                 f"page has {count} CCs > MAX_CCS={table.shape[0]}"
             )
         return table[:count].astype(np.int64)
+    eng = _raster_engine(backend)
+    if eng is not oracle:
+        return eng.cc_stats(np.asarray(img))
     _, table = oracle.cc_stats(np.asarray(img))
     return table
 
@@ -178,7 +201,9 @@ def identify_text_lines(image_bin, image_eroded, backend: str = "host",
         eroded_dev = jnp.asarray(np.asarray(image_eroded))
         project = np.asarray(eng.projection_rows(eroded_dev))
     else:
-        project = oracle.projection_rows(np.asarray(image_eroded))
+        project = _raster_engine(backend).projection_rows(
+            np.asarray(image_eroded)
+        )
 
     if verbose:
         print("finding projection peaks...")
@@ -216,7 +241,7 @@ def identify_text_lines(image_bin, image_eroded, backend: str = "host",
         eroded_cut = np.asarray(image_eroded)
         for idx in sep_rows:
             eroded_cut = oracle.draw_hline_white(eroded_cut, idx, 2)
-        table = _cc_table(eroded_cut, "host")
+        table = _cc_table(eroded_cut, backend)
 
     # drop small CCs (strictly greater than the threshold survives —
     # textAlignPreprocessing.py:235), then the (inert) capitals filter

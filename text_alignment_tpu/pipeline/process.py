@@ -125,7 +125,16 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
 
     # -- ALIGNMENT + ASSEMBLY --
     with timer("align"):
-        nw_backend = {"host": "host", "device": "jax"}.get(backend, "auto")
+        nw_backend = {"host": "host", "device": "jax", "hybrid": "jax"}.get(
+            backend, "auto"
+        )
+        if nw_backend == "jax" and backend == "hybrid":
+            # hybrid on a CPU-only runtime: the numpy fill beats paying an
+            # XLA scan compile for every new size bucket
+            import jax as _jax
+
+            if _jax.default_backend() == "cpu":
+                nw_backend = "host"
         tra_align, ocr_align = perform_alignment(
             list(transcript), list(ocr), scoring_system=seq_align_params,
             verbose=False, backend=nw_backend,
