@@ -95,7 +95,8 @@ def device_recognizer():
 
     codec = Codec()
     rec = SeqRecognizer(
-        init_bilstm(jax.random.PRNGKey(0), 48, 100, len(codec)), codec
+        init_bilstm(jax.random.PRNGKey(0), 48, 100, len(codec)), codec,
+        normalize_on_device=(DEVICE_BACKEND != "host"),
     )
 
     def run(strips):
@@ -136,21 +137,24 @@ def injected_ocr(page, seed):
     return ocr_with_spaces(corrupt_ocr(rng, page.char_boxes))
 
 
-def nw_gcups_stress(n=4096):
-    """Secondary metric: wavefront NW fill throughput at 4k x 4k."""
+def nw_gcups_stress(n=8191):
+    """Secondary metric: fused NW fill+traceback throughput at 8k x 8k
+    (n chosen so the +1 sentinel keeps the 8192 padding bucket; only the
+    O(N+M) op stream is downloaded)."""
     import random
     from text_alignment_tpu.align.scoring import resolve_scoring
-    from text_alignment_tpu.align.nw_jax import fill_jax_packed
+    from text_alignment_tpu.align import api as align_api
 
     rng = random.Random(0)
     t = [rng.choice("abcdefgh ") for _ in range(n)] + [" "]
     o = [rng.choice("abcdefgh ") for _ in range(n)] + [" "]
     sc = resolve_scoring(None)
-    fill_jax_packed(t, o, sc)  # compile
+    fused = align_api._device_align_ops(sc)
+    fused(t, o, sc)  # compile
     t0 = time.perf_counter()
-    fill_jax_packed(t, o, sc)
+    fused(t, o, sc)
     dt = time.perf_counter() - t0
-    return (n * n) / dt / 1e9
+    return ((n + 1) * (n + 1)) / dt / 1e9
 
 
 def main():
@@ -173,8 +177,46 @@ def main():
     t0 = time.perf_counter()
     for i in range(1, N_DEVICE_FOLIOS + 1):
         folio_flow(pages[i], ocrs[i], dev_rec, backend=DEVICE_BACKEND)
+    seq_dt = (time.perf_counter() - t0) / N_DEVICE_FOLIOS
+    print(f"# device[{DEVICE_BACKEND}] sequential: {seq_dt*1e3:.0f} ms/folio",
+          file=sys.stderr)
+
+    # batched stage-major pipeline (the production throughput path):
+    # cross-folio OCR batching + bucket-vmapped NW. Same work content as
+    # folio_flow: full raster + line id per folio, one recognizer sweep
+    # over every strip, alignment on the injected realistic OCR streams.
+    from text_alignment_tpu.parallel.batch import process_batch
+    from text_alignment_tpu.pipeline.preprocess import (
+        preprocess_images,
+        identify_text_lines,
+    )
+
+    folios = [(p.image, p.transcript) for p in pages[1:]]
+    inj = ocrs[1 : N_DEVICE_FOLIOS + 1]
+
+    def batched_flow():
+        pre = []
+        all_strips = []
+        for p in pages[1:]:
+            image, eroded, angle = preprocess_images(
+                p.image, backend=DEVICE_BACKEND
+            )
+            strips, peaks, _ = identify_text_lines(
+                image, eroded, backend=DEVICE_BACKEND, verbose=False
+            )
+            pre.append((image, angle, strips, peaks))
+            all_strips.extend(strips)
+        dev_rec(all_strips)  # one cross-folio OCR dispatch
+        return process_batch(folios, None, backend=DEVICE_BACKEND,
+                             existing_ocr=inj, existing_pre=pre)
+
+    batched_flow()  # warm the batch-size jit cache entries
+    t0 = time.perf_counter()
+    results = batched_flow()
+    assert sum(r is not None for r in results) == len(folios)
     dev_dt = (time.perf_counter() - t0) / N_DEVICE_FOLIOS
-    print(f"# device[{DEVICE_BACKEND}]: {dev_dt*1e3:.0f} ms/folio", file=sys.stderr)
+    print(f"# device[{DEVICE_BACKEND}] batched: {dev_dt*1e3:.0f} ms/folio",
+          file=sys.stderr)
 
     # CPU baseline: host oracle pipeline + reference NW + numpy LSTM
     base_rec = baseline_recognizer()
@@ -199,7 +241,7 @@ def main():
 
     try:
         gcups = nw_gcups_stress()
-        print(f"# nw wavefront fill: {gcups:.2f} GCUPS @ 4096x4096",
+        print(f"# nw fused fill+traceback: {gcups:.2f} GCUPS @ 8192x8192",
               file=sys.stderr)
     except Exception as e:  # stress metric must not sink the headline
         print(f"# nw stress failed: {e}", file=sys.stderr)

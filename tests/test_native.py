@@ -99,3 +99,12 @@ def test_greyscale_onebit(rng):
         np.testing.assert_array_equal(
             host_native.to_onebit(img), oracle.to_onebit(img)
         )
+
+
+def test_rotate_onebit(rng):
+    img = _page(rng, h=90, w=120, density=0.2)
+    for ang in (0.0, 0.8, -2.3, 5.5):
+        np.testing.assert_array_equal(
+            host_native.rotate_onebit(img, ang),
+            oracle.rotate_onebit(img, ang),
+        )

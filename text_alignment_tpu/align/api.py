@@ -23,6 +23,24 @@ from .traceback import DensePtrView, DiagPtrView, traceback
 _AUTO_DEVICE_MIN_CELLS = 512 * 512
 
 
+def _device_align_ops(sc):
+    """Pick the device fill for this scoring system: the Pallas Mosaic
+    kernel on real TPU for the standard integer match/mismatch form
+    (TEXT_ALIGNMENT_TPU_NO_PALLAS=1 opts out), the XLA scan otherwise."""
+    import os
+
+    if not os.environ.get("TEXT_ALIGNMENT_TPU_NO_PALLAS"):
+        import jax
+
+        from . import nw_pallas
+
+        if jax.default_backend() == "tpu" and nw_pallas.supported(sc):
+            return lambda t, o, s: nw_pallas.align_pallas_ops(t, o, s)
+    from .nw_jax import align_jax_ops
+
+    return lambda t, o, s: align_jax_ops(t, o, s)
+
+
 def perform_alignment(transcript, ocr, scoring_system=None, verbose=False,
                       backend="auto"):
     """Globally align ``transcript`` against ``ocr``.
@@ -45,9 +63,10 @@ def perform_alignment(transcript, ocr, scoring_system=None, verbose=False,
         ptrs = DensePtrView(*fill_host(transcript, ocr, sc))
         tra_align, ocr_align = traceback(transcript, ocr, ptrs)
     elif backend == "jax":
-        from .nw_jax import align_jax_ops, replay_ops
+        from .nw_jax import replay_ops
 
-        ops, count, xpt, ypt = align_jax_ops(transcript, ocr, sc)
+        fused = _device_align_ops(sc)
+        ops, count, xpt, ypt = fused(transcript, ocr, sc)
         tra_align, ocr_align = replay_ops(transcript, ocr, ops, count, xpt, ypt)
     elif backend == "reference":
         from .nw_host import fill_reference_slow

@@ -109,7 +109,7 @@ def _nw_kernel(params_ref, o_ref, t_ref, out_ref, state):
         m2s, x2s, y2s, m1, x1, y1, o_lane = carry
         d = g * CHUNK + k
 
-        o_elem = o_ref[k]
+        o_elem = o_ref[g, k]
         o_rolled = pltpu.roll(o_lane, 1, axis=1)
         o_wrap = pltpu.roll(o_rolled[:, :1], 1, axis=0)
         o_head = jnp.where(row_ids[:, :1] == 0, o_elem, o_wrap)
@@ -161,7 +161,10 @@ def _fill_pallas(t_ext2d, o_feed, params, L, NoP, interpret=False):
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params, whole array
-            pl.BlockSpec((CHUNK,), lambda g: (g,), memory_space=pltpu.SMEM),
+            # o_feed (G, CHUNK) lives whole in SMEM (blocked SMEM operands
+            # hit Mosaic layout-divisibility rules); the kernel reads one
+            # scalar per diagonal: o_ref[g, k]
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((R, LANE), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -170,7 +173,7 @@ def _fill_pallas(t_ext2d, o_feed, params, L, NoP, interpret=False):
         out_shape=jax.ShapeDtypeStruct((G * CHUNK, R, LANE), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((7, R, LANE), jnp.int32)],
         interpret=interpret,
-    )(params, o_feed, t_ext2d)
+    )(params, o_feed.reshape(G, CHUNK), t_ext2d)
     return out.reshape(G * CHUNK, L)[:D]
 
 

@@ -1,0 +1,272 @@
+"""Batched on-device line normalization (the TPU version of lineest.py).
+
+The scipy ``CenterNormalizer`` (lineest.py, mirroring ocrolib — the
+normalization baked into every trained ``.pyrnn`` model) costs ~30 ms per
+line on the single host core; at folio scale it dominates the OCR stage.
+This module runs the whole batch on the TPU so normalized frames are
+produced *on device* and flow straight into the BiLSTM without any
+host round-trip:
+
+- axis-0 Gaussian (sigma = h/2) as a per-strip masked kernel matrix
+  (einsum over a (B, Hp, Hp) bank — Hp is small);
+- axis-1 Gaussian (sigma = h) and the center-smoothing Gaussian
+  (sigma = 0.3 h) as ONE grouped ``conv_general_dilated`` with a
+  per-strip kernel row (zero padding == scipy's constant mode);
+- uniform filters via windowed prefix sums (exact same windows as
+  scipy's ``uniform_filter1d`` incl. the int() size cast and size//2
+  left origin);
+- MAD as an exact integer sum (deltas are integers; float64 division
+  happens once), matching scipy's float64 mean semantics;
+- dewarp + bilinear zoom fused into a single gather from the padded
+  strip: out[u, t] = bilerp(grey, center[x] - r + v(u), x(t)) with
+  scipy zoom's (in-1)/(out-1) coordinate map and round() output width.
+
+Numerics: float32 with HIGHEST matmul precision. Frames match the scipy
+path to ~1e-5 (summation-order differences only); CTC decode output is
+identical on all tested fixtures (decode is argmax-based). Strict
+bit-for-scipy runs keep the host path (recognizer strict mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .lineest import DEFAULT_TARGET_HEIGHT, DEFAULT_PAD
+
+_RANGE = 4
+_SMOOTHNESS = 1.0
+_EXTRA = 0.3
+_TRUNCATE = 4.0
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _gauss_kernel_bank(sigma, kmax: int):
+    """(B, kmax) gaussian taps, zero beyond each strip's radius
+    int(truncate*sigma + 0.5), normalized over the full kernel (scipy
+    normalizes by the kernel sum, not the in-bounds sum)."""
+    r = kmax // 2
+    t = jnp.arange(-r, r + 1, dtype=jnp.float32)[None, :]  # (1, kmax)
+    sigma = jnp.maximum(sigma[:, None], 1e-6)
+    radius = jnp.floor(_TRUNCATE * sigma + 0.5).astype(jnp.int32)
+    w = jnp.exp(-0.5 * (t / sigma) ** 2)
+    w = jnp.where(jnp.abs(t) <= radius.astype(jnp.float32), w, 0.0)
+    return w / jnp.sum(w, axis=1, keepdims=True)
+
+
+def _conv_rows(x, kernels):
+    """Per-strip 1-D correlation along the last axis with zero padding.
+
+    x: (B, R, W); kernels: (B, K) with K odd. Returns (B, R, W) where
+    out[b, i, p] = sum_t kernels[b, t] * x_padded[b, i, p + t - K//2].
+    Implemented as one grouped conv: channels = strips.
+    """
+    B, R, W = x.shape
+    K = kernels.shape[1]
+    lhs = jnp.swapaxes(x, 0, 1)            # (R, B, W): N=R, C=B
+    rhs = kernels[:, None, ::-1]            # (B, 1, K) flipped: conv==corr
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs,
+        window_strides=(1,),
+        padding=[(K // 2, K // 2)],
+        feature_group_count=B,
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=_HI,
+    )
+    return jnp.swapaxes(out, 0, 1)
+
+
+def _windowed_mean(x, size, axis_len, axis):
+    """scipy uniform_filter1d semantics along ``axis``: window of
+    ``size`` (traced int32 per strip) starting at i - size//2, zero padded
+    (constant mode), divided by size. x: (B, H, W); size: (B,)."""
+    ps = jnp.cumsum(x, axis=axis)
+    idx = jnp.arange(axis_len, dtype=jnp.int32)
+
+    def one(xb, psb, s):
+        s = jnp.maximum(s, 1)
+        lo = idx - s // 2          # first tap
+        hi = lo + s - 1            # last tap
+        take = lambda arr, i: jnp.take(arr, jnp.clip(i, 0, axis_len - 1),
+                                       axis=axis - 1)
+        # windowed sum = ps[hi] - ps[lo-1]; out-of-range ends clamp to 0
+        hi_v = jnp.where(_expand(hi >= 0, axis), take(psb, hi), 0.0)
+        lo_v = jnp.where(_expand(lo - 1 >= 0, axis), take(psb, lo - 1), 0.0)
+        return (hi_v - lo_v) / s.astype(jnp.float32)
+
+    return jax.vmap(one)(x, ps, size)
+
+
+def _expand(v, axis):
+    """Broadcast a per-index vector along the non-``axis`` dims of a
+    (H, W) strip slice (axis is 1-based within the batched array)."""
+    if axis == 1:  # vector over H -> (H, 1)
+        return v[:, None]
+    return v[None, :]  # vector over W -> (1, W)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("target_height", "pad", "t_max"),
+)
+def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
+                           pad=DEFAULT_PAD, t_max=4096):
+    """Batched CenterNormalizer.measure + normalize + prepare_line.
+
+    grey: (B, Hp, Wp) float32, ink-dark (1.0 background), garbage outside
+          each strip's (hs[b], ws[b]) region (masked here).
+    Returns (frames (B, t_max, target_height) f32, lengths (B,) i32,
+    t_raws (B,) i32). lengths = t_raw + 2*pad, 0 for blank strips.
+    """
+    B, Hp, Wp = grey.shape
+    i_idx = jnp.arange(Hp, dtype=jnp.int32)
+    x_idx = jnp.arange(Wp, dtype=jnp.int32)
+    valid = (i_idx[None, :, None] < hs[:, None, None]) & (
+        x_idx[None, None, :] < ws[:, None, None]
+    )
+    grey = jnp.where(valid, grey, 1.0)
+
+    NEG = jnp.float32(-1e30)
+    mx = jnp.max(jnp.where(valid, grey, NEG), axis=(1, 2))  # (B,)
+    temp = mx[:, None, None] - grey
+    temp = jnp.where(valid, temp, 0.0)
+    tmax = jnp.max(temp, axis=(1, 2))
+    blank = tmax <= 0.0
+    temp = temp / jnp.where(blank, 1.0, tmax)[:, None, None]
+
+    hf = hs.astype(jnp.float32)
+
+    # -- measure --
+    # axis-0 gaussian, sigma = 0.5 h: per-strip (Hp, Hp) kernel matrix
+    k0max = 2 * int(_TRUNCATE * Hp * 0.5 + 0.5) + 1
+    sig0 = 0.5 * hf
+    rad0 = jnp.floor(_TRUNCATE * sig0 + 0.5).astype(jnp.int32)
+    d0 = i_idx[:, None] - i_idx[None, :]  # (Hp, Hp)
+    w0 = jnp.exp(
+        -0.5 * (d0[None].astype(jnp.float32) / jnp.maximum(sig0, 1e-6)[:, None, None]) ** 2
+    )
+    w0 = jnp.where(jnp.abs(d0)[None] <= rad0[:, None, None], w0, 0.0)
+    # normalize over the FULL kernel sum (scipy), not just in-matrix taps:
+    # taps with |d| <= rad0 outside [0, Hp) exist only if rad0 >= Hp; the
+    # full sum is computed analytically over [-rad0, rad0]
+    t_full = jnp.arange(-(k0max // 2), k0max // 2 + 1,
+                        dtype=jnp.float32)[None, :]
+    wfull = jnp.exp(-0.5 * (t_full / jnp.maximum(sig0, 1e-6)[:, None]) ** 2)
+    wfull = jnp.where(
+        jnp.abs(t_full) <= rad0.astype(jnp.float32)[:, None], wfull, 0.0
+    )
+    w0 = w0 / jnp.sum(wfull, axis=1)[:, None, None]
+    sm = jnp.einsum("bij,bjx->bix", w0, temp, precision=_HI)
+
+    # axis-1 gaussian, sigma = smoothness * h, grouped conv
+    k1max = 2 * int(_TRUNCATE * Hp * _SMOOTHNESS + 0.5) + 1
+    k1 = _gauss_kernel_bank(_SMOOTHNESS * hf, k1max)
+    sm = _conv_rows(sm, k1)
+
+    # + 0.001 * uniform_filter(sm, (0.5 h, w)); the uniform windows must
+    # see zeros outside the strip's true (h, w) region (scipy's array ends
+    # there), while our padded computation leaves garbage in the margins
+    sm_z = jnp.where(valid, sm, 0.0)
+    u = _windowed_mean(sm_z, (0.5 * hf).astype(jnp.int32), Hp, axis=1)
+    u = _windowed_mean(u, ws, Wp, axis=2)
+    sm = sm + 0.001 * u
+
+    # argmax over rows (restricted to i < h), first-max wins like numpy
+    sm = jnp.where(i_idx[None, :, None] < hs[:, None, None], sm, NEG)
+    a = jnp.argmax(sm, axis=1).astype(jnp.float32)  # (B, Wp)
+    a = jnp.where(x_idx[None, :] < ws[:, None], a, 0.0)
+
+    # gaussian_filter1d(a, extra * h) with scipy's DEFAULT mode="reflect",
+    # then int cast (truncation). Reflect-extend each strip's true [0, w)
+    # range by the max radius, correlate VALID, all per strip.
+    r2max = int(_TRUNCATE * Hp * _EXTRA + 0.5)
+    k2 = _gauss_kernel_bank(_EXTRA * hf, 2 * r2max + 1)
+    ext_idx = jnp.arange(-r2max, Wp + r2max, dtype=jnp.int32)
+
+    def reflect_extend(ab, w):
+        # scipy 'reflect': (d c b a | a b c d | d c b a), period 2w
+        m = jnp.mod(ext_idx, 2 * w)
+        m = jnp.where(m < 0, m + 2 * w, m)
+        src = jnp.where(m < w, m, 2 * w - 1 - m)
+        return ab[jnp.clip(src, 0, Wp - 1)]
+
+    a_ext = jax.vmap(reflect_extend)(a, ws)  # (B, Wp + 2*r2max)
+    lhs = a_ext[None, :, :]                   # N=1, C=B
+    rhs = k2[:, None, ::-1]
+    a_s = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        feature_group_count=B, dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=_HI,
+    )[0]
+    center = a_s.astype(jnp.int32)  # (B, Wp), truncation toward zero
+
+    # mad = float64-exact mean of |i - center[x]| over ink pixels
+    deltas = jnp.abs(i_idx[None, :, None] - center[:, None, :])
+    ink = (temp != 0.0) & valid
+    dsum = jnp.sum(jnp.where(ink, deltas, 0), axis=(1, 2),
+                   dtype=jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+    dcnt = jnp.sum(ink, axis=(1, 2), dtype=jnp.int32)
+    mad = dsum.astype(jnp.float64 if jax.config.jax_enable_x64
+                      else jnp.float32) / jnp.maximum(dcnt, 1)
+    mad = jnp.where(dcnt > 0, mad, hf / 4.0)
+    r = (1.0 + _RANGE * mad).astype(jnp.int32)  # (B,), truncation
+    r = jnp.maximum(r, 1)
+
+    # -- dewarp + zoom fused gather --
+    # dewarped[v, x] = padded(grey)[center[x] - r + v, x], v in [0, 2r);
+    # zoom scale 48 / 2r; out width t_raw = round(w * 48 / 2r)
+    hd = (2 * r).astype(jnp.float32)
+    scale = target_height / hd
+    t_raw = jnp.round(ws.astype(jnp.float32) * scale).astype(jnp.int32)
+    t_cap = t_max - 2 * pad
+    t_raw = jnp.clip(t_raw, 0, t_cap)
+    t_raw = jnp.where(blank, 0, t_raw)
+
+    u_idx = jnp.arange(target_height, dtype=jnp.float32)  # out rows
+    t_idx = jnp.arange(t_cap, dtype=jnp.float32)          # out cols
+
+    def one_strip(g, h, w, cen, rr, tr, m):
+        # source coordinates (scipy zoom: o * (in-1)/(out-1))
+        in_h = 2 * rr
+        src_v = u_idx * (in_h - 1).astype(jnp.float32) / (target_height - 1)
+        denom = jnp.maximum(tr - 1, 1).astype(jnp.float32)
+        src_x = t_idx * (w - 1).astype(jnp.float32) / denom
+        v0 = jnp.floor(src_v).astype(jnp.int32)
+        x0 = jnp.floor(src_x).astype(jnp.int32)
+        fv = src_v - v0.astype(jnp.float32)
+        fx = src_x - x0.astype(jnp.float32)
+
+        def at(v, x):
+            # dewarped(v, x) = grey[cen[x] - rr + v, x] with cval = m
+            xc = jnp.clip(x, 0, Wp - 1)
+            row = cen[xc] - rr + v
+            inb = (row >= 0) & (row < h) & (x >= 0) & (x < w)
+            rowc = jnp.clip(row, 0, Hp - 1)
+            return jnp.where(inb, g[rowc, xc], m)
+
+        V0 = v0[:, None]
+        X0 = x0[None, :]
+        z = (
+            at(V0, X0) * (1 - fv[:, None]) * (1 - fx[None, :])
+            + at(V0 + 1, X0) * fv[:, None] * (1 - fx[None, :])
+            + at(V0, X0 + 1) * (1 - fv[:, None]) * fx[None, :]
+            + at(V0 + 1, X0 + 1) * fv[:, None] * fx[None, :]
+        )  # (target_height, t_cap)
+        tmask = jnp.arange(t_cap, dtype=jnp.int32)[None, :] < tr
+        z = jnp.where(tmask, z, 0.0)
+        zmax = jnp.max(jnp.where(tmask, z, NEG))
+        zmax = jnp.where(tr > 0, zmax, 1.0)
+        # prepare_line: scale to [0,1] then invert (amax of scaled == 1)
+        frames_core = jnp.where(tmask, 1.0 - z / zmax, 0.0)
+        return frames_core.T  # (t_cap, target_height)
+
+    frames_core = jax.vmap(one_strip)(grey, hs, ws, center, r, t_raw, mx)
+    frames = jnp.zeros((B, t_max, target_height), jnp.float32)
+    frames = jax.lax.dynamic_update_slice(
+        frames, frames_core, (0, pad, 0)
+    )
+    lengths = jnp.where(blank | (t_raw == 0), 0, t_raw + 2 * pad)
+    return frames, lengths.astype(jnp.int32), t_raw.astype(jnp.int32)

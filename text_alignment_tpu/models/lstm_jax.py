@@ -109,7 +109,10 @@ def _direction_scan(W: LSTMParams, xs):
         jnp.zeros((B, ns), jnp.float32),
         jnp.int32(0),
     )
-    _, outs = jax.lax.scan(step, init, jnp.swapaxes(xproj, 0, 1))
+    # unroll amortizes the TPU loop overhead (~tens of us/iteration)
+    # across 8 timesteps; the per-step matmuls are tiny so the loop is
+    # overhead-bound, not FLOP-bound
+    _, outs = jax.lax.scan(step, init, jnp.swapaxes(xproj, 0, 1), unroll=8)
     return jnp.swapaxes(outs, 0, 1)  # (B, T, ns)
 
 

@@ -67,7 +67,9 @@ def _build_and_load():
         lib.ta_shear_projections.argtypes = [u8p, i64, i64, i32p, i64, i64p]
         lib.ta_greyscale.argtypes = [u8p, i64, i32, u8p]
         lib.ta_grey_histogram.argtypes = [u8p, i64, i64p]
-        assert lib.ta_abi_version() == 2
+        lib.ta_rotate_onebit.argtypes = [u8p, i64, i64, i64, i64, i32, i32,
+                                         i32, u8p]
+        assert lib.ta_abi_version() == 3
         _lib = lib
     except Exception as e:  # no toolchain / build failure -> oracle fallback
         _load_error = repr(e)
@@ -201,6 +203,22 @@ def to_onebit(img: np.ndarray) -> np.ndarray:
                            hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     t = oracle.otsu_from_hist(hist)
     return grey <= t
+
+
+def rotate_onebit(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Bit-identical native version of oracle.rotate_onebit (shared Q16
+    fixed-point inverse map, symmetric canvas growth)."""
+    from . import fixedpoint as fxp
+
+    _build_and_load()
+    a = _as_u8(img)
+    H, W = a.shape
+    H2, W2 = fxp.rotated_canvas(H, W, angle_deg)
+    cfix, sfix = fxp.rotation_coeffs(angle_deg)
+    out = np.zeros((H2, W2), np.uint8)
+    _lib.ta_rotate_onebit(_u8p(a), H, W, H2, W2, cfix, sfix,
+                          fxp.SCALE_BITS, _u8p(out))
+    return out.astype(bool)
 
 
 def rotation_angle_projections(img: np.ndarray, minangle: float = -6.0,

@@ -42,27 +42,34 @@ class FolioResult:
 def process_batch(folios, recognizer, seq_align_params=None,
                   backend: str = "device", preproc_params=None,
                   timer: StageTimer | None = None,
-                  existing_ocr: list | None = None) -> list[FolioResult | None]:
+                  existing_ocr: list | None = None,
+                  existing_pre: list | None = None) -> list[FolioResult | None]:
     """folios: list of (raw_image, transcript). Returns FolioResult per
     folio (None where OCR produced nothing alignable).
 
     ``existing_ocr`` optionally injects per-folio CharBox streams (stage
-    fixture hook), skipping the recognizer."""
+    fixture hook), skipping the recognizer. ``existing_pre`` injects
+    per-folio (image, angle, strips, peaks) tuples, skipping the raster
+    stage (the batched analog of process()'s existing_preproc_images)."""
     timer = timer or StageTimer(enabled=False)
     n = len(folios)
 
     # stage 1: preprocess + line identification (device-resident rasters)
-    pre = []
-    with timer("preprocess"):
-        for raw_image, _ in folios:
-            image, eroded, angle = preprocess_images(
-                np.asarray(raw_image), backend=backend, params=preproc_params
-            )
-            strips, peaks, _ = identify_text_lines(
-                image, eroded, backend=backend, params=preproc_params,
-                verbose=False,
-            )
-            pre.append((image, angle, strips, peaks))
+    if existing_pre is not None:
+        pre = list(existing_pre)
+    else:
+        pre = []
+        with timer("preprocess"):
+            for raw_image, _ in folios:
+                image, eroded, angle = preprocess_images(
+                    np.asarray(raw_image), backend=backend,
+                    params=preproc_params
+                )
+                strips, peaks, _ = identify_text_lines(
+                    image, eroded, backend=backend, params=preproc_params,
+                    verbose=False,
+                )
+                pre.append((image, angle, strips, peaks))
 
     # stage 2: one cross-folio OCR batch
     if existing_ocr is not None:

@@ -158,7 +158,7 @@ def preprocess_images(input_image, despeckle_amt: int = DESPECKLE_AMT,
     img = eng.remove_tall_ccs(img, p.sat_area_thresh)
     angle = eng.rotation_angle_projections(img, -6, 6)
     if correct_rotation:
-        img = oracle.rotate_onebit(img, angle)
+        img = eng.rotate_onebit(img, angle)
     eroded = img.copy()
     for _ in range(filter_runs):
         eroded = eng.filter_short_runs(eroded, filter_runs_amt, "black")

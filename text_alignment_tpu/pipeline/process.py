@@ -37,13 +37,17 @@ from .assemble import (
 MEDIAN_LINE_MULT = 2  # threaded but unused, as in the reference (alignToOCR.py:25,193)
 
 
-def _resolve_recognizer(ocropus_model):
+def _resolve_recognizer(ocropus_model, backend="host"):
     if ocropus_model is None:
         return None
     if isinstance(ocropus_model, str):
         from ..models.recognizer import SeqRecognizer
 
-        return SeqRecognizer.from_pyrnn(ocropus_model)
+        rec = SeqRecognizer.from_pyrnn(ocropus_model)
+        # accelerator schedules normalize lines on device too (one fused
+        # dispatch per OCR bucket); host/parity runs keep scipy lineest
+        rec.normalize_on_device = backend in ("device", "hybrid")
+        return rec
     return ocropus_model  # already a SeqRecognizer
 
 
@@ -101,7 +105,7 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
                 print("Pickle error: re-performing ocr")
 
     if not all_chars:
-        recognizer = _resolve_recognizer(ocropus_model)
+        recognizer = _resolve_recognizer(ocropus_model, backend)
         if recognizer is None:
             raise ValueError(
                 "no OCR source: pass ocropus_model, existing_ocr, or a "
