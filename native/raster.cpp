@@ -296,6 +296,57 @@ void ta_grey_histogram(const uint8_t* img, int64_t n, int64_t* hist) {
   for (int64_t i = 0; i < n; ++i) hist[img[i]]++;
 }
 
-int32_t ta_abi_version() { return 3; }
+// Extract black pixel coordinates once (row-major scan order).
+// out_xy: int32[2*max_n] interleaved (y, x). Returns count (may exceed
+// max_n; only max_n pairs written).
+int64_t ta_black_coords(const uint8_t* img, int64_t H, int64_t W,
+                        int32_t* out_xy, int64_t max_n) {
+  int64_t n = 0;
+  for (int64_t y = 0; y < H; ++y) {
+    const uint8_t* row = img + y * W;
+    for (int64_t x = 0; x < W; ++x) {
+      if (!row[x]) continue;
+      if (n < max_n) {
+        out_xy[2 * n] = (int32_t)y;
+        out_xy[2 * n + 1] = (int32_t)x;
+      }
+      ++n;
+    }
+  }
+  return n;
+}
+
+// Shear projections over precomputed black coordinates (skew refinement
+// rounds reuse one extraction). proj: int64[A*H] out, zeroed here.
+void ta_shear_projections_coords(const int32_t* xy, int64_t n,
+                                 const int32_t* shifts, int64_t A,
+                                 int64_t H, int64_t W, int64_t* proj) {
+  for (int64_t i = 0; i < A * H; ++i) proj[i] = 0;
+  for (int64_t a = 0; a < A; ++a) {
+    const int32_t* sh = shifts + a * W;
+    int64_t* p = proj + a * H;
+    for (int64_t k = 0; k < n; ++k) {
+      int64_t y = (int64_t)xy[2 * k] - sh[xy[2 * k + 1]];
+      if (y >= 0 && y < H) p[y]++;
+    }
+  }
+}
+
+// Fused preprocessing stage 1 (textAlignPreprocessing.py:166-178), in
+// place on a uint8 page: despeckle black CCs (area <= k), despeckle white
+// CCs (area <= k, the reference's invert-despeckle-invert), then remove
+// CCs taller than sat_thresh rows (the nrows-as-area quirk). One native
+// call instead of three Python round-trips with bool<->u8 copies.
+void ta_preproc_stage1(uint8_t* img, int64_t H, int64_t W, int64_t k,
+                       int64_t sat_thresh) {
+  ta_despeckle(img, H, W, k);
+  // white despeckle: invert in place, despeckle, invert back
+  for (int64_t i = 0; i < H * W; ++i) img[i] = !img[i];
+  ta_despeckle(img, H, W, k);
+  for (int64_t i = 0; i < H * W; ++i) img[i] = !img[i];
+  ta_remove_tall(img, H, W, sat_thresh);
+}
+
+int32_t ta_abi_version() { return 4; }
 
 }  // extern "C"

@@ -108,3 +108,18 @@ def test_rotate_onebit(rng):
             host_native.rotate_onebit(img, ang),
             oracle.rotate_onebit(img, ang),
         )
+
+
+def test_preproc_stage1_fused(rng):
+    img = _page(rng, h=120, w=160, density=0.25)
+    ref = oracle.despeckle(img, 8)
+    ref = ~oracle.despeckle(~ref, 8)
+    ref = oracle.remove_tall_ccs(ref, 10)
+    np.testing.assert_array_equal(host_native.preproc_stage1(img, 8, 10), ref)
+
+
+def test_skew_coords_matches_oracle(rng):
+    img = _page(rng, h=150, w=220, density=0.15)
+    assert host_native.rotation_angle_projections(
+        img, -6, 6
+    ) == oracle.rotation_angle_projections(img, -6, 6)

@@ -69,7 +69,12 @@ def _build_and_load():
         lib.ta_grey_histogram.argtypes = [u8p, i64, i64p]
         lib.ta_rotate_onebit.argtypes = [u8p, i64, i64, i64, i64, i32, i32,
                                          i32, u8p]
-        assert lib.ta_abi_version() == 3
+        lib.ta_black_coords.restype = i64
+        lib.ta_black_coords.argtypes = [u8p, i64, i64, i32p, i64]
+        lib.ta_shear_projections_coords.argtypes = [i32p, i64, i32p, i64,
+                                                    i64, i64, i64p]
+        lib.ta_preproc_stage1.argtypes = [u8p, i64, i64, i64, i64]
+        assert lib.ta_abi_version() == 4
         _lib = lib
     except Exception as e:  # no toolchain / build failure -> oracle fallback
         _load_error = repr(e)
@@ -224,20 +229,55 @@ def rotate_onebit(img: np.ndarray, angle_deg: float) -> np.ndarray:
 def rotation_angle_projections(img: np.ndarray, minangle: float = -6.0,
                                maxangle: float = 6.0) -> float:
     """Coarse-to-fine skew estimate; same grid/criterion/first-max rule as
-    oracle.rotation_angle_projections, with the shear-projection inner loop
-    in native code (one page pass per refinement round)."""
+    oracle.rotation_angle_projections. All angle/shift math stays in
+    Python (bit-identical grids); the native side extracts the black
+    coordinates ONCE and replays them per candidate angle — each
+    refinement round costs O(#ink * angles) instead of O(H * W * angles)."""
     from . import fixedpoint as fxp
     from .oracle import criterion_from_projections
 
+    _build_and_load()
     a = _as_u8(img)
-    W = a.shape[1]
+    H, W = a.shape
+    max_n = max(1024, (H * W) // 4)  # pages are ~5-10% ink
+    xy = np.empty(2 * max_n, np.int32)
+    n = int(_lib.ta_black_coords(
+        _u8p(a), H, W,
+        xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_n,
+    ))
+    if n > max_n:  # unusually dense page: one exact retry
+        max_n = n
+        xy = np.empty(2 * max_n, np.int32)
+        n = int(_lib.ta_black_coords(
+            _u8p(a), H, W,
+            xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_n,
+        ))
     best, step, lo, hi = 0.0, 1.0, minangle, maxangle
     for _ in range(3):
         cands = fxp.angle_grid(lo, hi, step)
-        shifts = np.stack([fxp.shear_shifts(ang, W) for ang in cands])
-        projs = shear_projections(a, shifts)
+        shifts = np.ascontiguousarray(
+            np.stack([fxp.shear_shifts(ang, W) for ang in cands]), np.int32
+        )
+        projs = np.zeros((len(cands), H), np.int64)
+        _lib.ta_shear_projections_coords(
+            xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+            shifts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(cands), H, W,
+            projs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
         scores = criterion_from_projections(projs)
         best = cands[int(np.argmax(scores))]
         lo, hi = best - step * 0.9, best + step * 0.9
         step /= 10.0
     return float(best)
+
+
+def preproc_stage1(img: np.ndarray, despeckle_amt: int,
+                   sat_area_thresh: int) -> np.ndarray:
+    """Fused despeckle(black) -> despeckle(white) -> remove-tall in one
+    native call (textAlignPreprocessing.py:166-178 semantics)."""
+    _build_and_load()
+    a = _as_u8(img)
+    _lib.ta_preproc_stage1(_u8p(a), a.shape[0], a.shape[1],
+                           despeckle_amt, sat_area_thresh)
+    return a.astype(bool)

@@ -153,9 +153,12 @@ def preprocess_images(input_image, despeckle_amt: int = DESPECKLE_AMT,
 
     eng = _raster_engine(backend)
     img = eng.to_onebit(input_image)
-    img = eng.despeckle(img, despeckle_amt)
-    img = ~eng.despeckle(~img, despeckle_amt)
-    img = eng.remove_tall_ccs(img, p.sat_area_thresh)
+    if hasattr(eng, "preproc_stage1"):
+        img = eng.preproc_stage1(img, despeckle_amt, p.sat_area_thresh)
+    else:
+        img = eng.despeckle(img, despeckle_amt)
+        img = ~eng.despeckle(~img, despeckle_amt)
+        img = eng.remove_tall_ccs(img, p.sat_area_thresh)
     angle = eng.rotation_angle_projections(img, -6, 6)
     if correct_rotation:
         img = eng.rotate_onebit(img, angle)
