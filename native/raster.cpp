@@ -42,52 +42,98 @@ struct UF {
   }
 };
 
+// one horizontal run of black pixels: [xs, xe) on row y
+struct Run {
+  int32_t y, xs, xe, prov;
+};
+
+// Run-based 8-connected labeling: extract black runs per row, unite runs
+// that touch runs of the previous row (8-connectivity widens the overlap
+// window by one pixel each side), then paint labels run-by-run. Pages are
+// ~5-10% ink, so this visits ~n_runs << H*W union-find nodes and the
+// remaining work is sequential memory sweeps. Scan-order label ids (1..n),
+// identical to the per-pixel two-pass labeling it replaces.
+int32_t label_runs(const uint8_t* img, int64_t H, int64_t W,
+                   std::vector<Run>& runs, std::vector<int64_t>& row_start,
+                   UF& uf) {
+  runs.clear();
+  row_start.assign(H + 1, 0);
+  for (int64_t y = 0; y < H; ++y) {
+    const uint8_t* row = img + y * W;
+    row_start[y] = (int64_t)runs.size();
+    int64_t x = 0;
+    while (x < W) {
+      if (!row[x]) {
+        ++x;
+        continue;
+      }
+      int64_t s = x;
+      while (x < W && row[x]) ++x;
+      runs.push_back({(int32_t)y, (int32_t)s, (int32_t)x, -1});
+    }
+  }
+  row_start[H] = (int64_t)runs.size();
+
+  uf.parent.clear();
+  uf.parent.reserve(runs.size());
+  for (int64_t y = 0; y < H; ++y) {
+    int64_t pi = (y > 0) ? row_start[y - 1] : 0;
+    const int64_t pe = (y > 0) ? row_start[y] : 0;
+    for (int64_t k = row_start[y]; k < row_start[y + 1]; ++k) {
+      Run& r = runs[k];
+      int32_t best = -1;
+      // advance pi past previous-row runs that end left of our window
+      while (pi < pe && runs[pi].xe < r.xs) ++pi;
+      for (int64_t q = pi; q < pe && runs[q].xs <= r.xe; ++q) {
+        int32_t p = runs[q].prov;
+        if (best < 0) best = p;
+        else uf.unite(best, p);
+      }
+      if (best < 0) best = uf.make();
+      r.prov = best;
+    }
+  }
+  return (int32_t)runs.size();
+}
+
+// renumber provisional run labels in scan order of first occurrence;
+// returns component count and fills runs[k].prov with final 1-based ids.
+int32_t renumber_runs(std::vector<Run>& runs, UF& uf) {
+  std::vector<int32_t> remap(uf.parent.size(), 0);
+  int32_t n = 0;
+  for (auto& r : runs) {
+    int32_t root = uf.find(r.prov);
+    if (remap[root] == 0) remap[root] = ++n;
+    r.prov = remap[root];
+  }
+  return n;
+}
+
 // two-pass 8-connected labeling; fills labels (H*W int32, 0 = background),
 // returns number of components. Scan-order label ids (1..n).
 int32_t label_impl(const uint8_t* img, int64_t H, int64_t W,
                    int32_t* labels) {
+  std::vector<Run> runs;
+  std::vector<int64_t> row_start;
   UF uf;
-  uf.parent.reserve(1024);
-  std::vector<int32_t> prov(H * W, -1);
-
-  for (int64_t y = 0; y < H; ++y) {
-    const uint8_t* row = img + y * W;
-    int32_t* prow = prov.data() + y * W;
-    const int32_t* prev = prov.data() + (y - 1) * W;
-    for (int64_t x = 0; x < W; ++x) {
-      if (!row[x]) continue;
-      int32_t best = -1;
-      // west
-      if (x > 0 && prow[x - 1] >= 0) best = prow[x - 1];
-      if (y > 0) {
-        for (int64_t dx = -1; dx <= 1; ++dx) {
-          int64_t xx = x + dx;
-          if (xx < 0 || xx >= W) continue;
-          int32_t p = prev[xx];
-          if (p < 0) continue;
-          if (best < 0) best = p;
-          else uf.unite(best, p);
-        }
-      }
-      if (best < 0) best = uf.make();
-      prow[x] = best;
-    }
-  }
-
-  // compress + renumber in scan order of first occurrence
-  std::vector<int32_t> remap(uf.parent.size(), 0);
-  int32_t n = 0;
-  for (int64_t i = 0; i < H * W; ++i) {
-    int32_t p = prov[i];
-    if (p < 0) {
-      labels[i] = 0;
-      continue;
-    }
-    int32_t r = uf.find(p);
-    if (remap[r] == 0) remap[r] = ++n;
-    labels[i] = remap[r];
+  label_runs(img, H, W, runs, row_start, uf);
+  int32_t n = renumber_runs(runs, uf);
+  std::memset(labels, 0, sizeof(int32_t) * (size_t)(H * W));
+  for (const auto& r : runs) {
+    int32_t* dst = labels + (int64_t)r.y * W;
+    for (int32_t x = r.xs; x < r.xe; ++x) dst[x] = r.prov;
   }
   return n;
+}
+
+// clear (fill white) every run whose component satisfies pred(comp id)
+template <class Pred>
+void clear_runs_if(uint8_t* img, int64_t W, const std::vector<Run>& runs,
+                   Pred pred) {
+  for (const auto& r : runs) {
+    if (!pred(r.prov)) continue;
+    std::memset(img + (int64_t)r.y * W + r.xs, 0, (size_t)(r.xe - r.xs));
+  }
 }
 
 }  // namespace
@@ -102,22 +148,24 @@ int32_t ta_cc_label(const uint8_t* img, int64_t H, int64_t W,
 
 // table: int64[max_ccs*5] out rows (uly, lry, ulx, lrx, area).
 // returns count (may exceed max_ccs; only max_ccs rows written).
+// Run-based: stats accumulate over runs, never a full label map.
 int32_t ta_cc_stats(const uint8_t* img, int64_t H, int64_t W,
                     int64_t* table, int32_t max_ccs) {
-  std::vector<int32_t> labels(H * W);
-  int32_t n = label_impl(img, H, W, labels.data());
+  std::vector<Run> runs;
+  std::vector<int64_t> row_start;
+  UF uf;
+  label_runs(img, H, W, runs, row_start, uf);
+  int32_t n = renumber_runs(runs, uf);
   std::vector<int64_t> uly(n + 1, INT64_MAX), lry(n + 1, -1),
       ulx(n + 1, INT64_MAX), lrx(n + 1, -1), area(n + 1, 0);
-  for (int64_t y = 0; y < H; ++y)
-    for (int64_t x = 0; x < W; ++x) {
-      int32_t l = labels[y * W + x];
-      if (!l) continue;
-      if (y < uly[l]) uly[l] = y;
-      if (y > lry[l]) lry[l] = y;
-      if (x < ulx[l]) ulx[l] = x;
-      if (x > lrx[l]) lrx[l] = x;
-      area[l]++;
-    }
+  for (const auto& r : runs) {
+    int32_t l = r.prov;
+    if (r.y < uly[l]) uly[l] = r.y;
+    if (r.y > lry[l]) lry[l] = r.y;
+    if (r.xs < ulx[l]) ulx[l] = r.xs;
+    if (r.xe - 1 > lrx[l]) lrx[l] = r.xe - 1;
+    area[l] += r.xe - r.xs;
+  }
   int32_t rows = n < max_ccs ? n : max_ccs;
   for (int32_t k = 1; k <= rows; ++k) {
     int64_t* r = table + (int64_t)(k - 1) * 5;
@@ -128,40 +176,43 @@ int32_t ta_cc_stats(const uint8_t* img, int64_t H, int64_t W,
 
 // remove black CCs with area <= k, in place.
 void ta_despeckle(uint8_t* img, int64_t H, int64_t W, int64_t k) {
-  std::vector<int32_t> labels(H * W);
-  int32_t n = label_impl(img, H, W, labels.data());
+  std::vector<Run> runs;
+  std::vector<int64_t> row_start;
+  UF uf;
+  label_runs(img, H, W, runs, row_start, uf);
+  int32_t n = renumber_runs(runs, uf);
   std::vector<int64_t> area(n + 1, 0);
-  for (int64_t i = 0; i < H * W; ++i) area[labels[i]]++;
-  for (int64_t i = 0; i < H * W; ++i)
-    if (labels[i] && area[labels[i]] <= k) img[i] = 0;
+  for (const auto& r : runs) area[r.prov] += r.xe - r.xs;
+  clear_runs_if(img, W, runs, [&](int32_t l) { return area[l] <= k; });
 }
 
 // remove CCs with area < min_area (fill_white small-CC pass), in place.
 void ta_remove_small(uint8_t* img, int64_t H, int64_t W, int64_t min_area) {
-  std::vector<int32_t> labels(H * W);
-  int32_t n = label_impl(img, H, W, labels.data());
+  std::vector<Run> runs;
+  std::vector<int64_t> row_start;
+  UF uf;
+  label_runs(img, H, W, runs, row_start, uf);
+  int32_t n = renumber_runs(runs, uf);
   std::vector<int64_t> area(n + 1, 0);
-  for (int64_t i = 0; i < H * W; ++i) area[labels[i]]++;
-  for (int64_t i = 0; i < H * W; ++i)
-    if (labels[i] && area[labels[i]] < min_area) img[i] = 0;
+  for (const auto& r : runs) area[r.prov] += r.xe - r.xs;
+  clear_runs_if(img, W, runs, [&](int32_t l) { return area[l] < min_area; });
 }
 
 // remove CCs whose row count exceeds max_nrows, in place.
 void ta_remove_tall(uint8_t* img, int64_t H, int64_t W, int64_t max_nrows) {
-  std::vector<int32_t> labels(H * W);
-  int32_t n = label_impl(img, H, W, labels.data());
+  std::vector<Run> runs;
+  std::vector<int64_t> row_start;
+  UF uf;
+  label_runs(img, H, W, runs, row_start, uf);
+  int32_t n = renumber_runs(runs, uf);
   std::vector<int64_t> rmin(n + 1, INT64_MAX), rmax(n + 1, -1);
-  for (int64_t y = 0; y < H; ++y)
-    for (int64_t x = 0; x < W; ++x) {
-      int32_t l = labels[y * W + x];
-      if (!l) continue;
-      if (y < rmin[l]) rmin[l] = y;
-      if (y > rmax[l]) rmax[l] = y;
-    }
-  for (int64_t i = 0; i < H * W; ++i) {
-    int32_t l = labels[i];
-    if (l && (rmax[l] - rmin[l] + 1) > max_nrows) img[i] = 0;
+  for (const auto& r : runs) {
+    if (r.y < rmin[r.prov]) rmin[r.prov] = r.y;
+    if (r.y > rmax[r.prov]) rmax[r.prov] = r.y;
   }
+  clear_runs_if(img, W, runs, [&](int32_t l) {
+    return (rmax[l] - rmin[l] + 1) > max_nrows;
+  });
 }
 
 // remove runs of `color` (1=black, 0=white) with length < k along `axis`

@@ -213,7 +213,10 @@ def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
                       else jnp.float32) / jnp.maximum(dcnt, 1)
     mad = jnp.where(dcnt > 0, mad, hf / 4.0)
     r = (1.0 + _RANGE * mad).astype(jnp.int32)  # (B,), truncation
-    r = jnp.maximum(r, 1)
+    # clamp to Hp: the matmul dewarp below covers 2r <= 2*Hp rows; r > Hp
+    # only occurs for degenerate strips (ink scattered to the extreme rows)
+    # where the dewarped window is mostly background anyway
+    r = jnp.clip(r, 1, Hp)
 
     # -- dewarp + zoom fused gather --
     # dewarped[v, x] = padded(grey)[center[x] - r + v, x], v in [0, 2r);
@@ -225,45 +228,88 @@ def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
     t_raw = jnp.clip(t_raw, 0, t_cap)
     t_raw = jnp.where(blank, 0, t_raw)
 
-    u_idx = jnp.arange(target_height, dtype=jnp.float32)  # out rows
-    t_idx = jnp.arange(t_cap, dtype=jnp.float32)          # out cols
+    # The dewarp+zoom is gather-hostile on TPU (25M 2-D gathers lower to
+    # select chains / slow scatter-gather). Reformulate as matmuls:
+    #   1. circular-roll every column by s[x] = center[x] - r (7 masked
+    #      rolls, elementwise) so the dewarp window starts at row 0;
+    #   2. row interpolation = one-hot (B, 48, 2Hp) matmul against the
+    #      masked/tiled aligned image (the MXU eats this);
+    #   3. column interpolation = one-hot (B, Wp, t_cap) matmul, chunked
+    #      over the batch to bound the one-hot matrix memory.
+    # Bilinear weights factor exactly across the two matmuls; only float
+    # summation order differs from the 4-corner gather formulation.
+    J = 2 * Hp
+    s = center - r[:, None]                      # (B, Wp) window start
+    t_mod = jnp.mod(s, Hp)
+    aligned = grey
+    k = 1
+    while k < Hp:
+        bit = (t_mod & k) != 0
+        aligned = jnp.where(bit[:, None, :], jnp.roll(aligned, -k, axis=1),
+                            aligned)
+        k *= 2
+    # aligned[j, x] = grey[(j + s[x]) mod Hp, x]; tile to cover j < 2Hp
+    tiled = jnp.concatenate([aligned, aligned], axis=1)  # (B, J, Wp)
+    j_idx = jnp.arange(J, dtype=jnp.int32)
+    true_row = j_idx[None, :, None] + s[:, None, :]      # (B, J, Wp)
+    inb = (
+        (true_row >= 0)
+        & (true_row < hs[:, None, None])
+        & (x_idx[None, None, :] < ws[:, None, None])
+    )
+    masked = jnp.where(inb, tiled, mx[:, None, None])
 
-    def one_strip(g, h, w, cen, rr, tr, m):
-        # source coordinates (scipy zoom: o * (in-1)/(out-1))
-        in_h = 2 * rr
-        src_v = u_idx * (in_h - 1).astype(jnp.float32) / (target_height - 1)
-        denom = jnp.maximum(tr - 1, 1).astype(jnp.float32)
-        src_x = t_idx * (w - 1).astype(jnp.float32) / denom
-        v0 = jnp.floor(src_v).astype(jnp.int32)
-        x0 = jnp.floor(src_x).astype(jnp.int32)
-        fv = src_v - v0.astype(jnp.float32)
-        fx = src_x - x0.astype(jnp.float32)
+    # row-interp one-hot bank (scipy zoom coords: u * (in-1)/(out-1))
+    u_idx = jnp.arange(target_height, dtype=jnp.float32)
+    in_h = (2 * r).astype(jnp.float32)
+    src_v = u_idx[None, :] * (in_h[:, None] - 1) / (target_height - 1)
+    v0 = jnp.floor(src_v).astype(jnp.int32)
+    fv = src_v - v0.astype(jnp.float32)
+    Rv = (j_idx[None, None, :] == v0[..., None]) * (1 - fv[..., None]) + (
+        j_idx[None, None, :] == (v0 + 1)[..., None]
+    ) * fv[..., None]
+    out1 = jnp.einsum("buj,bjx->bux", Rv.astype(jnp.float32), masked,
+                      precision=_HI)  # (B, 48, Wp)
 
-        def at(v, x):
-            # dewarped(v, x) = grey[cen[x] - rr + v, x] with cval = m
-            xc = jnp.clip(x, 0, Wp - 1)
-            row = cen[xc] - rr + v
-            inb = (row >= 0) & (row < h) & (x >= 0) & (x < w)
-            rowc = jnp.clip(row, 0, Hp - 1)
-            return jnp.where(inb, g[rowc, xc], m)
+    # column-interp one-hot bank, chunked over the batch
+    t_idx = jnp.arange(t_cap, dtype=jnp.float32)
+    denom = jnp.maximum(t_raw - 1, 1).astype(jnp.float32)
+    src_x = t_idx[None, :] * (ws - 1).astype(jnp.float32)[:, None] / denom[:, None]
+    x0 = jnp.floor(src_x).astype(jnp.int32)
+    fx = src_x - x0.astype(jnp.float32)
 
-        V0 = v0[:, None]
-        X0 = x0[None, :]
-        z = (
-            at(V0, X0) * (1 - fv[:, None]) * (1 - fx[None, :])
-            + at(V0 + 1, X0) * fv[:, None] * (1 - fx[None, :])
-            + at(V0, X0 + 1) * (1 - fv[:, None]) * fx[None, :]
-            + at(V0 + 1, X0 + 1) * fv[:, None] * fx[None, :]
-        )  # (target_height, t_cap)
-        tmask = jnp.arange(t_cap, dtype=jnp.int32)[None, :] < tr
-        z = jnp.where(tmask, z, 0.0)
-        zmax = jnp.max(jnp.where(tmask, z, NEG))
-        zmax = jnp.where(tr > 0, zmax, 1.0)
-        # prepare_line: scale to [0,1] then invert (amax of scaled == 1)
-        frames_core = jnp.where(tmask, 1.0 - z / zmax, 0.0)
-        return frames_core.T  # (t_cap, target_height)
+    def col_chunk(args):
+        o1, x0c, fxc = args
+        xi = jnp.arange(Wp, dtype=jnp.int32)[None, :, None]
+        Cx = (xi == x0c[:, None, :]) * (1 - fxc[:, None, :]) + (
+            xi == (x0c + 1)[:, None, :]
+        ) * fxc[:, None, :]
+        return jnp.einsum("bux,bxt->but", o1, Cx.astype(jnp.float32),
+                          precision=_HI)
 
-    frames_core = jax.vmap(one_strip)(grey, hs, ws, center, r, t_raw, mx)
+    CH = min(8, B)
+    nch = (B + CH - 1) // CH
+    Bp = nch * CH
+    pad_b = Bp - B
+    o1p = jnp.pad(out1, ((0, pad_b), (0, 0), (0, 0)))
+    x0p = jnp.pad(x0, ((0, pad_b), (0, 0)))
+    fxp_ = jnp.pad(fx, ((0, pad_b), (0, 0)))
+    z = jax.lax.map(
+        col_chunk,
+        (
+            o1p.reshape(nch, CH, target_height, Wp),
+            x0p.reshape(nch, CH, t_cap),
+            fxp_.reshape(nch, CH, t_cap),
+        ),
+    ).reshape(Bp, target_height, t_cap)[:B]
+
+    tmask = jnp.arange(t_cap, dtype=jnp.int32)[None, None, :] < t_raw[:, None, None]
+    z = jnp.where(tmask, z, 0.0)
+    zmax = jnp.max(jnp.where(tmask, z, NEG), axis=(1, 2))
+    zmax = jnp.where(t_raw > 0, zmax, 1.0)
+    # prepare_line: scale to [0,1] then invert (amax of scaled == 1)
+    frames_core = jnp.where(tmask, 1.0 - z / zmax[:, None, None], 0.0)
+    frames_core = jnp.swapaxes(frames_core, 1, 2)  # (B, t_cap, 48)
     frames = jnp.zeros((B, t_max, target_height), jnp.float32)
     frames = jax.lax.dynamic_update_slice(
         frames, frames_core, (0, pad, 0)

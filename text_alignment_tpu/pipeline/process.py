@@ -134,11 +134,20 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
         )
         if nw_backend == "jax" and backend == "hybrid":
             # hybrid on a CPU-only runtime: the numpy fill beats paying an
-            # XLA scan compile for every new size bucket
-            import jax as _jax
+            # XLA scan compile for every new size bucket. Decided from the
+            # pinned platform config, NOT jax.default_backend() — backend
+            # initialization can block for tens of seconds on this runtime
+            # and must not be forced on a pure-host code path.
+            import os as _os
 
-            if _jax.default_backend() == "cpu":
+            _plat = (_os.environ.get("JAX_PLATFORMS") or "").split(",")[0]
+            if _plat == "cpu":
                 nw_backend = "host"
+            elif not _plat:
+                import jax as _jax
+
+                if _jax.default_backend() == "cpu":
+                    nw_backend = "host"
         tra_align, ocr_align = perform_alignment(
             list(transcript), list(ocr), scoring_system=seq_align_params,
             verbose=False, backend=nw_backend,
