@@ -35,7 +35,7 @@ import numpy as np
 
 BENCH_SEED = 1234
 N_DEVICE_FOLIOS = 6
-N_BASELINE_FOLIOS = 1
+N_BASELINE_FOLIOS = 3  # median of 3: the host vCPU is bursty (5-20 s swings)
 DEVICE_BACKEND = os.environ.get("TEXT_ALIGNMENT_TPU_BENCH_BACKEND", "hybrid")
 
 
@@ -229,15 +229,20 @@ def main():
         return orig(t, o, scoring_system=scoring_system, verbose=verbose,
                     backend="reference")
 
-    t0 = time.perf_counter()
+    times = []
     proc_mod.perform_alignment = ref_nw_alignment
     try:
         for i in range(N_BASELINE_FOLIOS):
-            folio_flow(pages[i], ocrs[i], base_rec, backend="host")
+            t0 = time.perf_counter()
+            folio_flow(pages[i % len(pages)], ocrs[i % len(ocrs)], base_rec,
+                       backend="host")
+            times.append(time.perf_counter() - t0)
     finally:
         proc_mod.perform_alignment = orig
-    base_dt = (time.perf_counter() - t0) / N_BASELINE_FOLIOS
-    print(f"# cpu baseline: {base_dt*1e3:.0f} ms/folio", file=sys.stderr)
+    base_dt = float(np.median(times))
+    print(f"# cpu baseline: {base_dt*1e3:.0f} ms/folio "
+          f"(median of {N_BASELINE_FOLIOS}: "
+          f"{['%.1fs' % t for t in times]})", file=sys.stderr)
 
     try:
         gcups = nw_gcups_stress()

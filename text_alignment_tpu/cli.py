@@ -136,6 +136,48 @@ def cmd_evaluate(args):
     return 0
 
 
+def cmd_mei(args):
+    """Enrich a raw MEI file with aligned syllable text + zones
+    (writeToMEI.py:148-214 workflow as a real CLI)."""
+    import numpy as np
+
+    from .mei import parse_mei, add_text_to_mei_file, charboxes_to_tuples
+    from .pipeline import process
+    from .textio import read_file
+
+    transcript = read_file(args.transcript)
+    raw_image = _load_image(args.image)
+    with open(args.mei) as f:
+        tree = parse_mei(f.read())
+
+    result = process(
+        raw_image,
+        transcript,
+        ocropus_model=args.model,
+        existing_ocr_pickle=args.ocr_pickle,
+        backend=args.backend,
+        verbose=args.verbose,
+    )
+    if result is None:
+        print("alignment produced no syllables; MEI left unmodified")
+        return 1
+    syl_boxes, _, lines_peak_locs, _ = result
+    med_line_spacing = float(np.quantile(np.diff(lines_peak_locs), 0.75))
+
+    tree, all_bboxes, _ = add_text_to_mei_file(
+        tree, charboxes_to_tuples(syl_boxes), med_line_spacing
+    )
+    tree.write(args.out)
+    print("wrote {}".format(args.out))
+
+    if args.overlay:
+        from .pipeline.render import draw_boxes_on_page
+
+        draw_boxes_on_page(raw_image, all_bboxes, args.overlay)
+        print("wrote {}".format(args.overlay))
+    return 0
+
+
 def cmd_train(args):
     from .models.codec import Codec
     from .models.train import Trainer, batch_lines
@@ -226,6 +268,21 @@ def main(argv=None):
     e.add_argument("--backend", default="host",
                    choices=["host", "hybrid", "device"])
     e.set_defaults(func=cmd_evaluate)
+
+    m = sub.add_parser(
+        "mei", help="enrich a raw MEI file with aligned syllable text"
+    )
+    m.add_argument("--transcript", required=True)
+    m.add_argument("--image", required=True, help="text layer PNG")
+    m.add_argument("--mei", required=True, help="raw MEI input")
+    m.add_argument("--out", required=True, help="enriched MEI output path")
+    m.add_argument("--model", default=None)
+    m.add_argument("--ocr-pickle", default=None)
+    m.add_argument("--overlay", default=None, help="debug overlay PNG path")
+    m.add_argument("--backend", default="hybrid",
+                   choices=["host", "hybrid", "device"])
+    m.add_argument("--verbose", action="store_true")
+    m.set_defaults(func=cmd_mei)
 
     t = sub.add_parser("train", help="train a CTC line recognizer")
     t.add_argument("--lines-dir", required=True,

@@ -57,6 +57,23 @@ def draw_results_on_page(image, syl_boxes, lines_peak_locs, out_path=None):
     return im
 
 
+def draw_boxes_on_page(image, bboxes, out_path=None, assign_lines=None):
+    """MEI-enrichment debug overlay (writeToMEI.py:186-213): the zone
+    bboxes assigned to syllable text, plus optional assignment lines."""
+    from PIL import ImageDraw
+
+    im = _to_pil_grey(image)
+    draw = ImageDraw.Draw(im)
+    for ulx, uly, lrx, lry in bboxes:
+        draw.rectangle([int(ulx), int(uly), int(lrx), int(lry)],
+                       outline="black")
+    for line in assign_lines or []:
+        draw.line([int(v) for v in line], fill="gray", width=3)
+    if out_path:
+        im.save(out_path)
+    return im
+
+
 def save_preproc_image(image, cc_strips, lines_peak_locs, out_path=None):
     """Render detected strips + peaks (textAlignPreprocessing.py:425-448)."""
     from PIL import ImageDraw
