@@ -92,3 +92,34 @@ def test_process_batch_device_backend():
                         preproc_params=SYNTH_PARAMS, existing_ocr=injected)
     for h, d in zip(host, dev):
         assert h.json_dict == d.json_dict
+
+
+def test_sharded_recognizer_matches_single_device():
+    """OCR decode is identical whether the strip batch runs on one device
+    or sharded over the 8-way mesh (data parallelism, no collectives)."""
+    import jax
+    import numpy as np
+    from text_alignment_tpu.parallel import make_mesh
+    from text_alignment_tpu.models.lstm_jax import init_bilstm
+    from text_alignment_tpu.models.recognizer import SeqRecognizer
+    from text_alignment_tpu.models.codec import Codec
+    from text_alignment_tpu.synth import make_page
+    from text_alignment_tpu.pipeline.preprocess import (
+        preprocess_images,
+        identify_text_lines,
+    )
+
+    page = make_page(np.random.default_rng(11), n_lines=4, words_per_line=2,
+                     H=700, W=600, char_h=45, char_w=28, gap=5, space_w=35,
+                     line_spacing=140, speckles=20, margin_x=25, angle=0.0)
+    image, eroded, _ = preprocess_images(page.image, backend="host")
+    strips, _, _ = identify_text_lines(image, eroded, backend="host",
+                                       verbose=False)
+    codec = Codec()
+    params = init_bilstm(jax.random.PRNGKey(3), 48, 100, len(codec))
+    mesh = make_mesh(8)
+    rec1 = SeqRecognizer(params, codec, normalize_on_device=True)
+    rec8 = SeqRecognizer(params, codec, normalize_on_device=True, mesh=mesh)
+    rows1 = rec1.recognize_batch([s.img for s in strips])
+    rows8 = rec8.recognize_batch([s.img for s in strips])
+    assert rows1 == rows8

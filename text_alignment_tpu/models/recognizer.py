@@ -73,7 +73,7 @@ class SeqRecognizer:
 
     def __init__(self, params: BiLSTMParams, codec: Codec,
                  target_height: int = 48, pad: int = DEFAULT_PAD,
-                 normalize_on_device: bool = False):
+                 normalize_on_device: bool = False, mesh=None):
         """``normalize_on_device=True`` runs line normalization on the
         accelerator too (models.lineest_jax): the whole OCR stage becomes
         one dispatch + one small download per bucket. Frames match the
@@ -85,6 +85,9 @@ class SeqRecognizer:
         self.target_height = target_height
         self.pad = pad
         self.normalize_on_device = normalize_on_device
+        # optional jax.sharding.Mesh: shard the batch over its 'data' axis
+        # (parallel.infer_dp) — the multi-chip serving path
+        self.mesh = mesh
 
     @classmethod
     def from_pyrnn(cls, path: str) -> "SeqRecognizer":
@@ -194,14 +197,23 @@ class SeqRecognizer:
             hs[b], ws[b] = h, w
         packed_bits = bits.view(np.int32).reshape(B, Hp, Wp // 32)
 
-        packed = np.asarray(
-            _recognize_device(
-                self.params, jnp.asarray(packed_bits), jnp.asarray(hs),
-                jnp.asarray(ws), t_max=t_max,
+        if self.mesh is not None:
+            from ..parallel.infer_dp import recognize_sharded
+
+            packed = recognize_sharded(
+                self.params, packed_bits, hs, ws, self.mesh, t_max=t_max,
                 target_height=self.target_height, pad=self.pad,
                 max_regions=_MAX_REGIONS,
             )
-        )
+        else:
+            packed = np.asarray(
+                _recognize_device(
+                    self.params, jnp.asarray(packed_bits), jnp.asarray(hs),
+                    jnp.asarray(ws), t_max=t_max,
+                    target_height=self.target_height, pad=self.pad,
+                    max_regions=_MAX_REGIONS,
+                )
+            )
         R = _MAX_REGIONS
         for i in range(len(strips)):
             cnt, length = int(packed[i, 0]), int(packed[i, 1])
