@@ -162,7 +162,7 @@ def _traceback_ops(packed, Nt, No, P):
 
     def body(st):
         xpt, ypt, mpt, k, ops = st
-        for _ in range(4):
+        for _ in range(8):
             active = (xpt > 0) & (ypt > 0)
             ops = ops.at[k].set(mpt.astype(jnp.uint8))
             cell = packed[xpt + ypt, xpt]

@@ -38,8 +38,15 @@ from jax.experimental.pallas import tpu as pltpu
 from .scoring import Scoring, BOUNDARY_GAP_EXTEND
 
 _INT_NEG = -(2**30)
-CHUNK = 256  # anti-diagonals per grid step
 LANE = 128
+_BLOCK_VMEM_BUDGET = 2 << 20  # bytes for the pointer output block
+
+
+def _chunk_for(L: int) -> int:
+    """Anti-diagonals per grid step: large enough to amortize grid-step
+    overhead, small enough that the (CHUNK, L) uint8 output block stays
+    within a VMEM budget at long-sequence sizes."""
+    return max(32, min(256, _BLOCK_VMEM_BUDGET // max(L, 1)))
 
 
 def _bucket(n: int) -> int:
@@ -68,7 +75,13 @@ def _first_max3(a, b, c):
     return v, p
 
 
-def _nw_kernel(params_ref, o_ref, t_ref, out_ref, state):
+def _make_nw_kernel(chunk: int):
+    def _nw_kernel(params_ref, o_ref, t_ref, out_ref, state):
+        _nw_kernel_body(params_ref, o_ref, t_ref, out_ref, state, chunk)
+    return _nw_kernel
+
+
+def _nw_kernel_body(params_ref, o_ref, t_ref, out_ref, state, CHUNK):
     """One grid step: CHUNK diagonals.
 
     params_ref: SMEM (8,) int32 [match, mismatch, gox+gex, goy+gey, gex,
@@ -155,9 +168,10 @@ def _nw_kernel(params_ref, o_ref, t_ref, out_ref, state):
 def _fill_pallas(t_ext2d, o_feed, params, L, NoP, interpret=False):
     R = L // LANE
     D = L + NoP - 1
+    CHUNK = _chunk_for(L)
     G = (D + CHUNK - 1) // CHUNK
     out = pl.pallas_call(
-        _nw_kernel,
+        _make_nw_kernel(CHUNK),
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params, whole array
@@ -193,6 +207,7 @@ def _prepare(transcript, ocr, sc: Scoring):
     L = _bucket(Nt)
     NoP = _bucket(No)
     D = L + NoP - 1
+    CHUNK = _chunk_for(L)
     G = (D + CHUNK - 1) // CHUNK
 
     t_ext = np.zeros(L, np.int32)

@@ -82,6 +82,7 @@ def cmd_align(args):
             backend=args.backend,
             verbose=args.verbose,
             timer=timer,
+            stage_cache=args.cache_dir,
         )
         if result is None:
             continue
@@ -252,6 +253,8 @@ def main(argv=None):
     a.add_argument("--folios", nargs="+", required=True)
     a.add_argument("--backend", default="hybrid",
                    choices=["host", "hybrid", "device"])
+    a.add_argument("--cache-dir", default=None,
+                   help="content-addressed stage cache directory")
     a.add_argument("--reuse-ocr", action="store_true")
     a.add_argument("--timing", action="store_true")
     a.add_argument("--verbose", action="store_true")

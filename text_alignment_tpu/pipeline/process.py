@@ -55,16 +55,26 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
             wkdir_name=None, parallel=None, median_line_mult=MEDIAN_LINE_MULT,
             existing_ocr_pickle=None, existing_preproc_images=None,
             verbose=True, backend="host", existing_ocr=None, timer=None,
-            preproc_params=None):
+            preproc_params=None, stage_cache=None):
     """Align ``transcript`` to the text-layer ``raw_image``.
 
     raw_image: (H, W[, C]) uint8/bool numpy array (or anything np.asarray
     accepts). Returns (syl_boxes, image, lines_peak_locs, all_chars_copy) or
     None when OCR fails/produces nothing alignable.
+
+    ``stage_cache``: a utils.cache.StageCache (or directory path) that
+    memoizes the preprocess and OCR stages under content-derived keys —
+    the first-class version of the reference's filename-keyed pickles
+    (alignToOCR.py:207-215, :225-233).
     """
     del wkdir_name, parallel  # subprocess-era knobs
     raw_image = np.asarray(raw_image)
     timer = timer or stage_timer(enabled=False)
+
+    if isinstance(stage_cache, str):
+        from ..utils.cache import StageCache
+
+        stage_cache = StageCache(stage_cache)
 
     # -- PRE-PROCESSING --
     # existing_preproc_images revives the reference's (commented-out)
@@ -74,9 +84,21 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
         image, eroded, angle = existing_preproc_images
     else:
         with timer("preprocess"):
-            image, eroded, angle = preprocess_images(
-                raw_image, backend=backend, params=preproc_params
-            )
+            def _run_preproc():
+                return preprocess_images(
+                    raw_image, backend=backend, params=preproc_params
+                )
+
+            if stage_cache is not None:
+                from ..utils.cache import content_key
+
+                image, eroded, angle = stage_cache.cached(
+                    "preproc",
+                    content_key("preproc", raw_image, repr(preproc_params)),
+                    _run_preproc,
+                )
+            else:
+                image, eroded, angle = _run_preproc()
     with timer("identify_lines"):
         cc_strips, lines_peak_locs, _ = identify_text_lines(
             image, eroded, backend=backend, verbose=verbose,
@@ -112,8 +134,27 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
                 "readable existing_ocr_pickle"
             )
         with timer("ocr"):
-            llocs_rows = recognizer.recognize_batch([s.img for s in cc_strips])
-            all_chars, _other = llocs_to_charboxes(cc_strips, llocs_rows)
+            def _run_ocr():
+                rows = recognizer.recognize_batch(
+                    [s.img for s in cc_strips]
+                )
+                return llocs_to_charboxes(cc_strips, rows)
+
+            if stage_cache is not None:
+                from ..utils.cache import content_key
+
+                model_id = (
+                    ocropus_model
+                    if isinstance(ocropus_model, str)
+                    else repr(type(ocropus_model))
+                )
+                all_chars, _other = stage_cache.cached(
+                    "ocr",
+                    content_key("ocr", image, model_id),
+                    _run_ocr,
+                )
+            else:
+                all_chars, _other = _run_ocr()
 
     if not all_chars:
         if verbose:

@@ -39,6 +39,28 @@ def _glyph(rng, h, w):
     return g
 
 
+def _char_glyph(ch: str, h: int, w: int, rng=None):
+    """A deterministic, character-identifiable glyph: stroke pattern seeded
+    by the character, plus light per-occurrence noise. Lets a recognizer
+    actually LEARN the synthetic font (the random blob above is
+    char-independent by design — good for raster tests, unlearnable)."""
+    crng = np.random.default_rng(ord(ch) * 2654435761 % (2**32))
+    g = np.zeros((h, w), dtype=bool)
+    g[:, : max(1, w // 4)] = True  # common stem keeps the CC connected
+    # 3 character-specific horizontal bars + 2 vertical strokes
+    for _ in range(3):
+        y = int(crng.integers(0, max(1, h - 2)))
+        g[y : y + 2, :] = True
+    for _ in range(2):
+        x = int(crng.integers(0, max(1, w - 2)))
+        y0 = int(crng.integers(0, h // 2))
+        g[y0 : y0 + h // 2, x : x + 2] = True
+    if rng is not None:  # per-occurrence speckle noise (light)
+        g |= rng.random((h, w)) < 0.04
+    g[1:] |= g[:-1]
+    return g
+
+
 def make_page(rng=None, n_lines: int = 6, words_per_line: int = 4,
               H: int = 560, W: int = 800, char_h: int = 18, char_w: int = 11,
               gap: int = 3, space_w: int = 18, angle: float = 0.0,
@@ -46,7 +68,8 @@ def make_page(rng=None, n_lines: int = 6, words_per_line: int = 4,
               line_spacing: int | None = None,
               vocabulary=("dominus", "deus", "alleluia", "sanctus", "gloria",
                           "kyrie", "angelus", "maria", "in", "excelsis",
-                          "benedictus", "magnificat")) -> SynthPage:
+                          "benedictus", "magnificat"),
+              glyphs: str = "random") -> SynthPage:
     """Render a synthetic text page. Ground-truth char boxes are in the
     *unrotated* page frame when angle == 0 (tests inject OCR at that stage)."""
     rng = rng or np.random.default_rng(0)
@@ -72,7 +95,10 @@ def make_page(rng=None, n_lines: int = 6, words_per_line: int = 4,
                 # flat plateaus (real ink never does; exactly-equal
                 # prominences would trip the reference's flat-top dedup)
                 jy = int(rng.integers(-2, 3))
-                g = _glyph(rng, char_h, char_w)
+                if glyphs == "char":
+                    g = _char_glyph(ch, char_h, char_w, rng)
+                else:
+                    g = _glyph(rng, char_h, char_w)
                 img[y0 + jy : y0 + jy + char_h, x : x + char_w] |= g
                 # ground-truth boxes use line-constant y like real
                 # strip-derived OCR boxes do (alignToOCR.py:160-173)
