@@ -89,3 +89,66 @@ def test_recognizer_device_normalizer_decode_matches(strips):
     # untrained net's near-uniform posteriors make peaks knife-edge)
     for rh, rd in zip(rows_h, rows_d):
         assert "".join(c for c, _ in rh) == "".join(c for c, _ in rd)
+
+
+def test_thin_ink_line_escalates_frame_bucket():
+    """A thin-ink line zooms to MORE frames than the strip is wide
+    (scale = 48/2r > 1); the device path must escalate its frame bucket
+    instead of silently clipping (host-path length parity)."""
+    import jax
+    from text_alignment_tpu.models.lstm_jax import init_bilstm
+    from text_alignment_tpu.models.recognizer import SeqRecognizer
+    from text_alignment_tpu.models.codec import Codec
+
+    rng = np.random.default_rng(5)
+    strip = np.zeros((60, 200), dtype=bool)
+    strip[28:33] = rng.random((5, 200)) < 0.7  # tight band -> small mad
+    ref = normalize_strip(strip)
+    assert ref is not None
+    T_host = ref[0].shape[0]
+    assert T_host > 200  # the case under test: zoom lengthens the line
+
+    codec = Codec()
+    params = init_bilstm(jax.random.PRNGKey(0), 48, 100, len(codec))
+    rec = SeqRecognizer(params, codec, normalize_on_device=True)
+    seen = []
+    orig = rec._dispatch_device
+
+    def spy(packed_bits, hs, ws, t_max):
+        seen.append(t_max)
+        return orig(packed_bits, hs, ws, t_max)
+
+    rec._dispatch_device = spy
+    rows = rec.recognize_batch([strip])
+    assert len(seen) >= 2, "bucket escalation did not trigger"
+    # the final dispatch must cover the device normalizer's own un-clipped
+    # frame count (host T can differ by one r step at mad knife edges —
+    # documented; clipping must not be the reason)
+    # (No host-count comparison here: a perfectly flat ink band puts the
+    # smoothed center exactly on an int-truncation cliff, where even scipy
+    # is summation-order-chaotic; realistic strips are covered by
+    # test_lengths_and_frames_match_scipy.)
+    unclipped = int(orig(*_pack_one(strip), 2048)[0, 1])
+    final = int(orig(*_pack_one(strip), seen[-1])[0, 1])
+    assert final == unclipped and final > seen[0] - 2 * rec.pad, (
+        final, unclipped, seen
+    )
+
+
+def _pack_one(strip):
+    B, Hp, Wp = 8, 128, 256
+    bits = np.zeros((B, Hp, Wp // 8), np.uint8)
+    hs = np.zeros(B, np.int32)
+    ws = np.zeros(B, np.int32)
+    h, w = strip.shape
+    bits[0, :h, : (w + 7) // 8] = np.packbits(strip, axis=1,
+                                              bitorder="little")
+    hs[0], ws[0] = h, w
+    return bits.view(np.int32).reshape(B, Hp, Wp // 32), hs, ws
+
+
+def test_json_dict_single_line_page():
+    from text_alignment_tpu.pipeline.process import to_JSON_dict
+
+    d = to_JSON_dict([], [42])
+    assert d["median_line_spacing"] == 0.0 and d["syl_boxes"] == []

@@ -42,6 +42,7 @@ _INT_NEG = -(2**30)
 _FLT_NEG = -1e30
 _S_PAD = 32
 UNROLL = 8
+_TB_UNROLL = 8
 
 
 def _bucket(n: int) -> int:
@@ -148,7 +149,7 @@ def _traceback_ops(packed, Nt, No, P):
 
     Replays the reference's pointer walk (textSeqCompare.py:110-145) as a
     ``while_loop``, emitting the op sequence (0 = diagonal, 1 = x-gap,
-    2 = y-gap) instead of strings. Four steps are unrolled per iteration
+    2 = y-gap) instead of strings. _TB_UNROLL steps run per iteration
     (inactive steps freeze state; their single dead write lands at the final
     count index, outside the consumed range). Only O(N+M) bytes ever leave
     the device — the O(N·M) pointer tensor never crosses the interconnect.
@@ -162,7 +163,7 @@ def _traceback_ops(packed, Nt, No, P):
 
     def body(st):
         xpt, ypt, mpt, k, ops = st
-        for _ in range(8):
+        for _ in range(_TB_UNROLL):
             active = (xpt > 0) & (ypt > 0)
             ops = ops.at[k].set(mpt.astype(jnp.uint8))
             cell = packed[xpt + ypt, xpt]

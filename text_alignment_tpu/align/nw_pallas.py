@@ -49,11 +49,7 @@ def _chunk_for(L: int) -> int:
     return max(32, min(256, _BLOCK_VMEM_BUDGET // max(L, 1)))
 
 
-def _bucket(n: int) -> int:
-    b = 128
-    while b < n:
-        b *= 2
-    return b
+from .nw_jax import _bucket  # shared padding-bucket ladder
 
 
 def _shift_down(v, row_ids, neg):

@@ -163,7 +163,11 @@ def cmd_mei(args):
         print("alignment produced no syllables; MEI left unmodified")
         return 1
     syl_boxes, _, lines_peak_locs, _ = result
-    med_line_spacing = float(np.quantile(np.diff(lines_peak_locs), 0.75))
+    med_line_spacing = (
+        float(np.quantile(np.diff(lines_peak_locs), 0.75))
+        if len(lines_peak_locs) >= 2
+        else 0.0
+    )
 
     tree, all_bboxes, _ = add_text_to_mei_file(
         tree, charboxes_to_tuples(syl_boxes), med_line_spacing

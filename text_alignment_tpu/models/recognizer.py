@@ -101,7 +101,11 @@ class SeqRecognizer:
     def recognize_batch(self, strips) -> list[list[tuple[str, float]]]:
         """strips: list of 2-D bool (True=ink) or grey arrays.
         Returns, per strip, the llocs rows [(char, x_one_decimal), ...]."""
-        if self.normalize_on_device:
+        if self.normalize_on_device and all(
+            np.asarray(s).dtype == bool for s in strips
+        ):
+            # grey-valued strips keep the host normalizer (the device path
+            # is defined over onebit crops, the pipeline's production input)
             return self._recognize_batch_device(strips)
         prepared = []  # (orig_index, frames, raw_width)
         results: list = [[] for _ in strips]
@@ -156,24 +160,33 @@ class SeqRecognizer:
 
         return results
 
+    def _dispatch_device(self, packed_bits, hs, ws, t_max):
+        if self.mesh is not None:
+            from ..parallel.infer_dp import recognize_sharded
+
+            return recognize_sharded(
+                self.params, packed_bits, hs, ws, self.mesh, t_max=t_max,
+                target_height=self.target_height, pad=self.pad,
+                max_regions=_MAX_REGIONS,
+            )
+        return np.asarray(
+            _recognize_device(
+                self.params, jnp.asarray(packed_bits), jnp.asarray(hs),
+                jnp.asarray(ws), t_max=t_max,
+                target_height=self.target_height, pad=self.pad,
+                max_regions=_MAX_REGIONS,
+            )
+        )
+
     def _recognize_batch_device(self, strips):
         """Device-normalized path: onebit strips are bit-packed into one
         (B, Hp, Wp/32) int32 upload per bucket; everything else happens on
-        device. Grey-valued strips fall back to the host normalizer (the
-        production inputs are binarized line crops)."""
+        device."""
         results: list = [[] for _ in strips]
         if not strips:
             return results
 
-        inks = []
-        for s in strips:
-            s = np.asarray(s)
-            if s.dtype != bool:
-                # grey input: ink = darker than mid-scale (rare path; the
-                # pipeline always passes onebit crops)
-                mx = s.max() if s.size else 1.0
-                s = s <= (mx / 2)
-            inks.append(s)
+        inks = [np.asarray(s) for s in strips]
 
         def b2(n, floor):
             b = floor
@@ -183,7 +196,6 @@ class SeqRecognizer:
 
         Hp = b2(max(g.shape[0] for g in inks), 128)
         Wp = b2(max(g.shape[1] for g in inks), 256)
-        t_max = max(_MIN_BUCKET, Wp)
         B = max(8, 1 << (len(inks) - 1).bit_length())
 
         bits = np.zeros((B, Hp, Wp // 8), np.uint8)
@@ -197,23 +209,20 @@ class SeqRecognizer:
             hs[b], ws[b] = h, w
         packed_bits = bits.view(np.int32).reshape(B, Hp, Wp // 32)
 
-        if self.mesh is not None:
-            from ..parallel.infer_dp import recognize_sharded
+        # Thin-ink lines zoom to MORE frames than the strip is wide
+        # (scale = 48/2r > 1); if any line hits the frame cap, escalate the
+        # bucket and rerun so the device path matches the host normalizer's
+        # un-clipped output (host cap: _MAX_BUCKET).
+        t_max = max(_MIN_BUCKET, Wp)
+        while True:
+            packed = self._dispatch_device(packed_bits, hs, ws, t_max)
+            t_raws = packed[: len(inks), 2]
+            if t_max >= _MAX_BUCKET or not np.any(
+                t_raws >= t_max - 2 * self.pad
+            ):
+                break
+            t_max = min(_MAX_BUCKET, t_max * 2)
 
-            packed = recognize_sharded(
-                self.params, packed_bits, hs, ws, self.mesh, t_max=t_max,
-                target_height=self.target_height, pad=self.pad,
-                max_regions=_MAX_REGIONS,
-            )
-        else:
-            packed = np.asarray(
-                _recognize_device(
-                    self.params, jnp.asarray(packed_bits), jnp.asarray(hs),
-                    jnp.asarray(ws), t_max=t_max,
-                    target_height=self.target_height, pad=self.pad,
-                    max_regions=_MAX_REGIONS,
-                )
-            )
         R = _MAX_REGIONS
         for i in range(len(strips)):
             cnt, length = int(packed[i, 0]), int(packed[i, 1])

@@ -111,7 +111,11 @@ def cc_stats(img: np.ndarray, max_ccs: int = 1 << 20):
     n = _lib.ta_cc_stats(_u8p(a), H, W,
                          table.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                          max_ccs)
-    return table[: min(n, max_ccs)].copy()
+    if n > max_ccs:
+        # fail loudly like the device path (_cc_table) rather than silently
+        # dropping components on pathologically dense pages
+        raise RuntimeError(f"page has {n} CCs > max_ccs={max_ccs}")
+    return table[:n].copy()
 
 
 def despeckle(img: np.ndarray, k: int) -> np.ndarray:

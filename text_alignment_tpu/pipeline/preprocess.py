@@ -241,9 +241,11 @@ def identify_text_lines(image_bin, image_eroded, backend: str = "host",
             raise RuntimeError(f"page has {count} CCs > MAX_CCS={table.shape[0]}")
         table = table[:count].astype(np.int64)
     else:
-        eroded_cut = np.asarray(image_eroded)
+        # one copy, then in-place separator erasure (draw_hline_white
+        # copies the whole page per call — 10 lines would be 10 copies)
+        eroded_cut = np.array(image_eroded, copy=True)
         for idx in sep_rows:
-            eroded_cut = oracle.draw_hline_white(eroded_cut, idx, 2)
+            eroded_cut[idx : idx + 2, :] = False
         table = _cc_table(eroded_cut, backend)
 
     # drop small CCs (strictly greater than the threshold survives —

@@ -37,6 +37,21 @@ from .assemble import (
 MEDIAN_LINE_MULT = 2  # threaded but unused, as in the reference (alignToOCR.py:25,193)
 
 
+def _accel_platform() -> bool:
+    """True when the pinned JAX platform is an accelerator. Read from
+    config/env, NOT jax.default_backend() — backend initialization can
+    block for tens of seconds on this runtime and must not be forced on
+    pure-host code paths."""
+    import os
+
+    plat = (os.environ.get("JAX_PLATFORMS") or "").split(",")[0]
+    if plat:
+        return plat != "cpu"
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
 def _resolve_recognizer(ocropus_model, backend="host"):
     if ocropus_model is None:
         return None
@@ -45,10 +60,39 @@ def _resolve_recognizer(ocropus_model, backend="host"):
 
         rec = SeqRecognizer.from_pyrnn(ocropus_model)
         # accelerator schedules normalize lines on device too (one fused
-        # dispatch per OCR bucket); host/parity runs keep scipy lineest
-        rec.normalize_on_device = backend in ("device", "hybrid")
+        # dispatch per OCR bucket); host/parity runs — and hybrid on a
+        # CPU-only runtime — keep scipy lineest
+        rec.normalize_on_device = (
+            backend in ("device", "hybrid") and _accel_platform()
+        )
         return rec
     return ocropus_model  # already a SeqRecognizer
+
+
+def _model_cache_id(ocropus_model) -> str:
+    """Cache identity for the OCR model: path + mtime + size for files,
+    a weight-content hash for in-memory recognizers."""
+    import os
+
+    if isinstance(ocropus_model, str):
+        try:
+            st = os.stat(ocropus_model)
+            return f"{ocropus_model}:{st.st_mtime_ns}:{st.st_size}"
+        except OSError:
+            return ocropus_model
+    params = getattr(ocropus_model, "params", None)
+    if params is not None:
+        from ..utils.cache import content_key
+
+        leaves = [np.asarray(x) for x in _tree_leaves(params)]
+        return content_key("model", *leaves)
+    return repr(type(ocropus_model))
+
+
+def _tree_leaves(params):
+    import jax
+
+    return jax.tree_util.tree_leaves(params)
 
 
 def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
@@ -143,14 +187,15 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
             if stage_cache is not None:
                 from ..utils.cache import content_key
 
-                model_id = (
-                    ocropus_model
-                    if isinstance(ocropus_model, str)
-                    else repr(type(ocropus_model))
-                )
+                # key covers everything that determines the OCR output:
+                # the strips (derived from image+eroded+params) and the
+                # model weights (content/mtime identity)
                 all_chars, _other = stage_cache.cached(
                     "ocr",
-                    content_key("ocr", image, model_id),
+                    content_key(
+                        "ocr", image, eroded, repr(preproc_params),
+                        _model_cache_id(ocropus_model),
+                    ),
                     _run_ocr,
                 )
             else:
@@ -210,8 +255,14 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
 def to_JSON_dict(syl_boxes, lines_peak_locs) -> dict:
     """Canonical output dict (alignToOCR.py:333-351). NB
     'median_line_spacing' is the 75th percentile of inter-peak gaps — a
-    reference quirk preserved for downstream MEI-encoding compatibility."""
-    med_line_spacing = np.quantile(np.diff(lines_peak_locs), 0.75)
+    reference quirk preserved for downstream MEI-encoding compatibility.
+    Pages with fewer than two detected lines have no inter-peak gaps; the
+    spacing degrades to 0.0 instead of crashing (the reference would
+    IndexError on np.quantile of an empty diff)."""
+    if len(lines_peak_locs) < 2:
+        med_line_spacing = 0.0
+    else:
+        med_line_spacing = np.quantile(np.diff(lines_peak_locs), 0.75)
 
     data = {}
     data["median_line_spacing"] = med_line_spacing
