@@ -73,7 +73,7 @@ def folio_flow(page, ocr_chars, recognizer, backend):
     image, eroded, angle = preprocess_images(page.image, backend=backend)
     strips, peaks, _ = identify_text_lines(image, eroded, backend=backend,
                                            verbose=False)
-    _ = recognizer(strips)
+    _ = recognizer.recognize_batch([s.img for s in strips])
 
     result = process(
         page.image,
@@ -98,11 +98,7 @@ def device_recognizer():
         init_bilstm(jax.random.PRNGKey(0), 48, 100, len(codec)), codec,
         normalize_on_device=(DEVICE_BACKEND != "host"),
     )
-
-    def run(strips):
-        return rec.recognize_batch([s.img for s in strips])
-
-    return run
+    return rec
 
 
 def baseline_recognizer():
@@ -115,19 +111,20 @@ def baseline_recognizer():
 
     d = params_to_np(init_bilstm(jax.random.PRNGKey(0), 48, 100, 64))
 
-    def run(strips):
-        out = []
-        for s in strips:
-            norm = normalize_strip(s.img)
-            if norm is None:
-                out.append([])
-                continue
-            frames, _ = norm
-            posteriors = bilstm_forward_np(d, frames)
-            out.append(translate_back_np(posteriors))
-        return out
+    class _NpRec:
+        def recognize_batch(self, strip_imgs):
+            out = []
+            for img in strip_imgs:
+                norm = normalize_strip(img)
+                if norm is None:
+                    out.append([])
+                    continue
+                frames, _ = norm
+                posteriors = bilstm_forward_np(d, frames)
+                out.append(translate_back_np(posteriors))
+            return out
 
-    return run
+    return _NpRec()
 
 
 def injected_ocr(page, seed):
@@ -196,7 +193,7 @@ def main():
 
     def batched_flow():
         pre = []
-        all_strips = []
+        handles = []
         for p in pages[1:]:
             image, eroded, angle = preprocess_images(
                 p.image, backend=DEVICE_BACKEND
@@ -205,8 +202,16 @@ def main():
                 image, eroded, backend=DEVICE_BACKEND, verbose=False
             )
             pre.append((image, angle, strips, peaks))
-            all_strips.extend(strips)
-        dev_rec(all_strips)  # one cross-folio OCR dispatch
+            if dev_rec.normalize_on_device:
+                # async dispatch: the chip recognizes this folio's lines
+                # while the host rasters the next one
+                handles.append(
+                    dev_rec.dispatch_async([s.img for s in strips])
+                )
+            else:
+                dev_rec.recognize_batch([s.img for s in strips])
+        if handles:
+            dev_rec.collect_async(handles)  # one combined download
         return process_batch(folios, None, backend=DEVICE_BACKEND,
                              existing_ocr=inj, existing_pre=pre)
 

@@ -123,3 +123,41 @@ def test_sharded_recognizer_matches_single_device():
     rows1 = rec1.recognize_batch([s.img for s in strips])
     rows8 = rec8.recognize_batch([s.img for s in strips])
     assert rows1 == rows8
+
+
+def test_pipelined_ocr_dispatch_matches_sync():
+    """process_batch's async per-folio OCR dispatch (device work hidden
+    under the next folio's raster) decodes identically to synchronous
+    per-folio recognition."""
+    import jax
+    import numpy as np
+    from text_alignment_tpu.models.lstm_jax import init_bilstm
+    from text_alignment_tpu.models.recognizer import SeqRecognizer
+    from text_alignment_tpu.models.codec import Codec
+    from text_alignment_tpu.synth import make_page
+    from text_alignment_tpu.pipeline.preprocess import (
+        preprocess_images,
+        identify_text_lines,
+    )
+
+    codec = Codec()
+    params = init_bilstm(jax.random.PRNGKey(7), 48, 100, len(codec))
+    rec = SeqRecognizer(params, codec, normalize_on_device=True)
+
+    pages = [
+        make_page(np.random.default_rng(20 + i), n_lines=3, words_per_line=2,
+                  H=600, W=500, char_h=40, char_w=26, gap=5, space_w=30,
+                  line_spacing=140, speckles=10, margin_x=25)
+        for i in range(3)
+    ]
+    handles = []
+    per_folio_strips = []
+    for p in pages:
+        image, eroded, _ = preprocess_images(p.image, backend="host")
+        strips, _, _ = identify_text_lines(image, eroded, backend="host",
+                                           verbose=False)
+        per_folio_strips.append(strips)
+        handles.append(rec.dispatch_async([s.img for s in strips]))
+    rows_async = rec.collect_async(handles)
+    for strips, rows in zip(per_folio_strips, rows_async):
+        assert rows == rec.recognize_batch([s.img for s in strips])

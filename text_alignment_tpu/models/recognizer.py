@@ -178,16 +178,7 @@ class SeqRecognizer:
             )
         )
 
-    def _recognize_batch_device(self, strips):
-        """Device-normalized path: onebit strips are bit-packed into one
-        (B, Hp, Wp/32) int32 upload per bucket; everything else happens on
-        device."""
-        results: list = [[] for _ in strips]
-        if not strips:
-            return results
-
-        inks = [np.asarray(s) for s in strips]
-
+    def _pack_strips(self, inks):
         def b2(n, floor):
             b = floor
             while b < n:
@@ -207,24 +198,63 @@ class SeqRecognizer:
                 g, axis=1, bitorder="little"
             )
             hs[b], ws[b] = h, w
-        packed_bits = bits.view(np.int32).reshape(B, Hp, Wp // 32)
+        return bits.view(np.int32).reshape(B, Hp, Wp // 32), hs, ws, Wp
 
-        # Thin-ink lines zoom to MORE frames than the strip is wide
-        # (scale = 48/2r > 1); if any line hits the frame cap, escalate the
-        # bucket and rerun so the device path matches the host normalizer's
-        # un-clipped output (host cap: _MAX_BUCKET).
+    def dispatch_async(self, strips):
+        """Start device OCR for onebit ``strips`` WITHOUT blocking: returns
+        an opaque handle whose device work overlaps whatever the host does
+        next (e.g. the next folio's raster stage). Redeem with
+        ``collect_async``. Requires normalize_on_device."""
+        if not strips:
+            return ([], None, 0)
+        inks = [np.asarray(s) for s in strips]
+        packed_bits, hs, ws, Wp = self._pack_strips(inks)
         t_max = max(_MIN_BUCKET, Wp)
-        while True:
-            packed = self._dispatch_device(packed_bits, hs, ws, t_max)
-            t_raws = packed[: len(inks), 2]
-            if t_max >= _MAX_BUCKET or not np.any(
-                t_raws >= t_max - 2 * self.pad
-            ):
-                break
-            t_max = min(_MAX_BUCKET, t_max * 2)
+        out = _recognize_device(
+            self.params, jnp.asarray(packed_bits), jnp.asarray(hs),
+            jnp.asarray(ws), t_max=t_max,
+            target_height=self.target_height, pad=self.pad,
+            max_regions=_MAX_REGIONS,
+        )  # async jax dispatch: not materialized here
+        return (inks, out, t_max)
 
+    def collect_async(self, handles):
+        """Materialize a batch of dispatch_async handles (one combined
+        device->host download) and decode to llocs rows per handle."""
+        live = [h for h in handles if h[1] is not None]
+        if live:
+            # concat on device -> ONE download for all handles (downloads
+            # have a ~30 ms floor each on the remote tunnel)
+            cat = np.asarray(jnp.concatenate([h[1] for h in live], axis=0))
+            splits = np.cumsum([h[1].shape[0] for h in live])[:-1]
+            parts = iter(np.split(cat, splits, axis=0))
+        results = []
+        for inks, out, t_max in handles:
+            if out is None:
+                results.append([])
+                continue
+            packed = next(parts)
+            packed = self._escalate_if_clipped(inks, packed, t_max)
+            results.append(self._decode_packed(inks, packed))
+        return results
+
+    def _escalate_if_clipped(self, inks, packed, t_max):
+        """Thin-ink lines zoom to MORE frames than the strip is wide
+        (scale = 48/2r > 1); if any line hit the frame cap, escalate the
+        bucket and rerun so the device path matches the host normalizer's
+        un-clipped output (host cap: _MAX_BUCKET)."""
+        while t_max < _MAX_BUCKET and np.any(
+            packed[: len(inks), 2] >= t_max - 2 * self.pad
+        ):
+            t_max = min(_MAX_BUCKET, t_max * 2)
+            packed_bits, hs, ws, _ = self._pack_strips(inks)
+            packed = self._dispatch_device(packed_bits, hs, ws, t_max)
+        return packed
+
+    def _decode_packed(self, inks, packed):
         R = _MAX_REGIONS
-        for i in range(len(strips)):
+        results: list = [[] for _ in inks]
+        for i in range(len(inks)):
             cnt, length = int(packed[i, 0]), int(packed[i, 1])
             if cnt <= 0 or length <= 2 * self.pad:
                 continue
@@ -235,3 +265,16 @@ class SeqRecognizer:
                 (self.codec.charset[int(c)], x) for c, x in zip(cl, xs_pos)
             ]
         return results
+
+    def _recognize_batch_device(self, strips):
+        """Device-normalized path: onebit strips are bit-packed into one
+        (B, Hp, Wp/32) int32 upload per bucket; everything else happens on
+        device."""
+        if not strips:
+            return []
+        inks = [np.asarray(s) for s in strips]
+        packed_bits, hs, ws, Wp = self._pack_strips(inks)
+        t_max = max(_MIN_BUCKET, Wp)
+        packed = self._dispatch_device(packed_bits, hs, ws, t_max)
+        packed = self._escalate_if_clipped(inks, packed, t_max)
+        return self._decode_packed(inks, packed)

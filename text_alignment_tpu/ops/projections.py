@@ -23,12 +23,18 @@ PROMINENCE_TOLERANCE = 0.70
 
 def moving_avg_filter(data, filter_size: int = FILTER_SIZE) -> np.ndarray:
     """Moving average of width 2*filter_size+1; the first and last
-    ``filter_size`` entries are left zero (textAlignPreprocessing.py:147-157)."""
+    ``filter_size`` entries are left zero (textAlignPreprocessing.py:147-157).
+
+    Sliding-sum formulation: the input is an integer projection, so the
+    float64 window sums are exact integers and this is bit-identical to
+    the reference's per-window np.mean loop (O(n) instead of O(n*w))."""
     data = np.asarray(data, dtype=np.float64)
-    smoothed = np.zeros(len(data))
-    for n in range(filter_size, len(data) - filter_size):
-        vals = data[n - filter_size : n + filter_size + 1]
-        smoothed[n] = np.mean(vals)
+    n = len(data)
+    w = 2 * filter_size + 1
+    smoothed = np.zeros(n)
+    if n >= w:
+        c = np.concatenate([[0.0], np.cumsum(data)])
+        smoothed[filter_size : n - filter_size] = (c[w:] - c[:-w]) / w
     return smoothed
 
 

@@ -54,7 +54,18 @@ def process_batch(folios, recognizer, seq_align_params=None,
     timer = timer or StageTimer(enabled=False)
     n = len(folios)
 
-    # stage 1: preprocess + line identification (device-resident rasters)
+    # stage 1: preprocess + line identification (device-resident rasters).
+    # When the recognizer normalizes on device, each folio's OCR is
+    # DISPATCHED (async) as soon as its strips exist, so the accelerator
+    # recognizes folio i while the host rasters folio i+1.
+    pipelined = (
+        existing_ocr is None
+        and existing_pre is None
+        and recognizer is not None
+        and getattr(recognizer, "normalize_on_device", False)
+        and getattr(recognizer, "mesh", None) is None
+    )
+    ocr_handles = []
     if existing_pre is not None:
         pre = list(existing_pre)
     else:
@@ -70,10 +81,22 @@ def process_batch(folios, recognizer, seq_align_params=None,
                     verbose=False,
                 )
                 pre.append((image, angle, strips, peaks))
+                if pipelined:
+                    ocr_handles.append(
+                        recognizer.dispatch_async([s.img for s in strips])
+                    )
 
-    # stage 2: one cross-folio OCR batch
+    # stage 2: OCR — collect the pipelined dispatches (one combined
+    # download), or run one cross-folio batch
     if existing_ocr is not None:
         all_chars_per_folio = [list(x) for x in existing_ocr]
+    elif pipelined:
+        with timer("ocr"):
+            rows_per_folio = recognizer.collect_async(ocr_handles)
+        all_chars_per_folio = []
+        for rows, (_, _, strips, _) in zip(rows_per_folio, pre):
+            chars, _ = llocs_to_charboxes(strips, rows)
+            all_chars_per_folio.append(chars)
     else:
         flat_strips = []
         spans = []
