@@ -72,7 +72,12 @@ def syllabify_word(inp: str) -> list[str]:
         if word[i] in vowels + diphthongs:
             word[i] = word[i] + "*"
 
-    # merge units: consonants stick first to the seed ahead, then behind
+    # merge units: consonants stick first to the seed ahead, then behind.
+    # A vowel-less token (e.g. an OCR fragment like "gl") has no seeds at
+    # all — the reference's loop (latinSyllabification.py:71-107) never
+    # terminates on such input; here it degrades to one opaque syllable.
+    if not any(("*" in x) for x in word):
+        return ["".join(word)] if word else []
     while not all(("*" in x) for x in word):
         new_word = []
         i = 0

@@ -204,10 +204,14 @@ class SeqRecognizer:
         """Start device OCR for onebit ``strips`` WITHOUT blocking: returns
         an opaque handle whose device work overlaps whatever the host does
         next (e.g. the next folio's raster stage). Redeem with
-        ``collect_async``. Requires normalize_on_device."""
+        ``collect_async``. Grey strips and mesh-sharded recognizers run
+        synchronously (same guards as recognize_batch) — the handle then
+        carries the finished rows."""
         if not strips:
-            return ([], None, 0)
+            return ("rows", [], None)
         inks = [np.asarray(s) for s in strips]
+        if self.mesh is not None or not all(g.dtype == bool for g in inks):
+            return ("rows", self.recognize_batch(strips), None)
         packed_bits, hs, ws, Wp = self._pack_strips(inks)
         t_max = max(_MIN_BUCKET, Wp)
         out = _recognize_device(
@@ -216,12 +220,12 @@ class SeqRecognizer:
             target_height=self.target_height, pad=self.pad,
             max_regions=_MAX_REGIONS,
         )  # async jax dispatch: not materialized here
-        return (inks, out, t_max)
+        return (inks, out, (t_max, packed_bits, hs, ws))
 
     def collect_async(self, handles):
         """Materialize a batch of dispatch_async handles (one combined
         device->host download) and decode to llocs rows per handle."""
-        live = [h for h in handles if h[1] is not None]
+        live = [h for h in handles if h[0] != "rows" and h[1] is not None]
         if live:
             # concat on device -> ONE download for all handles (downloads
             # have a ~30 ms floor each on the remote tunnel)
@@ -229,25 +233,28 @@ class SeqRecognizer:
             splits = np.cumsum([h[1].shape[0] for h in live])[:-1]
             parts = iter(np.split(cat, splits, axis=0))
         results = []
-        for inks, out, t_max in handles:
-            if out is None:
-                results.append([])
+        for handle in handles:
+            if handle[0] == "rows":
+                results.append(handle[1])
                 continue
+            inks, _, (t_max, packed_bits, hs, ws) = handle
             packed = next(parts)
-            packed = self._escalate_if_clipped(inks, packed, t_max)
+            packed = self._escalate_if_clipped(
+                inks, packed, t_max, packed_bits, hs, ws
+            )
             results.append(self._decode_packed(inks, packed))
         return results
 
-    def _escalate_if_clipped(self, inks, packed, t_max):
+    def _escalate_if_clipped(self, inks, packed, t_max, packed_bits, hs, ws):
         """Thin-ink lines zoom to MORE frames than the strip is wide
         (scale = 48/2r > 1); if any line hit the frame cap, escalate the
         bucket and rerun so the device path matches the host normalizer's
-        un-clipped output (host cap: _MAX_BUCKET)."""
+        un-clipped output (host cap: _MAX_BUCKET). packed_bits is
+        t_max-independent, so no re-packing."""
         while t_max < _MAX_BUCKET and np.any(
             packed[: len(inks), 2] >= t_max - 2 * self.pad
         ):
             t_max = min(_MAX_BUCKET, t_max * 2)
-            packed_bits, hs, ws, _ = self._pack_strips(inks)
             packed = self._dispatch_device(packed_bits, hs, ws, t_max)
         return packed
 
@@ -276,5 +283,7 @@ class SeqRecognizer:
         packed_bits, hs, ws, Wp = self._pack_strips(inks)
         t_max = max(_MIN_BUCKET, Wp)
         packed = self._dispatch_device(packed_bits, hs, ws, t_max)
-        packed = self._escalate_if_clipped(inks, packed, t_max)
+        packed = self._escalate_if_clipped(
+            inks, packed, t_max, packed_bits, hs, ws
+        )
         return self._decode_packed(inks, packed)

@@ -85,7 +85,15 @@ def _model_cache_id(ocropus_model) -> str:
         from ..utils.cache import content_key
 
         leaves = [np.asarray(x) for x in _tree_leaves(params)]
-        return content_key("model", *leaves)
+        charset = getattr(getattr(ocropus_model, "codec", None),
+                          "charset", ())
+        cfg = (
+            tuple(charset),
+            getattr(ocropus_model, "target_height", None),
+            getattr(ocropus_model, "pad", None),
+            getattr(ocropus_model, "normalize_on_device", None),
+        )
+        return content_key("model", repr(cfg), *leaves)
     return repr(type(ocropus_model))
 
 
@@ -171,14 +179,15 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
                 print("Pickle error: re-performing ocr")
 
     if not all_chars:
-        recognizer = _resolve_recognizer(ocropus_model, backend)
-        if recognizer is None:
+        if ocropus_model is None:
             raise ValueError(
                 "no OCR source: pass ocropus_model, existing_ocr, or a "
                 "readable existing_ocr_pickle"
             )
         with timer("ocr"):
             def _run_ocr():
+                # resolved lazily: a cache hit never pays the model load
+                recognizer = _resolve_recognizer(ocropus_model, backend)
                 rows = recognizer.recognize_batch(
                     [s.img for s in cc_strips]
                 )
@@ -188,13 +197,16 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
                 from ..utils.cache import content_key
 
                 # key covers everything that determines the OCR output:
-                # the strips (derived from image+eroded+params) and the
-                # model weights (content/mtime identity)
+                # the strips (derived from image+eroded+params), the model
+                # weights (content/mtime identity), and the normalization
+                # path (backend + platform decide scipy vs device lineest,
+                # which differ at truncation knife edges)
                 all_chars, _other = stage_cache.cached(
                     "ocr",
                     content_key(
                         "ocr", image, eroded, repr(preproc_params),
                         _model_cache_id(ocropus_model),
+                        backend, _accel_platform(),
                     ),
                     _run_ocr,
                 )

@@ -86,11 +86,14 @@ def make_page(rng=None, n_lines: int = 6, words_per_line: int = 4,
         line_words = [
             str(rng.choice(vocabulary)) for _ in range(words_per_line)
         ]
-        words_all.extend(line_words)
         for wi, word in enumerate(line_words):
+            # keep transcript == rendered char stream: a word that would
+            # hit the right margin is skipped entirely, so neither the page
+            # nor the ground truth ever contains truncated fragments
+            end_x = x + len(word) * (char_w + gap) - gap
+            if end_x >= W - margin_x:
+                continue
             for ch in word:
-                if x + char_w >= W - margin_x:
-                    break
                 # vertical jitter keeps projections from forming perfectly
                 # flat plateaus (real ink never does; exactly-equal
                 # prominences would trip the reference's flat-top dedup)
@@ -104,6 +107,7 @@ def make_page(rng=None, n_lines: int = 6, words_per_line: int = 4,
                 # strip-derived OCR boxes do (alignToOCR.py:160-173)
                 boxes.append(CharBox(ch, (x, y0), (x + char_w, y0 + char_h)))
                 x += char_w + gap
+            words_all.append(word)
             x += space_w
 
     # speckle noise (small enough for despeckle to eat)
