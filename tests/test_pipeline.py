@@ -231,3 +231,30 @@ def test_hybrid_backend_matches_host(page):
     for a, b in zip(sh, sy):
         np.testing.assert_array_equal(a.img, b.img)
         assert (a.offset_x, a.offset_y) == (b.offset_x, b.offset_y)
+
+
+def test_end_to_end_golden_json():
+    """Full-pipeline golden snapshot: the exact syl_boxes JSON for a fixed
+    synthetic page + injected OCR must never drift (any semantic change to
+    preprocessing, segmentation, NW, assembly, or emission shows up here).
+    Regenerate deliberately with tools/regen in the golden file header's
+    recipe (tests/golden/)."""
+    import json
+
+    from text_alignment_tpu.synth import corrupt_ocr, ocr_with_spaces
+    from text_alignment_tpu.pipeline import process, to_JSON_dict
+
+    page = make_page(np.random.default_rng(31), n_lines=5, words_per_line=2,
+                     H=900, W=800, char_h=50, char_w=30, gap=6, space_w=40,
+                     line_spacing=150, speckles=25, margin_x=30, angle=0.7)
+    ocr = ocr_with_spaces(corrupt_ocr(np.random.default_rng(9),
+                                      page.char_boxes))
+    res = process(page.image, page.transcript, existing_ocr=ocr,
+                  backend="host", verbose=False)
+    got = to_JSON_dict(res[0], res[2])
+    import os
+    golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                               "e2e_syn31.json")
+    with open(golden_path) as f:
+        want = json.load(f)
+    assert got == want
