@@ -390,6 +390,14 @@ def align_pairs_jax(pairs, sc: Scoring):
     for i, (t, o, _, _) in enumerate(prepared):
         groups.setdefault((_bucket(len(t)), _bucket(len(o))), []).append(i)
 
+    import os
+
+    use_pallas = False
+    if not os.environ.get("TEXT_ALIGNMENT_TPU_NO_PALLAS"):
+        import jax as _jax
+
+        use_pallas = _jax.default_backend() == "tpu"
+
     results = [None] * len(pairs)
     dt = jnp.int32
     for (L, NoP), members in sorted(groups.items()):
@@ -407,16 +415,31 @@ def align_pairs_jax(pairs, sc: Scoring):
             o_feeds[bi, 1:No] = o_ids[: No - 1]
             Nts[bi], Nos[bi] = Nt, No
 
-        ops, k, xpt, ypt = _align_fused_pairs(
-            jnp.asarray(t_exts), jnp.asarray(o_feeds),
-            jnp.asarray(Nts), jnp.asarray(Nos),
-            jnp.asarray(match, dt), jnp.asarray(mismatch, dt),
-            jnp.asarray(sc.gap_open_x, dt), jnp.asarray(sc.gap_open_y, dt),
-            jnp.asarray(sc.gap_extend_x, dt), jnp.asarray(sc.gap_extend_y, dt),
-            L=L, NoP=NoP, is_int=True,
-        )
-        ops, k = np.asarray(ops), np.asarray(k)
-        xpt, ypt = np.asarray(xpt), np.asarray(ypt)
+        # The Pallas kernel fills one pair faster, but its (B, G) grid runs
+        # pairs SEQUENTIALLY; the vmapped scan advances every pair of the
+        # bucket in lockstep and wins for B > 1 (measured: 6 pairs 150 ms
+        # scan vs 490 ms pallas-grid). Use Pallas only for singleton groups.
+        if use_pallas and B == 1:
+            from .nw_pallas import align_pairs_pallas
+
+            group_data = [
+                (t_exts[bi], o_feeds[bi], int(Nts[bi]), int(Nos[bi]))
+                for bi in range(B)
+            ]
+            ops, k, xpt, ypt = align_pairs_pallas(group_data, sc, L, NoP)
+        else:
+            ops, k, xpt, ypt = _align_fused_pairs(
+                jnp.asarray(t_exts), jnp.asarray(o_feeds),
+                jnp.asarray(Nts), jnp.asarray(Nos),
+                jnp.asarray(match, dt), jnp.asarray(mismatch, dt),
+                jnp.asarray(sc.gap_open_x, dt),
+                jnp.asarray(sc.gap_open_y, dt),
+                jnp.asarray(sc.gap_extend_x, dt),
+                jnp.asarray(sc.gap_extend_y, dt),
+                L=L, NoP=NoP, is_int=True,
+            )
+            ops, k = np.asarray(ops), np.asarray(k)
+            xpt, ypt = np.asarray(xpt), np.asarray(ypt)
         for bi, i in enumerate(members):
             t, o, _, _ = prepared[i]
             results[i] = replay_ops(

@@ -187,6 +187,165 @@ def _fill_pallas(t_ext2d, o_feed, params, L, NoP, interpret=False):
     return out.reshape(G * CHUNK, L)[:D]
 
 
+def _make_nw_kernel_batched(chunk: int):
+    """Pair-batched variant: grid (B, G) — the TPU grid iterates g
+    (minor) fastest, so each pair's diagonals run sequentially while the
+    scratch carry is re-initialized at g == 0 for every new pair."""
+
+    def _nw_kernel_b(params_ref, o_ref, t_ref, out_ref, state):
+        b = pl.program_id(0)
+        g = pl.program_id(1)
+        R = t_ref.shape[1]
+        NEG = jnp.int32(_INT_NEG)
+        BGE = jnp.int32(BOUNDARY_GAP_EXTEND)
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
+        lane_i = row_ids * LANE + col_ids
+
+        @pl.when(g == 0)
+        def _init():
+            state[...] = jnp.full((7, R, LANE), NEG, jnp.int32)
+            state[6] = jnp.zeros((R, LANE), jnp.int32)
+
+        match = params_ref[0]
+        mismatch = params_ref[1]
+        gox_gex = params_ref[2]
+        goy_gey = params_ref[3]
+        gex = params_ref[4]
+        gey = params_ref[5]
+        NoP = params_ref[6]
+
+        t_ext = t_ref[0]
+        carry0 = (state[0], state[1], state[2], state[3], state[4],
+                  state[5], state[6])
+
+        def body(k, carry):
+            m2s, x2s, y2s, m1, x1, y1, o_lane = carry
+            d = g * chunk + k
+
+            o_elem = o_ref[b, g, k]
+            o_rolled = pltpu.roll(o_lane, 1, axis=1)
+            o_wrap = pltpu.roll(o_rolled[:, :1], 1, axis=0)
+            o_head = jnp.where(row_ids[:, :1] == 0, o_elem, o_wrap)
+            o_lane = jnp.concatenate([o_head, o_rolled[:, 1:]], axis=1)
+
+            s = jnp.where(t_ext == o_lane, match, mismatch)
+
+            m1s = _shift_down(m1, row_ids, NEG)
+            x1s = _shift_down(x1, row_ids, NEG)
+            y1s = _shift_down(y1, row_ids, NEG)
+
+            m_int, mp = _first_max3(m2s, x2s, y2s)
+            m_int = m_int + s
+            y_int, yp = _first_max3(m1 + goy_gey, x1 + goy_gey, y1 + gey)
+            x_int, xp = _first_max3(m1s + gox_gex, x1s + gex, y1s + gox_gex)
+
+            j = d - lane_i
+            row0 = lane_i == 0
+            col0 = (j == 0) & (lane_i > 0)
+            invalid = (j < 0) | (j >= NoP)
+
+            m_v = jnp.where(row0, BGE * j,
+                            jnp.where(col0, BGE * lane_i, m_int))
+            x_v = jnp.where(row0, BGE * j, jnp.where(col0, NEG, x_int))
+            y_v = jnp.where(row0, NEG, jnp.where(col0, BGE * lane_i, y_int))
+
+            m_v = jnp.where(invalid, NEG, m_v)
+            x_v = jnp.where(invalid, NEG, x_v)
+            y_v = jnp.where(invalid, NEG, y_v)
+
+            packed = (mp | (xp << 2) | (yp << 4)).astype(jnp.uint8)
+            out_ref[0, k] = packed
+            return m1s, x1s, y1s, m_v, x_v, y_v, o_lane
+
+        carry = jax.lax.fori_loop(0, chunk, body, carry0)
+        for idx in range(7):
+            state[idx] = carry[idx]
+
+    return _nw_kernel_b
+
+
+@functools.partial(jax.jit, static_argnames=("L", "NoP", "interpret"))
+def _fill_pallas_batched(t_ext3d, o_feed3d, params, L, NoP,
+                         interpret=False):
+    """Fill B same-bucket pairs in ONE kernel invocation. t_ext3d:
+    (B, R, LANE) int32; o_feed3d: (B, G, CHUNK) int32. Returns packed
+    pointers (B, D, L) uint8."""
+    B = t_ext3d.shape[0]
+    R = L // LANE
+    D = L + NoP - 1
+    CHUNK = _chunk_for(L)
+    G = (D + CHUNK - 1) // CHUNK
+    out = pl.pallas_call(
+        _make_nw_kernel_batched(CHUNK),
+        grid=(B, G),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R, LANE), lambda b, g: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, CHUNK, R, LANE),
+                               lambda b, g: (b, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, G * CHUNK, R, LANE), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((7, R, LANE), jnp.int32)],
+        interpret=interpret,
+    )(params, o_feed3d, t_ext3d)
+    return out.reshape(B, G * CHUNK, L)[:, :D]
+
+
+@functools.partial(jax.jit, static_argnames=("L", "NoP", "interpret"))
+def _align_fused_pairs_pallas(t_ext3d, o_feed3d, params, Nts, Nos, L, NoP,
+                              interpret=False):
+    from .nw_jax import _traceback_ops
+
+    packed = _fill_pallas_batched(t_ext3d, o_feed3d, params, L=L, NoP=NoP,
+                                  interpret=interpret)
+
+    def one(p, Nt, No):
+        return _traceback_ops(p, Nt, No, P=L + NoP)
+
+    ops, k, xpt, ypt = jax.vmap(one)(packed, Nts, Nos)
+    return ops.astype(jnp.int32), k, xpt, ypt
+
+
+def align_pairs_pallas(group_data, sc: Scoring, L: int, NoP: int):
+    """Batched same-bucket pair alignment on the Pallas kernel. group_data:
+    list of (t_ext (L,), o_feed (steps,), Nt, No) already encoded by the
+    caller (align_pairs_jax's bucketing). Returns (ops, k, xpt, ypt)
+    numpy arrays with batch dim."""
+    CHUNK = _chunk_for(L)
+    D = L + NoP - 1
+    G = (D + CHUNK - 1) // CHUNK
+    B = len(group_data)
+    t3 = np.zeros((B, L // LANE, LANE), np.int32)
+    o3 = np.zeros((B, G * CHUNK), np.int32)
+    Nts = np.zeros(B, np.int32)
+    Nos = np.zeros(B, np.int32)
+    for i, (t_ext, o_feed, Nt, No) in enumerate(group_data):
+        t3[i] = t_ext.reshape(L // LANE, LANE)
+        # caller pads o_feed to its own step multiple; entries past D are
+        # never consumed, so trim/extend to this kernel's G*CHUNK
+        n = min(len(o_feed), o3.shape[1])
+        o3[i, :n] = o_feed[:n]
+        Nts[i], Nos[i] = Nt, No
+    match, mismatch = (int(v) for v in sc.match_mismatch)
+    params = np.array(
+        [match, mismatch,
+         int(sc.gap_open_x) + int(sc.gap_extend_x),
+         int(sc.gap_open_y) + int(sc.gap_extend_y),
+         int(sc.gap_extend_x), int(sc.gap_extend_y), NoP, D], np.int32,
+    )
+    ops, k, xpt, ypt = _align_fused_pairs_pallas(
+        jnp.asarray(t3), jnp.asarray(o3.reshape(B, G, CHUNK)),
+        jnp.asarray(params), jnp.asarray(Nts), jnp.asarray(Nos),
+        L=L, NoP=NoP,
+    )
+    return np.asarray(ops), np.asarray(k), np.asarray(xpt), np.asarray(ypt)
+
+
 def supported(sc: Scoring) -> bool:
     """The Pallas fill covers the reference's standard scoring form:
     integer match/mismatch + affine gaps."""
