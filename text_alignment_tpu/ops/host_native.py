@@ -262,14 +262,20 @@ def rotation_angle_projections(img: np.ndarray, minangle: float = -6.0,
         shifts = np.ascontiguousarray(
             np.stack([fxp.shear_shifts(ang, W) for ang in cands]), np.int32
         )
-        projs = np.zeros((len(cands), H), np.int64)
+        # in the fine rounds, neighboring candidate angles quantize to
+        # IDENTICAL Q16 shift vectors (the 0.01-degree step moves shifts by
+        # <1 px across a page width): score each unique vector once —
+        # exact, since equal shifts give equal projections
+        uniq, inv = np.unique(shifts, axis=0, return_inverse=True)
+        uniq = np.ascontiguousarray(uniq, np.int32)
+        projs_u = np.zeros((len(uniq), H), np.int64)
         _lib.ta_shear_projections_coords(
             xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
-            shifts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            len(cands), H, W,
-            projs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            uniq.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(uniq), H, W,
+            projs_u.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
-        scores = criterion_from_projections(projs)
+        scores = criterion_from_projections(projs_u)[inv]
         best = cands[int(np.argmax(scores))]
         lo, hi = best - step * 0.9, best + step * 0.9
         step /= 10.0
