@@ -302,19 +302,24 @@ void ta_rotate_onebit(const uint8_t* img, int64_t H, int64_t W,
                       int64_t H2, int64_t W2, int32_t cfix, int32_t sfix,
                       int32_t scale_bits, uint8_t* out) {
   const int64_t S = (int64_t)1 << scale_bits;
+  // incremental formulation: along a row, sx2/sy2 advance by constant
+  // steps (2*cfix / -2*sfix), so the per-pixel muls become adds; the
+  // numerators are identical to the closed form, hence bit-identical.
+  const int64_t bx = (W - 1) * S + S, by = (H - 1) * S + S;
   for (int64_t y2 = 0; y2 < H2; ++y2) {
     const int64_t dy2 = 2 * y2 - (H2 - 1);
     uint8_t* orow = out + y2 * W2;
+    int64_t sx2 = (int64_t)cfix * (-(W2 - 1)) + (int64_t)sfix * dy2;
+    int64_t sy2 = -(int64_t)sfix * (-(W2 - 1)) + (int64_t)cfix * dy2;
     for (int64_t x2 = 0; x2 < W2; ++x2) {
-      const int64_t dx2 = 2 * x2 - (W2 - 1);
-      const int64_t sx2 = (int64_t)cfix * dx2 + (int64_t)sfix * dy2;
-      const int64_t sy2 = -(int64_t)sfix * dx2 + (int64_t)cfix * dy2;
-      const int64_t src_x = (sx2 + (W - 1) * S + S) >> (scale_bits + 1);
-      const int64_t src_y = (sy2 + (H - 1) * S + S) >> (scale_bits + 1);
+      const int64_t src_x = (sx2 + bx) >> (scale_bits + 1);
+      const int64_t src_y = (sy2 + by) >> (scale_bits + 1);
       orow[x2] =
           (src_y >= 0 && src_y < H && src_x >= 0 && src_x < W)
               ? img[src_y * W + src_x]
               : 0;
+      sx2 += 2 * (int64_t)cfix;
+      sy2 -= 2 * (int64_t)sfix;
     }
   }
 }
@@ -383,6 +388,109 @@ void ta_shear_projections_coords(const int32_t* xy, int64_t n,
   }
 }
 
+// Extract black runs once: out_runs int32[3*max_n] rows (y, xs, xe).
+// Returns run count (may exceed max_n; only max_n rows written).
+int64_t ta_black_runs(const uint8_t* img, int64_t H, int64_t W,
+                      int32_t* out_runs, int64_t max_n) {
+  int64_t n = 0;
+  for (int64_t y = 0; y < H; ++y) {
+    const uint8_t* row = img + y * W;
+    int64_t x = 0;
+    while (x < W) {
+      if (!row[x]) { ++x; continue; }
+      int64_t s = x;
+      while (x < W && row[x]) ++x;
+      if (n < max_n) {
+        out_runs[3 * n] = (int32_t)y;
+        out_runs[3 * n + 1] = (int32_t)s;
+        out_runs[3 * n + 2] = (int32_t)x;
+      }
+      ++n;
+    }
+  }
+  return n;
+}
+
+// Shear projections replayed over black RUNS instead of pixels. The shift
+// ramp changes value every >= 1/tan(angle) columns (>= ~10 px at the 6 deg
+// search limit) while text runs are a few px wide, so most runs fall inside
+// one shift cell and cost ONE counter increment for their whole length.
+// Bit-identical to the per-pixel replay: increments are merely grouped.
+// proj: int64[A*H] out, zeroed here.
+void ta_shear_projections_runs(const int32_t* runs, int64_t n,
+                               const int32_t* shifts, int64_t A,
+                               int64_t H, int64_t W, int64_t* proj) {
+  for (int64_t i = 0; i < A * H; ++i) proj[i] = 0;
+  for (int64_t a = 0; a < A; ++a) {
+    const int32_t* sh = shifts + a * W;
+    int64_t* p = proj + a * H;
+    for (int64_t k = 0; k < n; ++k) {
+      const int32_t y = runs[3 * k], xs = runs[3 * k + 1],
+                    xe = runs[3 * k + 2];
+      const int32_t s1 = sh[xs], s2 = sh[xe - 1];
+      if (s1 == s2) {
+        const int64_t yd = (int64_t)y - s1;
+        if (yd >= 0 && yd < H) p[yd] += xe - xs;
+        continue;
+      }
+      int32_t x = xs;
+      while (x < xe) {
+        const int32_t s = sh[x];
+        int32_t e = x + 1;
+        while (e < xe && sh[e] == s) ++e;
+        const int64_t yd = (int64_t)y - s;
+        if (yd >= 0 && yd < H) p[yd] += e - x;
+        x = e;
+      }
+    }
+  }
+}
+
+// Fused k=2 erosion: filter_short_runs(2,'black') then
+// filter_narrow_runs(2,'black'). A black run of length < 2 is a single
+// pixel with both along-axis neighbors white, so each pass is a
+// neighbor formula over the ORIGINAL pass input (the run-walking loop in
+// ta_filter_runs also derives runs from pre-pass pixels) — two streamed
+// row-major passes instead of a column-major walk over the whole page.
+void ta_erode2(const uint8_t* img, int64_t H, int64_t W, uint8_t* out) {
+  std::vector<uint8_t> tmp((size_t)(H * W));
+  // vertical pass: keep black px iff a vertical neighbor is black
+  for (int64_t y = 0; y < H; ++y) {
+    const uint8_t* r = img + y * W;
+    const uint8_t* up = (y > 0) ? r - W : nullptr;
+    const uint8_t* dn = (y + 1 < H) ? r + W : nullptr;
+    uint8_t* t = tmp.data() + y * W;
+    if (up && dn) {
+      for (int64_t x = 0; x < W; ++x)
+        t[x] = r[x] && (up[x] || dn[x]);
+    } else if (dn) {
+      for (int64_t x = 0; x < W; ++x) t[x] = r[x] && dn[x];
+    } else if (up) {
+      for (int64_t x = 0; x < W; ++x) t[x] = r[x] && up[x];
+    } else {
+      std::memset(t, 0, (size_t)W);
+    }
+  }
+  // horizontal pass: keep black px iff a horizontal neighbor is black
+  for (int64_t y = 0; y < H; ++y) {
+    const uint8_t* t = tmp.data() + y * W;
+    uint8_t* o = out + y * W;
+    if (W == 1) { o[0] = 0; continue; }
+    o[0] = t[0] && t[1];
+    for (int64_t x = 1; x < W - 1; ++x)
+      o[x] = t[x] && (t[x - 1] || t[x + 1]);
+    o[W - 1] = t[W - 1] && t[W - 2];
+  }
+}
+
+// Threshold a greyscale image to a uint8 onebit page (1 = black = value
+// <= thresh), matching oracle.to_onebit's `grey <= t`.
+void ta_binarize(const uint8_t* grey, int64_t n, int32_t thresh,
+                 uint8_t* out) {
+  const uint8_t t = (uint8_t)thresh;
+  for (int64_t i = 0; i < n; ++i) out[i] = grey[i] <= t;
+}
+
 // Fused preprocessing stage 1 (textAlignPreprocessing.py:166-178), in
 // place on a uint8 page: despeckle black CCs (area <= k), despeckle white
 // CCs (area <= k, the reference's invert-despeckle-invert), then remove
@@ -398,6 +506,6 @@ void ta_preproc_stage1(uint8_t* img, int64_t H, int64_t W, int64_t k,
   ta_remove_tall(img, H, W, sat_thresh);
 }
 
-int32_t ta_abi_version() { return 4; }
+int32_t ta_abi_version() { return 5; }
 
 }  // extern "C"

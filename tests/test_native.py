@@ -123,3 +123,77 @@ def test_skew_coords_matches_oracle(rng):
     assert host_native.rotation_angle_projections(
         img, -6, 6
     ) == oracle.rotation_angle_projections(img, -6, 6)
+
+
+def test_erode2_matches_oracle_filters(rng):
+    # structured strokes AND bernoulli noise: both border and interior cases
+    for density in (0.1, 0.5):
+        img = _page(rng, h=70, w=90, density=density)
+        ref = oracle.filter_narrow_runs(
+            oracle.filter_short_runs(img, 2, "black"), 2, "black"
+        )
+        np.testing.assert_array_equal(host_native.erode2(img), ref)
+    # degenerate 1-row / 1-col pages
+    np.testing.assert_array_equal(
+        host_native.erode2(np.ones((1, 5), bool)),
+        oracle.filter_narrow_runs(
+            oracle.filter_short_runs(np.ones((1, 5), bool), 2, "black"),
+            2, "black"),
+    )
+    np.testing.assert_array_equal(
+        host_native.erode2(np.ones((5, 1), bool)),
+        oracle.filter_narrow_runs(
+            oracle.filter_short_runs(np.ones((5, 1), bool), 2, "black"),
+            2, "black"),
+    )
+
+
+def test_skew_runs_replay_matches_oracle(rng):
+    # the runs-based replay must equal oracle's estimate exactly, including
+    # on a page with long runs that straddle shift-cell boundaries
+    img = _page(rng, h=150, w=220, density=0.15)
+    img[40:43, 10:200] = True  # full-width bars: multi-cell runs
+    img[90:92, 5:215] = True
+    assert host_native.rotation_angle_projections(
+        img, -6, 6
+    ) == oracle.rotation_angle_projections(img, -6, 6)
+
+
+def test_adjacent_unique_matches_np_unique():
+    from text_alignment_tpu.ops import fixedpoint as fxp
+
+    W = 900
+    for lo, hi, step in ((-6.0, 6.0, 1.0), (-1.53, 0.27, 0.1),
+                         (-0.723, -0.543, 0.01)):
+        cands = fxp.angle_grid(lo, hi, step)
+        shifts = np.stack([fxp.shear_shifts(a, W) for a in cands]).astype(
+            np.int32
+        )
+        uniq, inv = host_native._adjacent_unique(shifts)
+        ref_u, ref_inv = np.unique(shifts, axis=0, return_inverse=True)
+        # same reconstruction => same scores/argmax downstream
+        np.testing.assert_array_equal(uniq[inv], ref_u[ref_inv])
+        assert len(uniq) == len(ref_u)
+
+
+def test_preprocess_page_matches_staged(rng):
+    rgb = (rng.random((140, 180, 3)) * 255).astype(np.uint8)
+    rgb[30:60, 20:160] = 10  # some "text" mass so skew search has signal
+    rgb[80:105, 30:150] = 15
+    for correct_rotation in (True, False):
+        got_bin, got_er, got_ang = host_native.preprocess_page(
+            rgb, 20, 50, 1, 2, correct_rotation
+        )
+        img = oracle.to_onebit(rgb)
+        img = oracle.despeckle(img, 20)
+        img = ~oracle.despeckle(~img, 20)
+        img = oracle.remove_tall_ccs(img, 50)
+        ang = oracle.rotation_angle_projections(img, -6, 6)
+        if correct_rotation:
+            img = oracle.rotate_onebit(img, ang)
+        er = oracle.filter_narrow_runs(
+            oracle.filter_short_runs(img, 2, "black"), 2, "black"
+        )
+        assert got_ang == ang
+        np.testing.assert_array_equal(got_bin, img)
+        np.testing.assert_array_equal(got_er, er)

@@ -73,8 +73,14 @@ def _build_and_load():
         lib.ta_black_coords.argtypes = [u8p, i64, i64, i32p, i64]
         lib.ta_shear_projections_coords.argtypes = [i32p, i64, i32p, i64,
                                                     i64, i64, i64p]
+        lib.ta_black_runs.restype = i64
+        lib.ta_black_runs.argtypes = [u8p, i64, i64, i32p, i64]
+        lib.ta_shear_projections_runs.argtypes = [i32p, i64, i32p, i64,
+                                                  i64, i64, i64p]
+        lib.ta_erode2.argtypes = [u8p, i64, i64, u8p]
+        lib.ta_binarize.argtypes = [u8p, i64, i32, u8p]
         lib.ta_preproc_stage1.argtypes = [u8p, i64, i64, i64, i64]
-        assert lib.ta_abi_version() == 4
+        assert lib.ta_abi_version() == 5
         _lib = lib
     except Exception as e:  # no toolchain / build failure -> oracle fallback
         _load_error = repr(e)
@@ -214,47 +220,81 @@ def to_onebit(img: np.ndarray) -> np.ndarray:
     return grey <= t
 
 
-def rotate_onebit(img: np.ndarray, angle_deg: float) -> np.ndarray:
-    """Bit-identical native version of oracle.rotate_onebit (shared Q16
-    fixed-point inverse map, symmetric canvas growth)."""
+def _rotate_u8(a: np.ndarray, angle_deg: float) -> np.ndarray:
     from . import fixedpoint as fxp
 
-    _build_and_load()
-    a = _as_u8(img)
     H, W = a.shape
     H2, W2 = fxp.rotated_canvas(H, W, angle_deg)
     cfix, sfix = fxp.rotation_coeffs(angle_deg)
     out = np.zeros((H2, W2), np.uint8)
     _lib.ta_rotate_onebit(_u8p(a), H, W, H2, W2, cfix, sfix,
                           fxp.SCALE_BITS, _u8p(out))
-    return out.astype(bool)
+    return out
+
+
+def rotate_onebit(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Bit-identical native version of oracle.rotate_onebit (shared Q16
+    fixed-point inverse map, symmetric canvas growth)."""
+    _build_and_load()
+    return _rotate_u8(_as_u8(img), angle_deg).astype(bool)
+
+
+def _erode2_u8(a: np.ndarray) -> np.ndarray:
+    out = np.empty_like(a)
+    _lib.ta_erode2(_u8p(a), a.shape[0], a.shape[1], _u8p(out))
+    return out
+
+
+def erode2(img: np.ndarray) -> np.ndarray:
+    """Fused filter_short_runs(2,'black') -> filter_narrow_runs(2,'black')
+    (the preprocess erosion defaults): two streamed neighbor passes instead
+    of a column-major run walk. Bit-parity tested vs the oracle filters."""
+    _build_and_load()
+    return _erode2_u8(_as_u8(img)).astype(bool)
+
+
+def _adjacent_unique(shifts: np.ndarray):
+    """Exact row dedup for a stack of shift vectors: neighboring candidate
+    angles quantize to IDENTICAL Q16 shift vectors in the fine rounds, and
+    shear_shifts is monotone in the angle, so equal rows are adjacent.
+    Returns (unique rows, inverse index). Unlike np.unique(axis=0) this is
+    one vectorized diff (np.unique lexsorts full rows — measured 5-7 ms per
+    round, dwarfing the projection work itself)."""
+    if len(shifts) == 1:
+        return shifts, np.zeros(1, np.int64)
+    new_row = np.empty(len(shifts), bool)
+    new_row[0] = True
+    new_row[1:] = np.any(shifts[1:] != shifts[:-1], axis=1)
+    inv = np.cumsum(new_row) - 1
+    return shifts[new_row], inv
 
 
 def rotation_angle_projections(img: np.ndarray, minangle: float = -6.0,
                                maxangle: float = 6.0) -> float:
     """Coarse-to-fine skew estimate; same grid/criterion/first-max rule as
     oracle.rotation_angle_projections. All angle/shift math stays in
-    Python (bit-identical grids); the native side extracts the black
-    coordinates ONCE and replays them per candidate angle — each
-    refinement round costs O(#ink * angles) instead of O(H * W * angles)."""
+    Python (bit-identical grids); the native side extracts the black RUNS
+    once and replays them per candidate angle — the shift ramp is constant
+    across most runs, so a whole run costs one counter increment
+    (bit-identical grouping of the per-pixel replay)."""
     from . import fixedpoint as fxp
     from .oracle import criterion_from_projections
 
     _build_and_load()
     a = _as_u8(img)
     H, W = a.shape
-    max_n = max(1024, (H * W) // 4)  # pages are ~5-10% ink
-    xy = np.empty(2 * max_n, np.int32)
-    n = int(_lib.ta_black_coords(
+    max_n = max(1024, (H * W) // 8)  # run count << ink pixel count
+    runs = np.empty(3 * max_n, np.int32)
+    n = int(_lib.ta_black_runs(
         _u8p(a), H, W,
-        xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_n,
+        runs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_n,
     ))
-    if n > max_n:  # unusually dense page: one exact retry
+    if n > max_n:  # pathologically fragmented page: one exact retry
         max_n = n
-        xy = np.empty(2 * max_n, np.int32)
-        n = int(_lib.ta_black_coords(
+        runs = np.empty(3 * max_n, np.int32)
+        n = int(_lib.ta_black_runs(
             _u8p(a), H, W,
-            xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_n,
+            runs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_n,
         ))
     best, step, lo, hi = 0.0, 1.0, minangle, maxangle
     for _ in range(3):
@@ -262,15 +302,11 @@ def rotation_angle_projections(img: np.ndarray, minangle: float = -6.0,
         shifts = np.ascontiguousarray(
             np.stack([fxp.shear_shifts(ang, W) for ang in cands]), np.int32
         )
-        # in the fine rounds, neighboring candidate angles quantize to
-        # IDENTICAL Q16 shift vectors (the 0.01-degree step moves shifts by
-        # <1 px across a page width): score each unique vector once —
-        # exact, since equal shifts give equal projections
-        uniq, inv = np.unique(shifts, axis=0, return_inverse=True)
+        uniq, inv = _adjacent_unique(shifts)
         uniq = np.ascontiguousarray(uniq, np.int32)
         projs_u = np.zeros((len(uniq), H), np.int64)
-        _lib.ta_shear_projections_coords(
-            xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+        _lib.ta_shear_projections_runs(
+            runs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
             uniq.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             len(uniq), H, W,
             projs_u.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -291,3 +327,43 @@ def preproc_stage1(img: np.ndarray, despeckle_amt: int,
     _lib.ta_preproc_stage1(_u8p(a), a.shape[0], a.shape[1],
                            despeckle_amt, sat_area_thresh)
     return a.astype(bool)
+
+
+def preprocess_page(input_image: np.ndarray, despeckle_amt: int,
+                    sat_area_thresh: int, filter_runs: int,
+                    filter_runs_amt: int, correct_rotation: bool):
+    """Whole preprocess_images raster chain (binarize -> stage1 -> skew ->
+    rotate -> erode) on uint8 buffers end to end: one bool conversion per
+    returned page instead of two 3 MB bool<->u8 copies around every native
+    call. Stage semantics identical to the staged calls (tested).
+
+    Returns (image_bin bool, image_eroded bool, angle).
+    """
+    from . import oracle
+
+    _build_and_load()
+    grey = to_greyscale(input_image)
+    hist = np.zeros(256, np.int64)
+    _lib.ta_grey_histogram(_u8p(grey), grey.size,
+                           hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    t = oracle.otsu_from_hist(hist)
+    img = np.empty_like(grey)
+    _lib.ta_binarize(_u8p(grey), grey.size, int(t), _u8p(img))
+    _lib.ta_preproc_stage1(_u8p(img), img.shape[0], img.shape[1],
+                           despeckle_amt, sat_area_thresh)
+    angle = rotation_angle_projections(img, -6, 6)
+    if correct_rotation:
+        img = _rotate_u8(img, angle)
+    eroded = img
+    for _ in range(filter_runs):
+        if filter_runs_amt == 2:
+            eroded = _erode2_u8(eroded)
+        else:
+            eroded = eroded.copy() if eroded is img else eroded
+            _lib.ta_filter_runs(_u8p(eroded), eroded.shape[0],
+                                eroded.shape[1], filter_runs_amt, 1, 0)
+            _lib.ta_filter_runs(_u8p(eroded), eroded.shape[0],
+                                eroded.shape[1], filter_runs_amt, 1, 1)
+    if eroded is img:  # filter_runs == 0
+        eroded = img.copy()
+    return img.astype(bool), eroded.astype(bool), float(angle)

@@ -152,13 +152,15 @@ def preprocess_images(input_image, despeckle_amt: int = DESPECKLE_AMT,
         return image_bin, image_eroded, angle
 
     eng = _raster_engine(backend)
+    if hasattr(eng, "preprocess_page"):
+        # native engine: the whole raster chain stays on uint8 buffers
+        return eng.preprocess_page(input_image, despeckle_amt,
+                                   p.sat_area_thresh, filter_runs,
+                                   filter_runs_amt, correct_rotation)
     img = eng.to_onebit(input_image)
-    if hasattr(eng, "preproc_stage1"):
-        img = eng.preproc_stage1(img, despeckle_amt, p.sat_area_thresh)
-    else:
-        img = eng.despeckle(img, despeckle_amt)
-        img = ~eng.despeckle(~img, despeckle_amt)
-        img = eng.remove_tall_ccs(img, p.sat_area_thresh)
+    img = eng.despeckle(img, despeckle_amt)
+    img = ~eng.despeckle(~img, despeckle_amt)
+    img = eng.remove_tall_ccs(img, p.sat_area_thresh)
     angle = eng.rotation_angle_projections(img, -6, 6)
     if correct_rotation:
         img = eng.rotate_onebit(img, angle)
