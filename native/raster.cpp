@@ -55,7 +55,7 @@ struct Run {
 // identical to the per-pixel two-pass labeling it replaces.
 int32_t label_runs(const uint8_t* img, int64_t H, int64_t W,
                    std::vector<Run>& runs, std::vector<int64_t>& row_start,
-                   UF& uf) {
+                   UF& uf, bool black = true) {
   runs.clear();
   row_start.assign(H + 1, 0);
   for (int64_t y = 0; y < H; ++y) {
@@ -63,12 +63,12 @@ int32_t label_runs(const uint8_t* img, int64_t H, int64_t W,
     row_start[y] = (int64_t)runs.size();
     int64_t x = 0;
     while (x < W) {
-      if (!row[x]) {
+      if ((row[x] != 0) != black) {
         ++x;
         continue;
       }
       int64_t s = x;
-      while (x < W && row[x]) ++x;
+      while (x < W && (row[x] != 0) == black) ++x;
       runs.push_back({(int32_t)y, (int32_t)s, (int32_t)x, -1});
     }
   }
@@ -421,9 +421,16 @@ void ta_shear_projections_runs(const int32_t* runs, int64_t n,
                                const int32_t* shifts, int64_t A,
                                int64_t H, int64_t W, int64_t* proj) {
   for (int64_t i = 0; i < A * H; ++i) proj[i] = 0;
+  // next-boundary index per column: nb[x] = first e > x with sh[e] != sh[x]
+  // — lets boundary-straddling runs jump cell to cell instead of scanning
+  // the shift ramp pixel by pixel
+  std::vector<int32_t> nb((size_t)W);
   for (int64_t a = 0; a < A; ++a) {
     const int32_t* sh = shifts + a * W;
     int64_t* p = proj + a * H;
+    nb[W - 1] = (int32_t)W;
+    for (int64_t x = W - 2; x >= 0; --x)
+      nb[x] = (sh[x + 1] == sh[x]) ? nb[x + 1] : (int32_t)(x + 1);
     for (int64_t k = 0; k < n; ++k) {
       const int32_t y = runs[3 * k], xs = runs[3 * k + 1],
                     xe = runs[3 * k + 2];
@@ -435,10 +442,8 @@ void ta_shear_projections_runs(const int32_t* runs, int64_t n,
       }
       int32_t x = xs;
       while (x < xe) {
-        const int32_t s = sh[x];
-        int32_t e = x + 1;
-        while (e < xe && sh[e] == s) ++e;
-        const int64_t yd = (int64_t)y - s;
+        const int32_t e = nb[x] < xe ? nb[x] : xe;
+        const int64_t yd = (int64_t)y - sh[x];
         if (yd >= 0 && yd < H) p[yd] += e - x;
         x = e;
       }
@@ -499,13 +504,100 @@ void ta_binarize(const uint8_t* grey, int64_t n, int32_t thresh,
 void ta_preproc_stage1(uint8_t* img, int64_t H, int64_t W, int64_t k,
                        int64_t sat_thresh) {
   ta_despeckle(img, H, W, k);
-  // white despeckle: invert in place, despeckle, invert back
-  for (int64_t i = 0; i < H * W; ++i) img[i] = !img[i];
-  ta_despeckle(img, H, W, k);
-  for (int64_t i = 0; i < H * W; ++i) img[i] = !img[i];
+  // white despeckle (the reference's invert-despeckle-invert): label WHITE
+  // runs directly and fill qualifying small white CCs black — the same
+  // result without two full-page invert passes
+  {
+    std::vector<Run> runs;
+    std::vector<int64_t> row_start;
+    UF uf;
+    label_runs(img, H, W, runs, row_start, uf, /*black=*/false);
+    int32_t n = renumber_runs(runs, uf);
+    std::vector<int64_t> area(n + 1, 0);
+    for (const auto& r : runs) area[r.prov] += r.xe - r.xs;
+    for (const auto& r : runs) {
+      if (area[r.prov] > k) continue;
+      std::memset(img + (int64_t)r.y * W + r.xs, 1, (size_t)(r.xe - r.xs));
+    }
+  }
   ta_remove_tall(img, H, W, sat_thresh);
 }
 
-int32_t ta_abi_version() { return 5; }
+// Affine-gap Needleman-Wunsch (Gotoh 3-matrix) fill for integer
+// match/mismatch scoring, on token ids. Exact reference semantics
+// (textSeqCompare.py:45-88): first-max tie-breaks in the reference's
+// candidate order, boundary rows use the module-global gap extend, the
+// x matrix's unreachable boundary is a large negative sentinel. All
+// arithmetic is int64 with the same NEG sentinel as the numpy fast fill
+// (align/nw_host.py), so every comparison — hence every pointer — is
+// bit-identical. Host pairs are small (chant transcripts, a few hundred
+// chars); one scalar row sweep is ~5 ns/cell, far below a device
+// round-trip for anything under a few Mcells.
+// mat_ptr/x_ptr/y_ptr: int8[N*M] out, fully written.
+//
+// no-tree-vectorize: g++ 12.2 -O3 miscompiles this loop nest when the
+// vectorizer runs (verified: -O0/-O2/UBSan agree, -O3 with AVX diverges on
+// one tie-broken cell; the j loop carries y_cur[j-1] so there is nothing
+// to vectorize legally anyway).
+__attribute__((optimize("no-tree-vectorize")))
+void ta_nw_fill(const int32_t* t_ids, int64_t N, const int32_t* o_ids,
+                int64_t M, int64_t match, int64_t mismatch, int64_t gox,
+                int64_t goy, int64_t gex, int64_t gey, int64_t boundary_ge,
+                int8_t* mat_ptr, int8_t* x_ptr, int8_t* y_ptr) {
+  const int64_t NEG = -((int64_t)1 << 56);
+  std::vector<int64_t> m_prev(M), x_prev(M), y_prev(M), m_cur(M), x_cur(M),
+      y_cur(M);
+  for (int64_t j = 0; j < M; ++j) {
+    m_prev[j] = boundary_ge * j;
+    x_prev[j] = boundary_ge * j;
+    y_prev[j] = NEG;
+  }
+  std::memset(mat_ptr, 0, (size_t)(N * M));
+  std::memset(x_ptr, 0, (size_t)(N * M));
+  std::memset(y_ptr, 0, (size_t)(N * M));
+  for (int64_t i = 1; i < N; ++i) {
+    m_cur[0] = boundary_ge * i;
+    x_cur[0] = NEG;
+    y_cur[0] = boundary_ge * i;
+    const int32_t ti = t_ids[i - 1];
+    int8_t* mp = mat_ptr + i * M;
+    int8_t* xp = x_ptr + i * M;
+    int8_t* yp = y_ptr + i * M;
+    for (int64_t j = 1; j < M; ++j) {
+      // mat: diagonal move from (i-1, j-1)
+      const int64_t m0 = m_prev[j - 1], m1 = x_prev[j - 1],
+                    m2 = y_prev[j - 1];
+      int64_t mb = m0;
+      int8_t mi = 0;
+      if (m1 > mb) { mb = m1; mi = 1; }
+      if (m2 > mb) { mb = m2; mi = 2; }
+      m_cur[j] = mb + (ti == o_ids[j - 1] ? match : mismatch);
+      mp[j] = mi;
+      // x: vertical gap from (i-1, j); candidate order m, x, y
+      const int64_t x0 = m_prev[j] + gox + gex, x1 = x_prev[j] + gex,
+                    x2 = y_prev[j] + gox + gex;
+      int64_t xb = x0;
+      int8_t xi = 0;
+      if (x1 > xb) { xb = x1; xi = 1; }
+      if (x2 > xb) { xb = x2; xi = 2; }
+      x_cur[j] = xb;
+      xp[j] = xi;
+      // y: horizontal gap from (i, j-1); candidate order m, x, y
+      const int64_t y0 = m_cur[j - 1] + goy + gey,
+                    y1 = x_cur[j - 1] + goy + gey, y2 = y_cur[j - 1] + gey;
+      int64_t yb = y0;
+      int8_t yi = 0;
+      if (y1 > yb) { yb = y1; yi = 1; }
+      if (y2 > yb) { yb = y2; yi = 2; }
+      y_cur[j] = yb;
+      yp[j] = yi;
+    }
+    m_prev.swap(m_cur);
+    x_prev.swap(x_cur);
+    y_prev.swap(y_cur);
+  }
+}
+
+int32_t ta_abi_version() { return 7; }
 
 }  // extern "C"

@@ -154,3 +154,42 @@ def test_align_grid_jax_matches_host():
     for p, got in zip(params, grid_results):
         want = perform_alignment(t, o, scoring_system=p, backend="host")
         assert tuple(got) == tuple(want), p
+
+
+@pytest.mark.parametrize("scoring", SYSTEMS)
+def test_native_fill_matches_reference(scoring):
+    from text_alignment_tpu.ops import host_native
+    from text_alignment_tpu.align.nw_host import fill_native
+
+    if not host_native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = random.Random(3)
+    sc = resolve_scoring(scoring)
+    for n, m in [(3, 5), (10, 12), (30, 25), (60, 70), (150, 140)]:
+        t, o = _corrupted_pair(rng, n)
+        t, o = t + [" "], o + [" "]
+        ref = fill_reference_slow(t, o, sc)
+        nat = fill_native(t, o, sc)
+        for a, b, name in zip(ref, nat, ("mat", "x", "y")):
+            np.testing.assert_array_equal(
+                a[1:, 1:], b[1:, 1:], err_msg=f"{name} ptr mismatch n={n} m={m}"
+            )
+
+
+def test_align_pairs_small_pair_host_routing():
+    """align_pairs_jax's host shortcut for small pairs must equal the
+    forced-device bucket path alignment for alignment."""
+    from text_alignment_tpu.align.nw_jax import align_pairs_jax
+
+    rng = random.Random(11)
+    sc = resolve_scoring(None)
+    pairs = []
+    for n in (8, 40, 90):
+        t, o = _corrupted_pair(rng, n)
+        pairs.append((t, o))
+    via_host = align_pairs_jax(pairs, sc)               # default: all host
+    via_dev = align_pairs_jax(pairs, sc, min_device_cells=0)  # all device
+    assert via_host == via_dev
+    for (ta, oa), (t, o) in zip(via_host, pairs):
+        ref = perform_alignment(t, o, backend="reference")
+        assert (ta, oa) == ref

@@ -19,8 +19,20 @@ from .scoring import resolve_scoring
 from .nw_host import fill_host
 from .traceback import DensePtrView, DiagPtrView, traceback
 
-# problems smaller than this are faster on host than a device round-trip
-_AUTO_DEVICE_MIN_CELLS = 512 * 512
+# problems smaller than this are faster on host than a device round-trip:
+# the native C++ fill runs ~12 ns/cell, so ~4 Mcells (~50 ms) is where a
+# tunnel dispatch + download starts to win (falls back to 512*512 when the
+# native engine is unavailable and the numpy fill's ~0.3 ms/row overhead
+# dominates instead)
+_AUTO_DEVICE_MIN_CELLS = 2048 * 2048
+_AUTO_DEVICE_MIN_CELLS_NUMPY = 512 * 512
+
+
+def auto_device_min_cells() -> int:
+    from .nw_host import _native_nw_available
+
+    return (_AUTO_DEVICE_MIN_CELLS if _native_nw_available()
+            else _AUTO_DEVICE_MIN_CELLS_NUMPY)
 
 
 def _device_align_ops(sc):
@@ -54,7 +66,7 @@ def perform_alignment(transcript, ocr, scoring_system=None, verbose=False,
     sc = resolve_scoring(scoring_system)
 
     if backend == "auto":
-        if len(transcript) * len(ocr) >= _AUTO_DEVICE_MIN_CELLS:
+        if len(transcript) * len(ocr) >= auto_device_min_cells():
             backend = "jax"
         else:
             backend = "host"

@@ -168,9 +168,45 @@ def fill_host_fast(transcript, ocr, sc: Scoring):
     return mat_ptr, x_ptr, y_ptr
 
 
+def fill_native(transcript, ocr, sc: Scoring):
+    """Native C++ fill (ops.host_native.nw_fill) for integral
+    match/mismatch scoring: elements are tokenized by equality, then the
+    scalar row sweep runs at ~5 ns/cell. Pointer matrices are bit-identical
+    to fill_host_fast (tested)."""
+    from ..ops import host_native
+
+    vocab: dict = {}
+    def ids(seq):
+        out = np.empty(len(seq), np.int32)
+        for k, el in enumerate(seq):
+            out[k] = vocab.setdefault(el, len(vocab))
+        return out
+
+    t_ids, o_ids = ids(transcript), ids(ocr)
+    match, mismatch = (int(v) for v in sc.match_mismatch)
+    return host_native.nw_fill(
+        t_ids, o_ids, match, mismatch,
+        int(sc.gap_open_x), int(sc.gap_open_y),
+        int(sc.gap_extend_x), int(sc.gap_extend_y), BOUNDARY_GAP_EXTEND,
+    )
+
+
+def _native_nw_available() -> bool:
+    import os
+
+    if os.environ.get("TEXT_ALIGNMENT_TPU_NO_NATIVE_NW"):
+        return False
+    from ..ops import host_native
+
+    return host_native.available()
+
+
 def fill_host(transcript, ocr, sc: Scoring):
-    """Pick the fast exact path when the scoring system is integral."""
+    """Pick the fastest exact path for this scoring system: the native C++
+    sweep, the vectorized numpy fill, or the literal reference loop."""
     if sc.is_integral and sc.match_mismatch is not None:
+        if _native_nw_available():
+            return fill_native(transcript, ocr, sc)
         return fill_host_fast(transcript, ocr, sc)
     if sc.match_mismatch is None:
         # custom callable: probe integrality on the actual alphabet
@@ -185,6 +221,15 @@ def fill_host(transcript, ocr, sc: Scoring):
                 for g in (sc.gap_open_x, sc.gap_open_y, sc.gap_extend_x, sc.gap_extend_y)
             ):
                 return fill_host_fast(transcript, ocr, sc)
-        except Exception:
-            pass
+        except Exception as e:
+            # a broken custom scoring callable must surface, not silently
+            # degrade to the slow fill where it will raise anyway — warn
+            # with the cause so the eventual failure is attributable
+            import warnings
+
+            warnings.warn(
+                f"custom scoring callable failed integrality probe ({e!r}); "
+                "falling back to the reference fill",
+                RuntimeWarning,
+            )
     return fill_reference_slow(transcript, ocr, sc)

@@ -362,11 +362,13 @@ def _align_fused_pairs(t_exts, o_feeds, Nts, Nos, match, mismatch,
     return ops.astype(jnp.int32), k, xpt, ypt
 
 
-def align_pairs_jax(pairs, sc: Scoring):
+def align_pairs_jax(pairs, sc: Scoring, min_device_cells: int | None = None):
     """Batched alignment of many (transcript, ocr) pairs under one integer
-    match/mismatch scoring system. Pairs are grouped by their padded
-    (L, NoP) bucket; each group is one device dispatch. Returns a list of
-    (tra_align, ocr_align) in input order. Sentinels are appended here."""
+    match/mismatch scoring system. Pairs below ``min_device_cells`` (default:
+    the api auto cutoff) run on the native host fill; the rest are grouped
+    by their padded (L, NoP) bucket, one device dispatch per group. Returns
+    a list of (tra_align, ocr_align) in input order. Sentinels are appended
+    here."""
     if sc.match_mismatch is None or not sc.is_integral:
         return [
             None  # caller falls back per pair
@@ -386,9 +388,28 @@ def align_pairs_jax(pairs, sc: Scoring):
              np.array([ids[c] for c in o], np.int32))
         )
 
+    results = [None] * len(pairs)
+
+    # small pairs are faster on the native host fill than any device
+    # dispatch (tunnel round-trip ~20-25 ms vs ~12 ns/cell on host); route
+    # them out before bucketing so typical chant pages never touch the chip
+    from .api import auto_device_min_cells
+    from .nw_host import fill_host
+    from .traceback import DensePtrView, traceback as _traceback
+
+    min_cells = (auto_device_min_cells() if min_device_cells is None
+                 else min_device_cells)
+    small = [i for i, (t, o, _, _) in enumerate(prepared)
+             if len(t) * len(o) < min_cells]
+    for i in small:
+        t, o, _, _ = prepared[i]
+        ptrs = DensePtrView(*fill_host(t, o, sc))
+        results[i] = _traceback(t, o, ptrs)
+
     groups: dict[tuple[int, int], list[int]] = {}
     for i, (t, o, _, _) in enumerate(prepared):
-        groups.setdefault((_bucket(len(t)), _bucket(len(o))), []).append(i)
+        if results[i] is None:
+            groups.setdefault((_bucket(len(t)), _bucket(len(o))), []).append(i)
 
     import os
 
@@ -398,7 +419,6 @@ def align_pairs_jax(pairs, sc: Scoring):
 
         use_pallas = _jax.default_backend() == "tpu"
 
-    results = [None] * len(pairs)
     dt = jnp.int32
     for (L, NoP), members in sorted(groups.items()):
         D = L + NoP - 1

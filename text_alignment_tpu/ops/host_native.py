@@ -80,7 +80,10 @@ def _build_and_load():
         lib.ta_erode2.argtypes = [u8p, i64, i64, u8p]
         lib.ta_binarize.argtypes = [u8p, i64, i32, u8p]
         lib.ta_preproc_stage1.argtypes = [u8p, i64, i64, i64, i64]
-        assert lib.ta_abi_version() == 5
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.ta_nw_fill.argtypes = [i32p, i64, i32p, i64, i64, i64, i64,
+                                   i64, i64, i64, i64, i8p, i8p, i8p]
+        assert lib.ta_abi_version() == 7
         _lib = lib
     except Exception as e:  # no toolchain / build failure -> oracle fallback
         _load_error = repr(e)
@@ -95,13 +98,22 @@ def _as_u8(img: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(img, dtype=np.uint8)
 
 
+def _as_u8_ro(img: np.ndarray) -> np.ndarray:
+    """uint8 view for READ-ONLY native calls: a contiguous bool array is
+    reinterpreted in place (numpy bools are one 0/1 byte) instead of copied.
+    Never pass the result to an in-place native op."""
+    if img.dtype == np.bool_ and img.flags.c_contiguous:
+        return img.view(np.uint8)
+    return np.ascontiguousarray(img, dtype=np.uint8)
+
+
 def _u8p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
 def cc_label(img: np.ndarray):
     _build_and_load()
-    a = _as_u8(img)
+    a = _as_u8_ro(img)
     H, W = a.shape
     labels = np.zeros((H, W), np.int32)
     n = _lib.ta_cc_label(_u8p(a), H, W,
@@ -111,7 +123,7 @@ def cc_label(img: np.ndarray):
 
 def cc_stats(img: np.ndarray, max_ccs: int = 1 << 20):
     _build_and_load()
-    a = _as_u8(img)
+    a = _as_u8_ro(img)
     H, W = a.shape
     table = np.zeros((max_ccs, 5), np.int64)
     n = _lib.ta_cc_stats(_u8p(a), H, W,
@@ -163,7 +175,7 @@ def filter_narrow_runs(img: np.ndarray, k: int, color: str = "black") -> np.ndar
 
 def projection_rows(img: np.ndarray) -> np.ndarray:
     _build_and_load()
-    a = _as_u8(img)
+    a = _as_u8_ro(img)
     proj = np.zeros(a.shape[0], np.int64)
     _lib.ta_projection_rows(_u8p(a), a.shape[0], a.shape[1],
                             proj.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
@@ -172,7 +184,7 @@ def projection_rows(img: np.ndarray) -> np.ndarray:
 
 def black_area(img: np.ndarray) -> int:
     _build_and_load()
-    a = _as_u8(img)
+    a = _as_u8_ro(img)
     return int(_lib.ta_black_area(_u8p(a), a.size))
 
 
@@ -180,7 +192,7 @@ def shear_projections(img: np.ndarray, shifts: np.ndarray) -> np.ndarray:
     """Row projections of the column-sheared page for a batch of candidate
     angles; semantics = oracle.shear_projection per shifts row."""
     _build_and_load()
-    a = _as_u8(img)
+    a = _as_u8_ro(img)
     H, W = a.shape
     sh = np.ascontiguousarray(shifts, dtype=np.int32)
     A = sh.shape[0]
@@ -281,7 +293,7 @@ def rotation_angle_projections(img: np.ndarray, minangle: float = -6.0,
     from .oracle import criterion_from_projections
 
     _build_and_load()
-    a = _as_u8(img)
+    a = _as_u8_ro(img)
     H, W = a.shape
     max_n = max(1024, (H * W) // 8)  # run count << ink pixel count
     runs = np.empty(3 * max_n, np.int32)
@@ -329,6 +341,28 @@ def preproc_stage1(img: np.ndarray, despeckle_amt: int,
     return a.astype(bool)
 
 
+def nw_fill(t_ids: np.ndarray, o_ids: np.ndarray, match: int, mismatch: int,
+            gox: int, goy: int, gex: int, gey: int, boundary_ge: int):
+    """Native Gotoh fill on token ids. Returns (mat_ptr, x_ptr, y_ptr)
+    int8 (N, M) arrays, bit-identical to align.nw_host.fill_host_fast."""
+    _build_and_load()
+    t = np.ascontiguousarray(t_ids, np.int32)
+    o = np.ascontiguousarray(o_ids, np.int32)
+    N, M = len(t), len(o)
+    mat_ptr = np.empty((N, M), np.int8)
+    x_ptr = np.empty((N, M), np.int8)
+    y_ptr = np.empty((N, M), np.int8)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    _lib.ta_nw_fill(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), N,
+        o.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), M,
+        match, mismatch, gox, goy, gex, gey, boundary_ge,
+        mat_ptr.ctypes.data_as(i8p), x_ptr.ctypes.data_as(i8p),
+        y_ptr.ctypes.data_as(i8p),
+    )
+    return mat_ptr, x_ptr, y_ptr
+
+
 def preprocess_page(input_image: np.ndarray, despeckle_amt: int,
                     sat_area_thresh: int, filter_runs: int,
                     filter_runs_amt: int, correct_rotation: bool):
@@ -366,4 +400,7 @@ def preprocess_page(input_image: np.ndarray, despeckle_amt: int,
                                 eroded.shape[1], filter_runs_amt, 1, 1)
     if eroded is img:  # filter_runs == 0
         eroded = img.copy()
-    return img.astype(bool), eroded.astype(bool), float(angle)
+    # every buffer here is freshly allocated and strictly 0/1 (binarize
+    # output propagated through despeckle/rotate/erode), so reinterpreting
+    # as bool is free and canonical
+    return img.view(bool), eroded.view(bool), float(angle)
