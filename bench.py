@@ -35,7 +35,7 @@ import numpy as np
 
 BENCH_SEED = 1234
 N_DEVICE_FOLIOS = 6
-N_BASELINE_FOLIOS = 3  # median of 3: the host vCPU is bursty (5-20 s swings)
+N_BASELINE_FOLIOS = 5  # median of 5: the host vCPU is bursty (5-20 s swings)
 DEVICE_BACKEND = os.environ.get("TEXT_ALIGNMENT_TPU_BENCH_BACKEND", "hybrid")
 
 
@@ -132,6 +132,37 @@ def injected_ocr(page, seed):
 
     rng = np.random.default_rng(seed)
     return ocr_with_spaces(corrupt_ocr(rng, page.char_boxes))
+
+
+def ocr_metrics(pages, dev_rec):
+    """Hardware-grounded recognizer throughput: strips/sec through the fused
+    normalize->BiLSTM->CTC path, plus model FLOP/s from the BiLSTM flops
+    model (2 dirs x 4 gate matmuls of (ns, 1+ni+ns) + softmax (nout, 2ns+1),
+    2 flops/MAC) over the normalized frame count (width * 48/height)."""
+    from text_alignment_tpu.pipeline.preprocess import (
+        preprocess_images,
+        identify_text_lines,
+    )
+
+    strips = []
+    for p in pages[1:]:
+        image, eroded, _ = preprocess_images(p.image, backend=DEVICE_BACKEND)
+        ls, _, _ = identify_text_lines(image, eroded, backend=DEVICE_BACKEND,
+                                       verbose=False)
+        strips.extend(s.img for s in ls)
+    frames = sum(
+        int(round(s.shape[1] * 48.0 / max(1, s.shape[0]))) for s in strips
+    )
+    ni, ns, nout = 48, 100, 64
+    flops_per_frame = 2 * (4 * 2 * ns * (1 + ni + ns)) + 2 * nout * (2 * ns + 1)
+    dev_rec.recognize_batch(strips)  # warm the size buckets
+    t0 = time.perf_counter()
+    dev_rec.recognize_batch(strips)
+    dt = time.perf_counter() - t0
+    print(f"# ocr: {len(strips)/dt:.0f} strips/sec, "
+          f"~{frames * flops_per_frame / dt / 1e9:.2f} model GFLOP/s "
+          f"({len(strips)} strips, ~{frames} frames, fp32 parity path)",
+          file=sys.stderr)
 
 
 def nw_gcups_stress(n=8191):
@@ -234,13 +265,15 @@ def main():
         return orig(t, o, scoring_system=scoring_system, verbose=verbose,
                     backend="reference")
 
+    # fixed folio set: baseline samples run the SAME pages the device batch
+    # measures (pages 1..N_BASELINE_FOLIOS), so the ratio compares identical
+    # work; median over >= 5 samples tames the vCPU's burstiness
     times = []
     proc_mod.perform_alignment = ref_nw_alignment
     try:
-        for i in range(N_BASELINE_FOLIOS):
+        for i in range(1, N_BASELINE_FOLIOS + 1):
             t0 = time.perf_counter()
-            folio_flow(pages[i % len(pages)], ocrs[i % len(ocrs)], base_rec,
-                       backend="host")
+            folio_flow(pages[i], ocrs[i], base_rec, backend="host")
             times.append(time.perf_counter() - t0)
     finally:
         proc_mod.perform_alignment = orig
@@ -248,6 +281,14 @@ def main():
     print(f"# cpu baseline: {base_dt*1e3:.0f} ms/folio "
           f"(median of {N_BASELINE_FOLIOS}: "
           f"{['%.1fs' % t for t in times]})", file=sys.stderr)
+    print(f"# absolute: batched {dev_dt*1e3:.1f} ms/folio, "
+          f"sequential {seq_dt*1e3:.1f} ms/folio, "
+          f"baseline {base_dt*1e3:.0f} ms/folio", file=sys.stderr)
+
+    try:
+        ocr_metrics(pages, dev_rec)
+    except Exception as e:  # secondary metric must not sink the headline
+        print(f"# ocr metric failed: {e}", file=sys.stderr)
 
     try:
         gcups = nw_gcups_stress()

@@ -161,3 +161,41 @@ def test_pipelined_ocr_dispatch_matches_sync():
     rows_async = rec.collect_async(handles)
     for strips, rows in zip(per_folio_strips, rows_async):
         assert rows == rec.recognize_batch([s.img for s in strips])
+
+
+def test_sharded_folio_pipeline_byte_identical():
+    """The FULL sharded folio pipeline (threaded raster + mesh-sharded OCR
+    + mesh-sharded NW buckets) emits byte-identical JSON to the
+    single-device process_batch — the Rodan fan-out analog, proven on the
+    8-way virtual CPU mesh."""
+    import json
+    import jax
+    from text_alignment_tpu.parallel import make_mesh
+    from text_alignment_tpu.models.lstm_jax import init_bilstm
+    from text_alignment_tpu.models.recognizer import SeqRecognizer
+    from text_alignment_tpu.models.codec import Codec
+
+    codec = Codec()
+    params = init_bilstm(jax.random.PRNGKey(5), 48, 100, len(codec))
+    rec = SeqRecognizer(params, codec, normalize_on_device=True)
+
+    folios = []
+    for i in range(3):
+        page = make_page(np.random.default_rng(60 + i), n_lines=4,
+                         words_per_line=2)
+        folios.append((page.image, page.transcript))
+
+    single = process_batch(folios, rec, backend="device",
+                           preproc_params=SYNTH_PARAMS)
+    mesh = make_mesh(8)
+    sharded = process_batch(folios, rec, backend="device",
+                            preproc_params=SYNTH_PARAMS, mesh=mesh,
+                            min_align_device_cells=0)
+    assert rec.mesh is None  # caller's recognizer must not be mutated
+    assert any(s is not None for s in single)  # not vacuous
+    for s, m in zip(single, sharded):
+        if s is None:
+            assert m is None
+            continue
+        assert json.dumps(s.json_dict, sort_keys=True) == \
+            json.dumps(m.json_dict, sort_keys=True)

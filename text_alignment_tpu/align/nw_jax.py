@@ -362,7 +362,28 @@ def _align_fused_pairs(t_exts, o_feeds, Nts, Nos, match, mismatch,
     return ops.astype(jnp.int32), k, xpt, ypt
 
 
-def align_pairs_jax(pairs, sc: Scoring, min_device_cells: int | None = None):
+@functools.lru_cache(maxsize=None)
+def _sharded_pairs_fn(mesh, L, NoP):
+    """_align_fused_pairs jitted with the pair-batch axis sharded over the
+    mesh's 'data' axis — each device fills its shard of the bucket's
+    alignments (the multi-chip NW fan-out; no collectives in the fill)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def fn(t_exts, o_feeds, Nts, Nos, match, mismatch, gox, goy, gex, gey):
+        return _align_fused_pairs(
+            t_exts, o_feeds, Nts, Nos, match, mismatch, gox, goy, gex, gey,
+            L=L, NoP=NoP, is_int=True,
+        )
+
+    return jax.jit(fn, in_shardings=(data, data, data, data) + (repl,) * 6,
+                   out_shardings=data)
+
+
+def align_pairs_jax(pairs, sc: Scoring, min_device_cells: int | None = None,
+                    mesh=None):
     """Batched alignment of many (transcript, ocr) pairs under one integer
     match/mismatch scoring system. Pairs below ``min_device_cells`` (default:
     the api auto cutoff) run on the native host fill; the rest are grouped
@@ -439,7 +460,7 @@ def align_pairs_jax(pairs, sc: Scoring, min_device_cells: int | None = None):
         # pairs SEQUENTIALLY; the vmapped scan advances every pair of the
         # bucket in lockstep and wins for B > 1 (measured: 6 pairs 150 ms
         # scan vs 490 ms pallas-grid). Use Pallas only for singleton groups.
-        if use_pallas and B == 1:
+        if use_pallas and B == 1 and mesh is None:
             from .nw_pallas import align_pairs_pallas
 
             group_data = [
@@ -447,6 +468,30 @@ def align_pairs_jax(pairs, sc: Scoring, min_device_cells: int | None = None):
                 for bi in range(B)
             ]
             ops, k, xpt, ypt = align_pairs_pallas(group_data, sc, L, NoP)
+        elif mesh is not None:
+            # shard the pair batch over the mesh's data axis; pad to a
+            # multiple of the axis size by replicating row 0 (valid data,
+            # results discarded)
+            n_dev = mesh.shape["data"]
+            Bp = ((B + n_dev - 1) // n_dev) * n_dev
+            if Bp != B:
+                padr = lambda a: np.concatenate(
+                    [a, np.repeat(a[:1], Bp - B, axis=0)], axis=0
+                )
+                t_exts, o_feeds = padr(t_exts), padr(o_feeds)
+                Nts, Nos = padr(Nts), padr(Nos)
+            fn = _sharded_pairs_fn(mesh, L, NoP)
+            ops, k, xpt, ypt = fn(
+                jnp.asarray(t_exts), jnp.asarray(o_feeds),
+                jnp.asarray(Nts), jnp.asarray(Nos),
+                jnp.asarray(match, dt), jnp.asarray(mismatch, dt),
+                jnp.asarray(sc.gap_open_x, dt),
+                jnp.asarray(sc.gap_open_y, dt),
+                jnp.asarray(sc.gap_extend_x, dt),
+                jnp.asarray(sc.gap_extend_y, dt),
+            )
+            ops, k = np.asarray(ops)[:B], np.asarray(k)[:B]
+            xpt, ypt = np.asarray(xpt)[:B], np.asarray(ypt)[:B]
         else:
             ops, k, xpt, ypt = _align_fused_pairs(
                 jnp.asarray(t_exts), jnp.asarray(o_feeds),

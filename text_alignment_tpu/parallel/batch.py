@@ -43,16 +43,34 @@ def process_batch(folios, recognizer, seq_align_params=None,
                   backend: str = "device", preproc_params=None,
                   timer: StageTimer | None = None,
                   existing_ocr: list | None = None,
-                  existing_pre: list | None = None) -> list[FolioResult | None]:
+                  existing_pre: list | None = None,
+                  mesh=None,
+                  min_align_device_cells: int | None = None,
+                  raster_workers: int | None = None) -> list[FolioResult | None]:
     """folios: list of (raw_image, transcript). Returns FolioResult per
     folio (None where OCR produced nothing alignable).
 
     ``existing_ocr`` optionally injects per-folio CharBox streams (stage
     fixture hook), skipping the recognizer. ``existing_pre`` injects
     per-folio (image, angle, strips, peaks) tuples, skipping the raster
-    stage (the batched analog of process()'s existing_preproc_images)."""
+    stage (the batched analog of process()'s existing_preproc_images).
+
+    ``mesh`` shards the whole pipeline over a 1-D jax data mesh — the
+    Rodan/Celery folio fan-out analog (reference textAlignment.py:51): the
+    host raster runs on a thread pool (native calls release the GIL), the
+    cross-folio OCR batch shards over 'data' via parallel.infer_dp, and the
+    bucketed NW dispatches shard their pair axis. Output is byte-identical
+    to the single-device run (tested). ``min_align_device_cells`` forwards
+    to align_pairs_jax (0 forces every pair onto the device path)."""
     timer = timer or StageTimer(enabled=False)
     n = len(folios)
+
+    if mesh is not None and recognizer is not None \
+            and getattr(recognizer, "mesh", None) is not mesh:
+        import copy
+
+        recognizer = copy.copy(recognizer)
+        recognizer.mesh = mesh
 
     # stage 1: preprocess + line identification (device-resident rasters).
     # When the recognizer normalizes on device, each folio's OCR is
@@ -66,20 +84,33 @@ def process_batch(folios, recognizer, seq_align_params=None,
         and getattr(recognizer, "mesh", None) is None
     )
     ocr_handles = []
+    def _raster_one(raw_image):
+        image, eroded, angle = preprocess_images(
+            np.asarray(raw_image), backend=backend, params=preproc_params
+        )
+        strips, peaks, _ = identify_text_lines(
+            image, eroded, backend=backend, params=preproc_params,
+            verbose=False,
+        )
+        return image, angle, strips, peaks
+
     if existing_pre is not None:
         pre = list(existing_pre)
+    elif mesh is not None or raster_workers:
+        # folio-parallel raster: the native engine's ctypes calls release
+        # the GIL, so a thread pool scales with host cores
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = raster_workers or min(n, max(1, (os.cpu_count() or 1)))
+        with timer("preprocess"):
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                pre = list(ex.map(lambda f: _raster_one(f[0]), folios))
     else:
         pre = []
         with timer("preprocess"):
             for raw_image, _ in folios:
-                image, eroded, angle = preprocess_images(
-                    np.asarray(raw_image), backend=backend,
-                    params=preproc_params
-                )
-                strips, peaks, _ = identify_text_lines(
-                    image, eroded, backend=backend, params=preproc_params,
-                    verbose=False,
-                )
+                image, angle, strips, peaks = _raster_one(raw_image)
                 pre.append((image, angle, strips, peaks))
                 if pipelined:
                     ocr_handles.append(
@@ -129,7 +160,10 @@ def process_batch(folios, recognizer, seq_align_params=None,
 
     with timer("align"):
         if backend in ("device", "hybrid"):
-            aligned = align_pairs_jax(pairs, sc)
+            aligned = align_pairs_jax(
+                pairs, sc, min_device_cells=min_align_device_cells,
+                mesh=mesh,
+            )
             # non-integer/custom scoring falls back per pair
             aligned = [
                 a
