@@ -218,3 +218,76 @@ def test_trainer_checkpoint_roundtrip(tmp_path, rng):
     for part in ("fwd", "bwd"):
         for k in want[part]:
             np.testing.assert_array_equal(want[part][k], got[part][k])
+
+
+def test_load_genuine_py2_pyrnn(tmp_path, rng):
+    """The loader must read the REAL container format: a Python-2
+    protocol-2 pickle (old-style OBJ opcodes, py2-str payloads,
+    numpy-1.15 _reconstruct reduce forms), not just our own py3 writer
+    (reference contract: alignToOCR.py:27-31)."""
+    import gzip
+    import pickletools
+    from py2pickle import build_py2_pyrnn
+
+    d = _np_params(rng, ni=48, ns=7, nout=6)
+    charset = ["", "~", " ", "a", "ā", "b"]  # incl. a-macron abbrev char
+    blob = build_py2_pyrnn(d, charset, target_height=48)
+    # sanity: the stream really is protocol 2 and uses the py2-only opcodes
+    ops = [op.name for op, _, _ in pickletools.genops(blob)]
+    assert "OBJ" in ops and ("SHORT_BINSTRING" in ops or "BINSTRING" in ops)
+    assert "NEWOBJ" not in ops  # old-style classes never emit NEWOBJ
+
+    path = str(tmp_path / "salzinnes_model-00054500.pyrnn.gz")
+    with gzip.open(path, "wb") as f:
+        f.write(blob)
+
+    params2, codec2, th = load_pyrnn(path)
+    assert th == 48
+    assert codec2.charset == charset
+    for part in ("fwd", "bwd"):
+        for k in d[part]:
+            np.testing.assert_array_equal(d[part][k], params2[part][k])
+    np.testing.assert_array_equal(
+        np.asarray(d["W2"], np.float32), params2["W2"]
+    )
+
+
+def test_load_genuine_py2_pyrnn_swapped_parallel_order(tmp_path, rng):
+    """Direction detection must come from the Reversed wrapper, not list
+    order: build the same graph with Parallel.nets = [Reversed[bwd], fwd]."""
+    import gzip
+    from py2pickle import (build_py2_pyrnn, _obj, _py2_str, _list, _ndarray,
+                           _int, PROTO, STOP)
+
+    d = _np_params(rng, ni=48, ns=5, nout=4)
+    blob = build_py2_pyrnn(d, ["", "~", "x", "y"], target_height=48)
+
+    # rebuild with swapped order by constructing the graph manually
+    keys = ("WGI", "WGF", "WGO", "WCI", "WIP", "WFP", "WOP")
+
+    def lstm(w):
+        return _obj("ocrolib.lstm", "LSTM", [
+            (_py2_str(k.encode()), _ndarray(np.asarray(w[k], np.float32)))
+            for k in keys
+        ])
+
+    rev = _obj("ocrolib.lstm", "Reversed",
+               [(_py2_str(b"net"), lstm(d["bwd"]))])
+    par = _obj("ocrolib.lstm", "Parallel",
+               [(_py2_str(b"nets"), _list([rev, lstm(d["fwd"])]))])
+    soft = _obj("ocrolib.lstm", "Softmax",
+                [(_py2_str(b"W2"),
+                  _ndarray(np.asarray(d["W2"], np.float32)))])
+    stack = _obj("ocrolib.lstm", "Stacked",
+                 [(_py2_str(b"nets"), _list([par, soft]))])
+    rec = _obj("ocrolib.lstm", "SeqRecognizer",
+               [(_py2_str(b"lstm"), stack)])
+    blob = PROTO + rec + STOP
+
+    path = str(tmp_path / "m-00017000.pyrnn.gz")
+    with gzip.open(path, "wb") as f:
+        f.write(blob)
+    params2, _, _ = load_pyrnn(path)
+    for part in ("fwd", "bwd"):
+        for k in d[part]:
+            np.testing.assert_array_equal(d[part][k], params2[part][k])
