@@ -160,11 +160,13 @@ def _nw_kernel_body(params_ref, o_ref, t_ref, out_ref, state, CHUNK):
         state[idx] = carry[idx]
 
 
-@functools.partial(jax.jit, static_argnames=("L", "NoP", "interpret"))
-def _fill_pallas(t_ext2d, o_feed, params, L, NoP, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("L", "NoP", "interpret", "chunk"))
+def _fill_pallas(t_ext2d, o_feed, params, L, NoP, interpret=False,
+                 chunk=None):
     R = L // LANE
     D = L + NoP - 1
-    CHUNK = _chunk_for(L)
+    CHUNK = chunk or _chunk_for(L)
     G = (D + CHUNK - 1) // CHUNK
     out = pl.pallas_call(
         _make_nw_kernel(CHUNK),
@@ -266,16 +268,17 @@ def _make_nw_kernel_batched(chunk: int):
     return _nw_kernel_b
 
 
-@functools.partial(jax.jit, static_argnames=("L", "NoP", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("L", "NoP", "interpret", "chunk"))
 def _fill_pallas_batched(t_ext3d, o_feed3d, params, L, NoP,
-                         interpret=False):
+                         interpret=False, chunk=None):
     """Fill B same-bucket pairs in ONE kernel invocation. t_ext3d:
     (B, R, LANE) int32; o_feed3d: (B, G, CHUNK) int32. Returns packed
     pointers (B, D, L) uint8."""
     B = t_ext3d.shape[0]
     R = L // LANE
     D = L + NoP - 1
-    CHUNK = _chunk_for(L)
+    CHUNK = chunk or _chunk_for(L)
     G = (D + CHUNK - 1) // CHUNK
     out = pl.pallas_call(
         _make_nw_kernel_batched(CHUNK),
@@ -296,13 +299,14 @@ def _fill_pallas_batched(t_ext3d, o_feed3d, params, L, NoP,
     return out.reshape(B, G * CHUNK, L)[:, :D]
 
 
-@functools.partial(jax.jit, static_argnames=("L", "NoP", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("L", "NoP", "interpret", "chunk"))
 def _align_fused_pairs_pallas(t_ext3d, o_feed3d, params, Nts, Nos, L, NoP,
-                              interpret=False):
+                              interpret=False, chunk=None):
     from .nw_jax import _traceback_ops
 
     packed = _fill_pallas_batched(t_ext3d, o_feed3d, params, L=L, NoP=NoP,
-                                  interpret=interpret)
+                                  interpret=interpret, chunk=chunk)
 
     def one(p, Nt, No):
         return _traceback_ops(p, Nt, No, P=L + NoP)
@@ -311,12 +315,15 @@ def _align_fused_pairs_pallas(t_ext3d, o_feed3d, params, Nts, Nos, L, NoP,
     return ops.astype(jnp.int32), k, xpt, ypt
 
 
-def align_pairs_pallas(group_data, sc: Scoring, L: int, NoP: int):
+def align_pairs_pallas(group_data, sc: Scoring, L: int, NoP: int,
+                       interpret=False, chunk=None):
     """Batched same-bucket pair alignment on the Pallas kernel. group_data:
     list of (t_ext (L,), o_feed (steps,), Nt, No) already encoded by the
     caller (align_pairs_jax's bucketing). Returns (ops, k, xpt, ypt)
-    numpy arrays with batch dim."""
-    CHUNK = _chunk_for(L)
+    numpy arrays with batch dim. ``chunk`` overrides the per-grid-step
+    diagonal count (tests use a small chunk to exercise the G > 1
+    multi-chunk carry on small problems)."""
+    CHUNK = chunk or _chunk_for(L)
     D = L + NoP - 1
     G = (D + CHUNK - 1) // CHUNK
     B = len(group_data)
@@ -341,7 +348,7 @@ def align_pairs_pallas(group_data, sc: Scoring, L: int, NoP: int):
     ops, k, xpt, ypt = _align_fused_pairs_pallas(
         jnp.asarray(t3), jnp.asarray(o3.reshape(B, G, CHUNK)),
         jnp.asarray(params), jnp.asarray(Nts), jnp.asarray(Nos),
-        L=L, NoP=NoP,
+        L=L, NoP=NoP, interpret=interpret, chunk=chunk,
     )
     return np.asarray(ops), np.asarray(k), np.asarray(xpt), np.asarray(ypt)
 
@@ -352,7 +359,7 @@ def supported(sc: Scoring) -> bool:
     return sc.match_mismatch is not None and sc.is_integral
 
 
-def _prepare(transcript, ocr, sc: Scoring):
+def _prepare(transcript, ocr, sc: Scoring, chunk=None):
     Nt, No = len(transcript), len(ocr)
     vocab = sorted(set(transcript) | set(ocr))
     ids = {v: k for k, v in enumerate(vocab)}
@@ -362,7 +369,7 @@ def _prepare(transcript, ocr, sc: Scoring):
     L = _bucket(Nt)
     NoP = _bucket(No)
     D = L + NoP - 1
-    CHUNK = _chunk_for(L)
+    CHUNK = chunk or _chunk_for(L)
     G = (D + CHUNK - 1) // CHUNK
 
     t_ext = np.zeros(L, np.int32)
@@ -387,13 +394,14 @@ def _prepare(transcript, ocr, sc: Scoring):
     return t_ext.reshape(L // LANE, LANE), o_feed, params, L, NoP
 
 
-def fill_pallas_packed(transcript, ocr, sc: Scoring, interpret=False):
+def fill_pallas_packed(transcript, ocr, sc: Scoring, interpret=False,
+                       chunk=None):
     """Drop-in for nw_jax.fill_jax_packed on the Pallas path: returns packed
     pointers in diagonal layout (numpy uint8, (Nt + NoP buckets' D, L))."""
-    t_ext2d, o_feed, params, L, NoP = _prepare(transcript, ocr, sc)
+    t_ext2d, o_feed, params, L, NoP = _prepare(transcript, ocr, sc, chunk)
     packed = _fill_pallas(
         jnp.asarray(t_ext2d), jnp.asarray(o_feed), jnp.asarray(params),
-        L=L, NoP=NoP, interpret=interpret,
+        L=L, NoP=NoP, interpret=interpret, chunk=chunk,
     )
     return np.asarray(jax.device_get(packed))
 
