@@ -12,12 +12,48 @@ Host-side, exact reference semantics (parse_cantus_csv.py:1-136):
 - ``clean`` lowercases and strips to word characters + whitespace. The
   reference ran under Python 2 byte strings, where ``\\w`` is ASCII-only; we
   use ``re.ASCII`` so accented bytes are stripped identically.
+
+Every quirk above is load-bearing for output parity and pinned by
+tests/test_cantus.py.
 """
 
 from __future__ import annotations
 
 import csv
 import re
+from dataclasses import dataclass
+
+# CANTUS export column layout (0-based; parse_cantus_csv.py reads these
+# positions directly)
+COL_FOLIO = 2
+COL_SEQUENCE = 3
+COL_MODE = 10
+COL_STANDARD_SPELLING = 13
+COL_MS_SPELLING = 14
+
+
+@dataclass(frozen=True)
+class ChantRow:
+    """One chant incipit row of the CANTUS export."""
+
+    folio: str
+    sequence: int
+    standard_spelling: str
+    manuscript_spelling: str
+
+    @property
+    def text(self) -> str:
+        return combine_transcripts(self.standard_spelling,
+                                   self.manuscript_spelling)
+
+
+@dataclass(frozen=True)
+class FolioEntry:
+    """One row of the optional seq <-> folio <-> image-filename mapping."""
+
+    seq: int
+    folio: str
+    filename: str
 
 
 def clean(text: str) -> str:
@@ -29,21 +65,47 @@ def clean(text: str) -> str:
     return text.lower()
 
 
-def combine_transcripts(standard: str, ms: str) -> str:
+def combine_transcripts(standard: str, manuscript: str) -> str:
     """Graft ``j`` spellings from the standardized transcript onto the
-    manuscript spelling (parse_cantus_csv.py:16-35)."""
-    ms = ms.replace("ihe", "ie")
-
+    manuscript spelling (parse_cantus_csv.py:16-35): every j-carrying word
+    of the standard text is turned into a pattern with ``\\w`` at the j
+    positions and substituted back over the manuscript text."""
+    manuscript = manuscript.replace("ihe", "ie")
     if not standard:
-        return ms
-
-    j_search = r"\w*[jJ]\w*"
-    for match in re.finditer(j_search, standard):
+        return manuscript
+    for match in re.finditer(r"\w*[jJ]\w*", standard):
         word = match.group().lower()
-        new_pat = word.replace("j", r"\w")
-        ms = re.sub(new_pat, word, ms)
+        manuscript = re.sub(word.replace("j", r"\w"), word, manuscript)
+    return manuscript
 
-    return ms
+
+def _read_chant_rows(transcript_path: str) -> list[ChantRow]:
+    with open(transcript_path) as f:
+        raw = list(csv.reader(f, delimiter=","))[1:]  # drop header
+    rows = []
+    for r in raw:
+        # no melody on page (Mode '*') or stray repeated header: skip
+        if r[COL_MODE] == "*" or r[COL_FOLIO] == "folio":
+            continue
+        rows.append(ChantRow(
+            folio=r[COL_FOLIO],
+            sequence=int(r[COL_SEQUENCE]),
+            standard_spelling=r[COL_STANDARD_SPELLING],
+            manuscript_spelling=r[COL_MS_SPELLING],
+        ))
+    return rows
+
+
+def _read_mapping(mapping_path: str | None,
+                  folio_names: list[str]) -> list[FolioEntry]:
+    if not mapping_path:
+        return [FolioEntry(seq=i, folio=name, filename=name)
+                for i, name in enumerate(folio_names)]
+    with open(mapping_path) as f:
+        reader = csv.reader(f, delimiter=",")
+        next(reader)  # header
+        return [FolioEntry(seq=int(r[0]), folio=r[1], filename=r[2])
+                for r in reader]
 
 
 def filename_to_text_func(transcript_path: str, mapping_path: str | None = None):
@@ -52,68 +114,40 @@ def filename_to_text_func(transcript_path: str, mapping_path: str | None = None)
     Accepts an int sequence number or a str folio name; raises ``ValueError``
     for unknown or duplicated folios (parse_cantus_csv.py:38-128).
     """
-    arr = []
-    with open(transcript_path) as file:
-        reader = csv.reader(file, delimiter=",")
-        for row in reader:
-            arr.append(row)
-    arr = arr[1:]
+    chant_rows = _read_chant_rows(transcript_path)
+    folio_names = sorted({row.folio for row in chant_rows})
+    mapping = _read_mapping(mapping_path, folio_names)
 
-    # throw away chants with no associated melody on the page (Mode == *)
-    arr = [x for x in arr if not x[10] == "*" and not x[2] == "folio"]
-
-    folio_to_chants = {}
-
-    folio_names = sorted(set(x[2] for x in arr))
-
-    mapping = []
-    if not mapping_path:
-        for i, name in enumerate(folio_names):
-            mapping.append({"seq": i, "folio": name, "filename": name})
-    else:
-        with open(mapping_path) as file:
-            reader = csv.reader(file, delimiter=",")
-            next(reader)  # header
-            for row in reader:
-                mapping.append(
-                    {"seq": int(row[0]), "folio": row[1], "filename": row[2]}
-                )
-
+    chants_by_folio: dict[str, list[str]] = {}
     for name in folio_names:
-        chant_rows = [x for x in arr if x[2] == name]
-        chant_rows.sort(key=lambda x: int(x[3]))
-        chants = [combine_transcripts(x[13], x[14]) for x in chant_rows]
-        folio_to_chants[name] = chants
+        on_page = sorted((r for r in chant_rows if r.folio == name),
+                         key=lambda r: r.sequence)
+        chants_by_folio[name] = [r.text for r in on_page]
 
-    def folio_to_text(inp):
-        if type(inp) == int:
-            find_folio = [(i, x) for (i, x) in enumerate(mapping) if inp == x["seq"]]
+    def folio_to_text(key: int | str):
+        if isinstance(key, int) and not isinstance(key, bool):
+            hits = [(i, e) for i, e in enumerate(mapping) if e.seq == key]
         else:
-            find_folio = [(i, x) for (i, x) in enumerate(mapping) if inp == x["folio"]]
+            hits = [(i, e) for i, e in enumerate(mapping) if e.folio == key]
+        if not hits:
+            raise ValueError(f"folio / seq {key} not found")
+        if len(hits) > 1:
+            raise ValueError(f"duplicates found for {key}")
 
-        if not find_folio:
-            raise ValueError("folio / seq {} not found".format(inp))
-        if len(find_folio) > 1:
-            raise ValueError("duplicates found for {}".format(inp))
-
-        idx, entry = find_folio[0]
-        folio = entry["folio"]
-        fname = entry["filename"]
-        prev_entry = mapping[idx - 1]
-        prev_folio = prev_entry["folio"]
-
-        # prepend the last chant of the previous page, if any
-        if prev_folio in folio_to_chants:
-            text = folio_to_chants[prev_folio][-1]
+        idx, entry = hits[0]
+        # chant text frequently spills across a page turn: start from the
+        # previous folio's last chant (mapping[-1] wraps on the first folio,
+        # matching the reference's idx-1 indexing)
+        prev_folio = mapping[idx - 1].folio
+        parts = []
+        if prev_folio in chants_by_folio:
+            parts.append(chants_by_folio[prev_folio][-1])
         else:
-            text = ""
-
+            parts.append("")
         # a page may carry only text continued from the previous page
-        if folio in folio_to_chants:
-            for chant in folio_to_chants[folio]:
-                text = text + " " + chant
+        parts.extend(chants_by_folio.get(entry.folio, []))
 
-        fname = fname.replace("CF-", "")
-        return fname, clean(text)
+        filename = entry.filename.replace("CF-", "")
+        return filename, clean(" ".join(parts))
 
     return folio_to_text

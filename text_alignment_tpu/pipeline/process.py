@@ -178,7 +178,10 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
             if verbose:
                 print("Pickle error: re-performing ocr")
 
-    if not all_chars:
+    if not all_chars and existing_ocr is None:
+        # an explicitly injected EMPTY stream is a valid OCR result (the
+        # skip-folio path below, reference alignToOCR.py:241-243), not a
+        # missing source
         if ocropus_model is None:
             raise ValueError(
                 "no OCR source: pass ocropus_model, existing_ocr, or a "
