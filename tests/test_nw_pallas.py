@@ -103,3 +103,36 @@ def test_pallas_fill_matches_host():
     ta_p, oa_p = traceback(t, o, DiagPtrView(packed))
     ta_h, oa_h = traceback(t, o, DensePtrView(*fill_host(t, o, sc)))
     assert ta_p == ta_h and oa_p == oa_h
+
+
+def test_pallas_hopping_traceback_interpret():
+    """The tile-hopping traceback must replay the XLA while_loop walk
+    exactly: multiple window hops, rectangular problems, and a cursor that
+    terminates mid-window."""
+    from text_alignment_tpu.align.scoring import resolve_scoring
+    from text_alignment_tpu.align.nw_pallas import (
+        _prepare,
+        _fill_pallas,
+        traceback_ops_pallas,
+    )
+    from text_alignment_tpu.align.nw_jax import _traceback_ops
+    import jax.numpy as jnp
+
+    sc = resolve_scoring(None)
+    rng = random.Random(5)
+    for n, m in ((40, 55), (100, 230), (230, 100), (7, 120)):
+        t = [rng.choice("abcde ") for _ in range(n)] + [" "]
+        o = [rng.choice("abcde ") for _ in range(m)] + [" "]
+        t2, o_feed, params, L, NoP = _prepare(t, o, sc)
+        packed = _fill_pallas(jnp.asarray(t2), jnp.asarray(o_feed),
+                              jnp.asarray(params), L=L, NoP=NoP,
+                              interpret=not _on_tpu)
+        P = L + NoP
+        a = _traceback_ops(packed, len(t), len(o), P)
+        b = traceback_ops_pallas(packed, len(t), len(o), P, L=L,
+                                 interpret=not _on_tpu)
+        ka, kb = int(a[1]), int(b[1])
+        assert ka == kb
+        assert (int(a[2]), int(a[3])) == (int(b[2]), int(b[3]))
+        np.testing.assert_array_equal(np.asarray(a[0])[:ka],
+                                      np.asarray(b[0])[:kb])

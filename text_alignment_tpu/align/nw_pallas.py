@@ -161,9 +161,12 @@ def _nw_kernel_body(params_ref, o_ref, t_ref, out_ref, state, CHUNK):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("L", "NoP", "interpret", "chunk"))
+                   static_argnames=("L", "NoP", "interpret", "chunk",
+                                    "keep_padding"))
 def _fill_pallas(t_ext2d, o_feed, params, L, NoP, interpret=False,
-                 chunk=None):
+                 chunk=None, keep_padding=False):
+    """keep_padding=True returns all G*CHUNK rows (a multiple of 32) so the
+    hopping traceback can window it without re-padding."""
     R = L // LANE
     D = L + NoP - 1
     CHUNK = chunk or _chunk_for(L)
@@ -186,7 +189,8 @@ def _fill_pallas(t_ext2d, o_feed, params, L, NoP, interpret=False,
         scratch_shapes=[pltpu.VMEM((7, R, LANE), jnp.int32)],
         interpret=interpret,
     )(params, o_feed.reshape(G, CHUNK), t_ext2d)
-    return out.reshape(G * CHUNK, L)[:D]
+    out = out.reshape(G * CHUNK, L)
+    return out if keep_padding else out[:D]
 
 
 def _make_nw_kernel_batched(chunk: int):
@@ -353,6 +357,170 @@ def align_pairs_pallas(group_data, sc: Scoring, L: int, NoP: int,
     return np.asarray(ops), np.asarray(k), np.asarray(xpt), np.asarray(ypt)
 
 
+def _tb_statics(Dp: int, L: int):
+    """Tile geometry for the hopping traceback: a (TH, TW) window of the
+    diagonal-layout pointer tensor guarantees >= T_STEPS path steps before
+    the cursor can leave it (d = i + j drops by at most 2 per step, i by at
+    most 1). Window origins are chosen 8/128-aligned (Mosaic DMA tiling),
+    which costs up to 8 rows / 128 lanes of look-back slack."""
+    TH = min(512, Dp)          # Dp is a multiple of 32
+    TW = min(L, 384)
+    steps_d = (TH - 8) // 2
+    steps_i = steps_d if TW >= L else min(steps_d, TW - LANE)
+    return TH, TW, max(1, steps_i)
+
+
+def _make_tb_kernel(Dp: int, L: int, P: int):
+    TH, TW, T_STEPS = _tb_statics(Dp, L)
+
+    def kernel(dims_ref, packed_hbm, ops_ref, fin_ref, tile, sem):
+        """Tile-hopping pointer-walk (reference textSeqCompare.py:110-145,
+        same op/count/final-cursor contract as nw_jax._traceback_ops).
+
+        dims_ref:   SMEM (2,) int32 [Nt, No]
+        packed_hbm: ANY (D, L) uint8 — stays in HBM; only (TH, TW) windows
+                    around the cursor are DMA'd in
+        ops_ref:    SMEM (P,) int32 out (written by scalar stores; the
+                    path positions are inherently sequential scalars)
+        fin_ref:    SMEM (4,) int32 out [k, xpt, ypt, mpt]
+        tile:       VMEM (TH, TW) uint8 scratch
+        sem:        DMA semaphore
+        """
+        Nt = dims_ref[0]
+        No = dims_ref[1]
+
+        def zero(i, _):
+            ops_ref[i] = 0
+            return 0
+
+        jax.lax.fori_loop(0, P, zero, 0)
+
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
+
+        def load_cell(r, c):
+            # Mosaic requires dynamic VMEM slice starts to be tile-aligned
+            # (sublane x8, lane x128): load the aligned (8, 128) block and
+            # mask-select the wanted element (widened — only 32-bit values
+            # scalarize)
+            r8 = pl.multiple_of((r // 8) * 8, 8)
+            c128 = pl.multiple_of((c // LANE) * LANE, LANE)
+            block = tile[pl.ds(r8, 8), pl.ds(c128, LANE)].astype(jnp.int32)
+            want = (iota_r == r - r8) & (iota_c == c - c128)
+            return jnp.sum(jnp.where(want, block, 0))
+
+        def hop(st):
+            xpt, ypt, mpt, k = st
+            d = xpt + ypt
+            # aligned window origin in (d - TH, d]: align-up from the
+            # bottom keeps the cursor inside while satisfying DMA tiling
+            d0 = jnp.minimum(jnp.maximum(((d - TH + 8) // 8) * 8, 0),
+                             Dp - TH)
+            i0 = jnp.minimum(
+                jnp.maximum(((xpt - TW + LANE) // LANE) * LANE, 0), L - TW
+            )
+            d0 = pl.multiple_of(d0, 8)
+            i0 = pl.multiple_of(i0, LANE)
+            dma = pltpu.make_async_copy(
+                packed_hbm.at[pl.ds(d0, TH), pl.ds(i0, TW)], tile, sem
+            )
+            dma.start()
+            dma.wait()
+
+            def step(_, st2):
+                xpt, ypt, mpt, k = st2
+                d = xpt + ypt
+                in_tile = (d >= d0) & (xpt >= i0)
+                active = (xpt > 0) & (ypt > 0) & in_tile
+
+                cell = load_cell(d - d0, xpt - i0)
+                nxt = (cell >> (2 * mpt)) & 3
+
+                @pl.when(active)
+                def _():
+                    ops_ref[k] = mpt
+
+                dec_x = ((mpt != 2) & active).astype(jnp.int32)
+                dec_y = ((mpt != 1) & active).astype(jnp.int32)
+                xpt2 = xpt - dec_x
+                ypt2 = ypt - dec_y
+                mpt2 = jnp.where(active, nxt, mpt)
+                k2 = k + active.astype(jnp.int32)
+                return xpt2, ypt2, mpt2, k2
+
+            return jax.lax.fori_loop(0, T_STEPS, step, (xpt, ypt, mpt, k))
+
+        def cond(st):
+            xpt, ypt, _, _ = st
+            return (xpt > 0) & (ypt > 0)
+
+        # first cell's mat pointer seeds the walk (aligned (8, 128) DMA)
+        d_end = Nt - 1 + No - 1
+        de = pl.multiple_of(
+            jnp.minimum((d_end // 8) * 8, Dp - 8), 8
+        )
+        ie = pl.multiple_of(
+            jnp.minimum(((Nt - 1) // LANE) * LANE, L - LANE), LANE
+        )
+        dma0 = pltpu.make_async_copy(
+            packed_hbm.at[pl.ds(de, 8), pl.ds(ie, LANE)],
+            tile.at[pl.ds(0, 8), pl.ds(0, LANE)], sem,
+        )
+        dma0.start()
+        dma0.wait()
+        mpt0 = load_cell(d_end - de, (Nt - 1) - ie) & 3
+
+        xpt, ypt, mpt, k = jax.lax.while_loop(
+            cond, hop, (Nt - 1, No - 1, mpt0, jnp.int32(0))
+        )
+        fin_ref[0] = k
+        fin_ref[1] = xpt
+        fin_ref[2] = ypt
+        fin_ref[3] = mpt
+
+    return kernel, TH, TW
+
+
+def traceback_ops_pallas(packed, Nt, No, P, L: int,
+                         interpret: bool = False):
+    """Pallas tile-hopping traceback: same contract as
+    nw_jax._traceback_ops (ops int32 (P,), k, xpt, ypt) but ~2 orders of
+    magnitude fewer HBM round-trips — the XLA while_loop pays ~7 us per
+    path step for one gather; here one DMA amortizes over up to ~250
+    VMEM-local steps. ``packed`` rows are padded to a multiple of 32 so
+    every DMA window is tile-aligned."""
+    D = packed.shape[0]
+    Dp = ((D + 31) // 32) * 32
+    if Dp != D:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((Dp - D, L), jnp.uint8)], axis=0
+        )
+    kernel, TH, TW = _make_tb_kernel(Dp, L, P)
+    dims = jnp.stack([jnp.asarray(Nt, jnp.int32),
+                      jnp.asarray(No, jnp.int32)])
+    ops, fin = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((P,), jnp.int32),
+            jax.ShapeDtypeStruct((4,), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TH, TW), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(dims, packed)
+    return ops, fin[0], fin[1], fin[2]
+
+
 def supported(sc: Scoring) -> bool:
     """The Pallas fill covers the reference's standard scoring form:
     integer match/mismatch + affine gaps."""
@@ -409,21 +577,25 @@ def fill_pallas_packed(transcript, ocr, sc: Scoring, interpret=False,
 @functools.partial(jax.jit, static_argnames=("L", "NoP", "interpret"))
 def _align_fused_pallas(t_ext2d, o_feed, params, Nt, No, L, NoP,
                         interpret=False):
-    from .nw_jax import _traceback_ops
-
     packed = _fill_pallas(t_ext2d, o_feed, params, L=L, NoP=NoP,
-                          interpret=interpret)
-    return _traceback_ops(packed, Nt, No, P=L + NoP)
+                          interpret=interpret, keep_padding=True)
+    ops, k, xpt, ypt = traceback_ops_pallas(packed, Nt, No, L + NoP, L=L,
+                                            interpret=interpret)
+    # ONE wire transfer: downloads have a ~25 ms floor each on the remote
+    # tunnel, so k/xpt/ypt ride in front of the op stream
+    return jnp.concatenate(
+        [jnp.stack([k, xpt, ypt]), ops]
+    )
 
 
 def align_pallas_ops(transcript, ocr, sc: Scoring, interpret=False):
     """Fused Pallas fill + on-device traceback; same return contract as
     nw_jax.align_jax_ops (ops array, count, xpt, ypt)."""
     t_ext2d, o_feed, params, L, NoP = _prepare(transcript, ocr, sc)
-    ops, k, xpt, ypt = _align_fused_pallas(
+    wire = np.asarray(_align_fused_pallas(
         jnp.asarray(t_ext2d), jnp.asarray(o_feed), jnp.asarray(params),
         jnp.asarray(len(transcript), jnp.int32),
         jnp.asarray(len(ocr), jnp.int32),
         L=L, NoP=NoP, interpret=interpret,
-    )
-    return np.asarray(ops), int(k), int(xpt), int(ypt)
+    ))
+    return wire[3:], int(wire[0]), int(wire[1]), int(wire[2])
