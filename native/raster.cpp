@@ -47,33 +47,19 @@ struct Run {
   int32_t y, xs, xe, prov;
 };
 
-// Run-based 8-connected labeling: extract black runs per row, unite runs
-// that touch runs of the previous row (8-connectivity widens the overlap
-// window by one pixel each side), then paint labels run-by-run. Pages are
-// ~5-10% ink, so this visits ~n_runs << H*W union-find nodes and the
-// remaining work is sequential memory sweeps. Scan-order label ids (1..n),
-// identical to the per-pixel two-pass labeling it replaces.
-int32_t label_runs(const uint8_t* img, int64_t H, int64_t W,
-                   std::vector<Run>& runs, std::vector<int64_t>& row_start,
-                   UF& uf, bool black = true) {
-  runs.clear();
+// row_start[y] = index of the first run of row y in a row-major-sorted
+// run list; row_start[H] = total count.
+void build_row_start(const std::vector<Run>& runs, int64_t H,
+                     std::vector<int64_t>& row_start) {
   row_start.assign(H + 1, 0);
-  for (int64_t y = 0; y < H; ++y) {
-    const uint8_t* row = img + y * W;
-    row_start[y] = (int64_t)runs.size();
-    int64_t x = 0;
-    while (x < W) {
-      if ((row[x] != 0) != black) {
-        ++x;
-        continue;
-      }
-      int64_t s = x;
-      while (x < W && (row[x] != 0) == black) ++x;
-      runs.push_back({(int32_t)y, (int32_t)s, (int32_t)x, -1});
-    }
-  }
-  row_start[H] = (int64_t)runs.size();
+  for (const auto& r : runs) row_start[r.y + 1]++;
+  for (int64_t y = 0; y < H; ++y) row_start[y + 1] += row_start[y];
+}
 
+// Unite runs that touch runs of the previous row (8-connectivity widens
+// the overlap window by one pixel each side); fills runs[k].prov.
+void link_runs(std::vector<Run>& runs, const std::vector<int64_t>& row_start,
+               int64_t H, UF& uf) {
   uf.parent.clear();
   uf.parent.reserve(runs.size());
   for (int64_t y = 0; y < H; ++y) {
@@ -93,6 +79,44 @@ int32_t label_runs(const uint8_t* img, int64_t H, int64_t W,
       r.prov = best;
     }
   }
+}
+
+// extract runs of `black` pixels per row (row-major order). Rows with
+// row_skip[y] != 0 are treated as entirely white (no runs emitted).
+void extract_runs(const uint8_t* img, int64_t H, int64_t W, bool black,
+                  std::vector<Run>& runs,
+                  const uint8_t* row_skip = nullptr) {
+  runs.clear();
+  for (int64_t y = 0; y < H; ++y) {
+    if (row_skip && row_skip[y]) {
+      if (!black) runs.push_back({(int32_t)y, 0, (int32_t)W, -1});
+      continue;
+    }
+    const uint8_t* row = img + y * W;
+    int64_t x = 0;
+    while (x < W) {
+      if ((row[x] != 0) != black) {
+        ++x;
+        continue;
+      }
+      int64_t s = x;
+      while (x < W && (row[x] != 0) == black) ++x;
+      runs.push_back({(int32_t)y, (int32_t)s, (int32_t)x, -1});
+    }
+  }
+}
+
+// Run-based 8-connected labeling: extract runs, link across rows. Pages
+// are ~5-10% ink, so this visits ~n_runs << H*W union-find nodes and the
+// remaining work is sequential memory sweeps. Scan-order label ids (1..n),
+// identical to the per-pixel two-pass labeling it replaces.
+int32_t label_runs(const uint8_t* img, int64_t H, int64_t W,
+                   std::vector<Run>& runs, std::vector<int64_t>& row_start,
+                   UF& uf, bool black = true,
+                   const uint8_t* row_skip = nullptr) {
+  extract_runs(img, H, W, black, runs, row_skip);
+  build_row_start(runs, H, row_start);
+  link_runs(runs, row_start, H, uf);
   return (int32_t)runs.size();
 }
 
@@ -347,9 +371,161 @@ void ta_greyscale(const uint8_t* img, int64_t n_px, int32_t C,
 }
 
 // 256-bin histogram of a uint8 image. hist: int64[256] out, zeroed here.
+// Four interleaved banks break the store-forwarding dependency chain of a
+// single accumulator array (identical counts, summed at the end).
 void ta_grey_histogram(const uint8_t* img, int64_t n, int64_t* hist) {
-  for (int32_t i = 0; i < 256; ++i) hist[i] = 0;
-  for (int64_t i = 0; i < n; ++i) hist[img[i]]++;
+  int32_t bank[4][256] = {};
+  int64_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    bank[0][img[i]]++;
+    bank[1][img[i + 1]]++;
+    bank[2][img[i + 2]]++;
+    bank[3][img[i + 3]]++;
+  }
+  for (; i < n; ++i) bank[0][img[i]]++;
+  for (int32_t v = 0; v < 256; ++v)
+    hist[v] = (int64_t)bank[0][v] + bank[1][v] + bank[2][v] + bank[3][v];
+}
+
+// Fused greyscale + histogram: one pass over the (much larger) colour
+// buffer instead of a greyscale pass followed by a histogram pass over
+// the result. Values identical to ta_greyscale + ta_grey_histogram.
+// Opaque pixels (the overwhelming majority of a scanned page) skip the
+// alpha composite entirely: at a == 255 the over-white formula reduces to
+// the identity ((255 c + 127) / 255 == c).
+void ta_greyscale_hist(const uint8_t* img, int64_t n_px, int32_t C,
+                       uint8_t* out, int64_t* hist) {
+  if (C == 1) {
+    std::memcpy(out, img, (size_t)n_px);
+    ta_grey_histogram(img, n_px, hist);
+    return;
+  }
+  int32_t bank[4][256] = {};
+  for (int64_t i = 0; i < n_px; ++i) {
+    const uint8_t* p = img + i * C;
+    int32_t r = p[0], g = p[1], b = p[2];
+    if (C == 4 && p[3] != 255) {
+      const int32_t a = p[3];
+      r = (r * a + 255 * (255 - a) + 127) / 255;
+      g = (g * a + 255 * (255 - a) + 127) / 255;
+      b = (b * a + 255 * (255 - a) + 127) / 255;
+    }
+    const uint8_t v = (uint8_t)((299 * r + 587 * g + 114 * b + 500) / 1000);
+    out[i] = v;
+    bank[i & 3][v]++;
+  }
+  for (int32_t v = 0; v < 256; ++v)
+    hist[v] = (int64_t)bank[0][v] + bank[1][v] + bank[2][v] + bank[3][v];
+}
+
+// cc_stats of the page with rows where row_mask[y] != 0 treated as
+// entirely white — the separator-erasure pass of identify_text_lines
+// (textAlignPreprocessing.py:217-235) without copying or mutating the
+// page: masked rows simply contribute no runs, which is exactly what
+// labeling the erased copy would see.
+int32_t ta_cc_stats_masked(const uint8_t* img, int64_t H, int64_t W,
+                           const uint8_t* row_mask, int64_t* table,
+                           int32_t max_ccs) {
+  std::vector<Run> runs;
+  std::vector<int64_t> row_start;
+  UF uf;
+  label_runs(img, H, W, runs, row_start, uf, /*black=*/true, row_mask);
+  int32_t n = renumber_runs(runs, uf);
+  std::vector<int64_t> uly(n + 1, INT64_MAX), lry(n + 1, -1),
+      ulx(n + 1, INT64_MAX), lrx(n + 1, -1), area(n + 1, 0);
+  for (const auto& r : runs) {
+    int32_t l = r.prov;
+    if (r.y < uly[l]) uly[l] = r.y;
+    if (r.y > lry[l]) lry[l] = r.y;
+    if (r.xs < ulx[l]) ulx[l] = r.xs;
+    if (r.xe - 1 > lrx[l]) lrx[l] = r.xe - 1;
+    area[l] += r.xe - r.xs;
+  }
+  int32_t rows = n < max_ccs ? n : max_ccs;
+  for (int32_t k = 1; k <= rows; ++k) {
+    int64_t* r = table + (int64_t)(k - 1) * 5;
+    r[0] = uly[k]; r[1] = lry[k]; r[2] = ulx[k]; r[3] = lrx[k]; r[4] = area[k];
+  }
+  return n;
+}
+
+namespace {
+// floor division for any-sign numerator, nonzero any-sign denominator
+inline int64_t floordiv(int64_t a, int64_t b) {
+  int64_t q = a / b, r = a % b;
+  if (r != 0 && ((r < 0) != (b < 0))) --q;
+  return q;
+}
+inline int64_t ceildiv(int64_t a, int64_t b) { return -floordiv(-a, b); }
+}  // namespace
+
+// Rotation of a run-encoded binary page — same Q16 inverse map as
+// ta_rotate_onebit, solved per-interval instead of per-pixel. For an
+// output row y2 the source row ys = floor((Q + Ay*x2) / 2^(sb+1)) is
+// piecewise-constant in x2 (|sin| is small), and within such a span the
+// source column sx = floor((P + Ax*x2) / 2^(sb+1)) is monotone
+// nondecreasing (Ax = 2*cfix > 0), so the preimage of each black source
+// run [xs, xe) is one exact x2 interval obtained by integer ceil/floor
+// division — the identical inequalities the pixel loop evaluates, hence
+// bit-identical output. Cost: O(spans + runs touched) per row instead of
+// O(W2). runs: int32[3n] (y, xs, xe) of the H x W source, row-major.
+// Requires cfix > 0 (always true for the +-6 deg skew range; the caller
+// falls back to ta_rotate_onebit otherwise). out: uint8[H2*W2].
+void ta_rotate_runs(const int32_t* runs, int64_t n, int64_t H, int64_t W,
+                    int64_t H2, int64_t W2, int32_t cfix, int32_t sfix,
+                    int32_t scale_bits, uint8_t* out) {
+  std::memset(out, 0, (size_t)(H2 * W2));
+  if (n == 0 || W2 == 0) return;
+  std::vector<int64_t> rs(H + 1, 0);
+  for (int64_t k = 0; k < n; ++k) rs[runs[3 * k] + 1]++;
+  for (int64_t y = 0; y < H; ++y) rs[y + 1] += rs[y];
+  const int64_t S1 = (int64_t)1 << (scale_bits + 1);
+  const int64_t Ax = 2 * (int64_t)cfix;
+  const int64_t Ay = -2 * (int64_t)sfix;
+  const int64_t bx = W * ((int64_t)1 << scale_bits);
+  const int64_t by = H * ((int64_t)1 << scale_bits);
+  for (int64_t y2 = 0; y2 < H2; ++y2) {
+    const int64_t dy2 = 2 * y2 - (H2 - 1);
+    const int64_t P = (int64_t)cfix * (-(W2 - 1)) + (int64_t)sfix * dy2 + bx;
+    const int64_t Q =
+        -(int64_t)sfix * (-(W2 - 1)) + (int64_t)cfix * dy2 + by;
+    uint8_t* orow = out + y2 * W2;
+    int64_t x2 = 0;
+    while (x2 < W2) {
+      const int64_t ys = floordiv(Q + Ay * x2, S1);
+      // end of the constant-ys span
+      int64_t x2e;
+      if (Ay == 0)
+        x2e = W2;
+      else if (Ay > 0)
+        x2e = ceildiv((ys + 1) * S1 - Q, Ay);
+      else
+        x2e = ceildiv(ys * S1 - 1 - Q, Ay);
+      if (x2e > W2) x2e = W2;
+      if (ys >= 0 && ys < H && rs[ys] < rs[ys + 1]) {
+        const int64_t sx_lo = floordiv(P + Ax * x2, S1);
+        const int64_t sx_hi = floordiv(P + Ax * (x2e - 1), S1);
+        // first run of row ys with xe > sx_lo
+        int64_t lo = rs[ys], hi = rs[ys + 1];
+        while (lo < hi) {
+          const int64_t mid = (lo + hi) >> 1;
+          if (runs[3 * mid + 2] > sx_lo) hi = mid;
+          else lo = mid + 1;
+        }
+        for (int64_t k = lo; k < rs[ys + 1]; ++k) {
+          const int64_t xs = runs[3 * k + 1], xe = runs[3 * k + 2];
+          if (xs > sx_hi) break;
+          // x2 with sx in [xs, xe): P + Ax*x2 in [xs*S1, xe*S1)
+          int64_t a2 = ceildiv(xs * S1 - P, Ax);
+          int64_t b2 = floordiv(xe * S1 - 1 - P, Ax);
+          if (a2 < x2) a2 = x2;
+          if (b2 >= x2e) b2 = x2e - 1;
+          if (a2 <= b2) std::memset(orow + a2, 1, (size_t)(b2 - a2 + 1));
+        }
+      }
+      x2 = x2e;
+    }
+  }
 }
 
 // Extract black pixel coordinates once (row-major scan order).
@@ -499,28 +675,125 @@ void ta_binarize(const uint8_t* grey, int64_t n, int32_t thresh,
 // Fused preprocessing stage 1 (textAlignPreprocessing.py:166-178), in
 // place on a uint8 page: despeckle black CCs (area <= k), despeckle white
 // CCs (area <= k, the reference's invert-despeckle-invert), then remove
-// CCs taller than sat_thresh rows (the nrows-as-area quirk). One native
-// call instead of three Python round-trips with bool<->u8 copies.
+// CCs taller than sat_thresh rows (the nrows-as-area quirk).
+//
+// Entirely in the RUN domain: ONE pixel scan extracts the black runs, the
+// three CC passes then label/filter/merge run lists in memory, and one
+// paint writes the result — versus three full-page label scans + clears
+// when the passes are chained on pixels. `out` receives the final black
+// runs of the processed page, so downstream stages (skew search, rotate)
+// can skip their own extraction scan. Semantics identical to the staged
+// pixel ops (tested): each phase re-labels exactly the page state the
+// staged version would see.
+namespace {
+int64_t stage1_runs_impl(uint8_t* img, int64_t H, int64_t W, int64_t k,
+                         int64_t sat_thresh, std::vector<Run>& out) {
+  std::vector<Run> runs;
+  std::vector<int64_t> rs;
+  UF uf;
+  label_runs(img, H, W, runs, rs, uf);
+  int32_t n = renumber_runs(runs, uf);
+  std::vector<int64_t> area(n + 1, 0);
+  for (const auto& r : runs) area[r.prov] += r.xe - r.xs;
+  // black despeckle: survivors only
+  std::vector<Run> b1;
+  b1.reserve(runs.size());
+  for (const auto& r : runs)
+    if (area[r.prov] > k) b1.push_back(r);
+  // white despeckle on the despeckled page: white runs are the per-row
+  // complement of b1 — no pixel rescan needed
+  std::vector<int64_t> rs1;
+  build_row_start(b1, H, rs1);
+  std::vector<Run> wr;
+  wr.reserve(b1.size() + (size_t)H + 1);
+  for (int64_t y = 0; y < H; ++y) {
+    int32_t x = 0;
+    for (int64_t q = rs1[y]; q < rs1[y + 1]; ++q) {
+      if (b1[q].xs > x) wr.push_back({(int32_t)y, x, b1[q].xs, -1});
+      x = b1[q].xe;
+    }
+    if (x < W) wr.push_back({(int32_t)y, x, (int32_t)W, -1});
+  }
+  std::vector<int64_t> rsw;
+  build_row_start(wr, H, rsw);
+  UF ufw;
+  link_runs(wr, rsw, H, ufw);
+  int32_t nw = renumber_runs(wr, ufw);
+  std::vector<int64_t> warea(nw + 1, 0);
+  for (const auto& r : wr) warea[r.prov] += r.xe - r.xs;
+  // fill small white CCs black: merge b1 with the qualifying white runs,
+  // coalescing touching intervals (a filled gap bridges its black
+  // neighbors exactly as the pixel fill would)
+  std::vector<Run> b2;
+  b2.reserve(b1.size());
+  for (int64_t y = 0; y < H; ++y) {
+    int64_t i = rs1[y], ie = rs1[y + 1];
+    int64_t j = rsw[y], je = rsw[y + 1];
+    int32_t cs = -1, ce = -1;
+    auto push = [&](int32_t s, int32_t e) {
+      if (ce == s) { ce = e; return; }
+      if (cs >= 0) b2.push_back({(int32_t)y, cs, ce, -1});
+      cs = s;
+      ce = e;
+    };
+    while (i < ie || j < je) {
+      // black and white runs of one row never share an xs
+      const bool takeb = (j >= je) || (i < ie && b1[i].xs < wr[j].xs);
+      if (takeb) {
+        push(b1[i].xs, b1[i].xe);
+        ++i;
+      } else {
+        if (warea[wr[j].prov] <= k) push(wr[j].xs, wr[j].xe);
+        ++j;
+      }
+    }
+    if (cs >= 0) b2.push_back({(int32_t)y, cs, ce, -1});
+  }
+  // remove tall CCs (relabel: the fills above may have joined components)
+  std::vector<int64_t> rs2;
+  build_row_start(b2, H, rs2);
+  UF uf2;
+  link_runs(b2, rs2, H, uf2);
+  int32_t n2 = renumber_runs(b2, uf2);
+  std::vector<int64_t> rmin(n2 + 1, INT64_MAX), rmax(n2 + 1, -1);
+  for (const auto& r : b2) {
+    if (r.y < rmin[r.prov]) rmin[r.prov] = r.y;
+    if (r.y > rmax[r.prov]) rmax[r.prov] = r.y;
+  }
+  out.clear();
+  out.reserve(b2.size());
+  for (const auto& r : b2)
+    if (rmax[r.prov] - rmin[r.prov] + 1 <= sat_thresh) out.push_back(r);
+  // paint
+  std::memset(img, 0, (size_t)(H * W));
+  for (const auto& r : out)
+    std::memset(img + (int64_t)r.y * W + r.xs, 1, (size_t)(r.xe - r.xs));
+  return (int64_t)out.size();
+}
+}  // namespace
+
 void ta_preproc_stage1(uint8_t* img, int64_t H, int64_t W, int64_t k,
                        int64_t sat_thresh) {
-  ta_despeckle(img, H, W, k);
-  // white despeckle (the reference's invert-despeckle-invert): label WHITE
-  // runs directly and fill qualifying small white CCs black — the same
-  // result without two full-page invert passes
-  {
-    std::vector<Run> runs;
-    std::vector<int64_t> row_start;
-    UF uf;
-    label_runs(img, H, W, runs, row_start, uf, /*black=*/false);
-    int32_t n = renumber_runs(runs, uf);
-    std::vector<int64_t> area(n + 1, 0);
-    for (const auto& r : runs) area[r.prov] += r.xe - r.xs;
-    for (const auto& r : runs) {
-      if (area[r.prov] > k) continue;
-      std::memset(img + (int64_t)r.y * W + r.xs, 1, (size_t)(r.xe - r.xs));
-    }
+  std::vector<Run> out;
+  stage1_runs_impl(img, H, W, k, sat_thresh, out);
+}
+
+// stage1 + export of the processed page's black runs: out_runs int32
+// [3*max_n] rows (y, xs, xe). Returns the true run count (may exceed
+// max_n; only max_n rows are written — caller retries with a larger
+// buffer, the image is final either way).
+int64_t ta_preproc_stage1_runs(uint8_t* img, int64_t H, int64_t W,
+                               int64_t k, int64_t sat_thresh,
+                               int32_t* out_runs, int64_t max_n) {
+  std::vector<Run> out;
+  int64_t n = stage1_runs_impl(img, H, W, k, sat_thresh, out);
+  const int64_t m = n < max_n ? n : max_n;
+  for (int64_t i = 0; i < m; ++i) {
+    out_runs[3 * i] = out[i].y;
+    out_runs[3 * i + 1] = out[i].xs;
+    out_runs[3 * i + 2] = out[i].xe;
   }
-  ta_remove_tall(img, H, W, sat_thresh);
+  return n;
 }
 
 // Affine-gap Needleman-Wunsch (Gotoh 3-matrix) fill for integer
@@ -598,6 +871,6 @@ void ta_nw_fill(const int32_t* t_ids, int64_t N, const int32_t* o_ids,
   }
 }
 
-int32_t ta_abi_version() { return 7; }
+int32_t ta_abi_version() { return 8; }
 
 }  // extern "C"

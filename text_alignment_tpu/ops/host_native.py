@@ -81,9 +81,17 @@ def _build_and_load():
         lib.ta_binarize.argtypes = [u8p, i64, i32, u8p]
         lib.ta_preproc_stage1.argtypes = [u8p, i64, i64, i64, i64]
         i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.ta_greyscale_hist.argtypes = [u8p, i64, i32, u8p, i64p]
+        lib.ta_preproc_stage1_runs.restype = i64
+        lib.ta_preproc_stage1_runs.argtypes = [u8p, i64, i64, i64, i64,
+                                               i32p, i64]
+        lib.ta_cc_stats_masked.restype = i32
+        lib.ta_cc_stats_masked.argtypes = [u8p, i64, i64, u8p, i64p, i32]
+        lib.ta_rotate_runs.argtypes = [i32p, i64, i64, i64, i64, i64, i32,
+                                       i32, i32, u8p]
         lib.ta_nw_fill.argtypes = [i32p, i64, i32p, i64, i64, i64, i64,
                                    i64, i64, i64, i64, i8p, i8p, i8p]
-        assert lib.ta_abi_version() == 7
+        assert lib.ta_abi_version() == 8
         _lib = lib
     except Exception as e:  # no toolchain / build failure -> oracle fallback
         _load_error = repr(e)
@@ -281,19 +289,8 @@ def _adjacent_unique(shifts: np.ndarray):
     return shifts[new_row], inv
 
 
-def rotation_angle_projections(img: np.ndarray, minangle: float = -6.0,
-                               maxangle: float = 6.0) -> float:
-    """Coarse-to-fine skew estimate; same grid/criterion/first-max rule as
-    oracle.rotation_angle_projections. All angle/shift math stays in
-    Python (bit-identical grids); the native side extracts the black RUNS
-    once and replays them per candidate angle — the shift ramp is constant
-    across most runs, so a whole run costs one counter increment
-    (bit-identical grouping of the per-pixel replay)."""
-    from . import fixedpoint as fxp
-    from .oracle import criterion_from_projections
-
-    _build_and_load()
-    a = _as_u8_ro(img)
+def _black_runs(a: np.ndarray):
+    """Extract the black runs of a uint8 page: (int32[3n] (y, xs, xe), n)."""
     H, W = a.shape
     max_n = max(1024, (H * W) // 8)  # run count << ink pixel count
     runs = np.empty(3 * max_n, np.int32)
@@ -308,6 +305,27 @@ def rotation_angle_projections(img: np.ndarray, minangle: float = -6.0,
             _u8p(a), H, W,
             runs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_n,
         ))
+    return runs, n
+
+
+def rotation_angle_projections(img: np.ndarray, minangle: float = -6.0,
+                               maxangle: float = 6.0,
+                               runs_n=None) -> float:
+    """Coarse-to-fine skew estimate; same grid/criterion/first-max rule as
+    oracle.rotation_angle_projections. All angle/shift math stays in
+    Python (bit-identical grids); the native side extracts the black RUNS
+    once and replays them per candidate angle — the shift ramp is constant
+    across most runs, so a whole run costs one counter increment
+    (bit-identical grouping of the per-pixel replay). ``runs_n`` supplies
+    a precomputed (runs, n) pair (e.g. from the fused stage-1 pass) to
+    skip the extraction scan."""
+    from . import fixedpoint as fxp
+    from .oracle import criterion_from_projections
+
+    _build_and_load()
+    a = _as_u8_ro(img)
+    H, W = a.shape
+    runs, n = runs_n if runs_n is not None else _black_runs(a)
     best, step, lo, hi = 0.0, 1.0, minangle, maxangle
     for _ in range(3):
         cands = fxp.angle_grid(lo, hi, step)
@@ -328,6 +346,74 @@ def rotation_angle_projections(img: np.ndarray, minangle: float = -6.0,
         lo, hi = best - step * 0.9, best + step * 0.9
         step /= 10.0
     return float(best)
+
+
+def cc_stats_masked(img: np.ndarray, row_mask: np.ndarray,
+                    max_ccs: int = 1 << 20):
+    """cc_stats with rows where ``row_mask`` is set treated as white —
+    the separator-erasure pass of identify_text_lines without copying the
+    page (bit-identical to cc_stats on an erased copy; tested)."""
+    _build_and_load()
+    a = _as_u8_ro(img)
+    m = _as_u8_ro(np.ascontiguousarray(row_mask))
+    H, W = a.shape
+    table = np.zeros((max_ccs, 5), np.int64)
+    n = _lib.ta_cc_stats_masked(
+        _u8p(a), H, W, _u8p(m),
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), max_ccs)
+    if n > max_ccs:
+        raise RuntimeError(f"page has {n} CCs > max_ccs={max_ccs}")
+    return table[:n].copy()
+
+
+def _greyscale_hist(input_image: np.ndarray):
+    """Fused greyscale + 256-bin histogram (one pass over the colour
+    buffer). Returns (grey uint8, hist int64[256])."""
+    a = np.ascontiguousarray(input_image, dtype=np.uint8)
+    hist = np.zeros(256, np.int64)
+    if a.ndim == 2:
+        _lib.ta_grey_histogram(
+            _u8p(a), a.size,
+            hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return a, hist
+    H, W, C = a.shape
+    out = np.empty((H, W), np.uint8)
+    _lib.ta_greyscale_hist(
+        _u8p(a), H * W, C, _u8p(out),
+        hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out, hist
+
+
+def _stage1_runs(a: np.ndarray, despeckle_amt: int, sat_area_thresh: int):
+    """In-place fused stage 1 on a uint8 page; returns the processed
+    page's black runs (int32[3n], n) for reuse by skew/rotate."""
+    H, W = a.shape
+    max_n = max(1024, (H * W) // 8)
+    runs = np.empty(3 * max_n, np.int32)
+    n = int(_lib.ta_preproc_stage1_runs(
+        _u8p(a), H, W, despeckle_amt, sat_area_thresh,
+        runs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_n))
+    if n > max_n:  # image is final; only the run export overflowed
+        runs, n2 = _black_runs(a)
+        n = n2
+    return runs, n
+
+
+def _rotate_runs_u8(runs: np.ndarray, n: int, H: int, W: int,
+                    angle_deg: float) -> np.ndarray:
+    """Rotate a run-encoded page (same Q16 map as _rotate_u8; the native
+    kernel solves the inverse map per run interval). Requires cfix > 0 —
+    the caller falls back to the pixel kernel otherwise (never happens
+    within the +-6 deg skew range)."""
+    from . import fixedpoint as fxp
+
+    H2, W2 = fxp.rotated_canvas(H, W, angle_deg)
+    cfix, sfix = fxp.rotation_coeffs(angle_deg)
+    out = np.empty((H2, W2), np.uint8)
+    _lib.ta_rotate_runs(
+        runs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, H, W,
+        H2, W2, cfix, sfix, fxp.SCALE_BITS, _u8p(out))
+    return out
 
 
 def preproc_stage1(img: np.ndarray, despeckle_amt: int,
@@ -374,20 +460,25 @@ def preprocess_page(input_image: np.ndarray, despeckle_amt: int,
     Returns (image_bin bool, image_eroded bool, angle).
     """
     from . import oracle
+    from . import fixedpoint as fxp
 
     _build_and_load()
-    grey = to_greyscale(input_image)
-    hist = np.zeros(256, np.int64)
-    _lib.ta_grey_histogram(_u8p(grey), grey.size,
-                           hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    grey, hist = _greyscale_hist(input_image)
     t = oracle.otsu_from_hist(hist)
     img = np.empty_like(grey)
     _lib.ta_binarize(_u8p(grey), grey.size, int(t), _u8p(img))
-    _lib.ta_preproc_stage1(_u8p(img), img.shape[0], img.shape[1],
-                           despeckle_amt, sat_area_thresh)
-    angle = rotation_angle_projections(img, -6, 6)
+    # the fused stage-1 call exports the processed page's black runs; the
+    # skew search and the rotate both consume them directly, so neither
+    # pays another full-page extraction scan
+    runs, n_runs = _stage1_runs(img, despeckle_amt, sat_area_thresh)
+    angle = rotation_angle_projections(img, -6, 6, runs_n=(runs, n_runs))
     if correct_rotation:
-        img = _rotate_u8(img, angle)
+        cfix, _ = fxp.rotation_coeffs(angle)
+        if cfix > 0:
+            img = _rotate_runs_u8(runs, n_runs, img.shape[0],
+                                  img.shape[1], angle)
+        else:  # unreachable within the +-6 deg search range
+            img = _rotate_u8(img, angle)
     eroded = img
     for _ in range(filter_runs):
         if filter_runs_amt == 2:

@@ -98,26 +98,31 @@ def _prominences_vectorized(data: np.ndarray) -> np.ndarray:
 
     dmax = data.max()
 
-    # nearest strictly-higher index on each side, via monotonic stacks
-    higher_left = np.full(n, -1, dtype=np.int64)
+    # nearest strictly-higher index on each side, via monotonic stacks.
+    # Plain-python lists: float-list indexing is ~20x faster than numpy
+    # scalar indexing in this branchy per-element loop.
+    vals = data.tolist()
+    higher_left = [0] * n
     stack: list[int] = []
     for i in range(n):
-        while stack and data[stack[-1]] <= data[i]:
+        v = vals[i]
+        while stack and vals[stack[-1]] <= v:
             stack.pop()
         higher_left[i] = stack[-1] if stack else -1
         stack.append(i)
-    higher_right = np.full(n, n, dtype=np.int64)
+    higher_right = [0] * n
     stack = []
     for i in range(n - 1, -1, -1):
-        while stack and data[stack[-1]] <= data[i]:
+        v = vals[i]
+        while stack and vals[stack[-1]] <= v:
             stack.pop()
         higher_right[i] = stack[-1] if stack else n
         stack.append(i)
 
-    # sparse-table range-minimum for key cols
+    # sparse-table range-minimum for key cols (floor(log2(i)) via frexp:
+    # exact for any float64-representable integer)
     log2 = np.zeros(n + 1, dtype=np.int64)
-    for i in range(2, n + 1):
-        log2[i] = log2[i // 2] + 1
+    log2[1:] = np.frexp(np.arange(1, n + 1, dtype=np.float64))[1] - 1
     K = int(log2[n]) + 1
     sp = np.empty((K, n))
     sp[0] = data
@@ -132,19 +137,21 @@ def _prominences_vectorized(data: np.ndarray) -> np.ndarray:
         k = int(log2[hi - lo])
         return min(sp[k, lo], sp[k, hi - (1 << k)])
 
-    for i in peak_idx:
-        if data[i] == dmax:
-            prom[i] = np.log(data[i])
+    for i in peak_idx.tolist():
+        di = vals[i]
+        if di == dmax:
+            prom[i] = np.log(di)
             continue
-        cr = higher_right[i] if higher_right[i] < n else np.inf
-        cl = higher_left[i] if higher_left[i] >= 0 else -np.inf
+        hr, hl = higher_right[i], higher_left[i]
+        cr = hr if hr < n else np.inf
+        cl = hl if hl >= 0 else -np.inf
         if (cr - i) > (i - cl):
             closest = cl
         else:
             closest = cr
         lo, hi = int(min(closest, i)), int(max(closest, i))
         key_col = range_min(lo, hi)
-        prom[i] = np.log(data[i] - key_col + 1)
+        prom[i] = np.log(di - key_col + 1)
     return prom
 
 
@@ -154,14 +161,13 @@ def find_peak_locations(data, tol: float = PROMINENCE_TOLERANCE, ranked: bool = 
     dedup quirk (:134-137)."""
     data = np.asarray(data, dtype=np.float64)
     prom = _prominences_vectorized(data)
-    prominences = [(i, prom[i]) for i in range(len(data))]
 
-    prom_max = max((x[1] for x in prominences), default=0)
-    if prom_max == 0 or len(prominences) == 0:
+    prom_max = float(prom.max()) if len(prom) else 0
+    if prom_max == 0:
         return []
 
-    prominences = [(x[0], x[1] / prom_max) for x in prominences]
-    peak_locs = [x for x in prominences if x[1] > tol]
+    norm = prom / prom_max
+    peak_locs = [(int(i), float(norm[i])) for i in np.nonzero(norm > tol)[0]]
 
     # flat-topped peaks: drop the former of adjacent equal prominences
     to_remove = [

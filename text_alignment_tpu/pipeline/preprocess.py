@@ -243,43 +243,61 @@ def identify_text_lines(image_bin, image_eroded, backend: str = "host",
             raise RuntimeError(f"page has {count} CCs > MAX_CCS={table.shape[0]}")
         table = table[:count].astype(np.int64)
     else:
-        # one copy, then in-place separator erasure (draw_hline_white
-        # copies the whole page per call — 10 lines would be 10 copies)
-        eroded_cut = np.array(image_eroded, copy=True)
-        for idx in sep_rows:
-            eroded_cut[idx : idx + 2, :] = False
-        table = _cc_table(eroded_cut, backend)
+        eng = _raster_engine(backend)
+        if hasattr(eng, "cc_stats_masked"):
+            # native path: masked rows are treated as white during run
+            # extraction — no page copy at all
+            H = int(np.asarray(image_eroded).shape[0])
+            mask = np.zeros(H, dtype=bool)
+            for idx in sep_rows:
+                mask[idx : idx + 2] = True
+            table = eng.cc_stats_masked(np.asarray(image_eroded), mask)
+        else:
+            # one copy, then in-place separator erasure (draw_hline_white
+            # copies the whole page per call — 10 lines would be 10 copies)
+            eroded_cut = np.array(image_eroded, copy=True)
+            for idx in sep_rows:
+                eroded_cut[idx : idx + 2, :] = False
+            table = _cc_table(eroded_cut, backend)
 
     # drop small CCs (strictly greater than the threshold survives —
-    # textAlignPreprocessing.py:235), then the (inert) capitals filter
-    comps = [r for r in table if r[4] > p.noise_area_thresh]
-    if not comps:
+    # textAlignPreprocessing.py:235), then the (inert) capitals filter.
+    # Vectorized over the CC table; the arithmetic (incl. the truncating
+    # int() of the half-strip in vertically_coincide) matches the scalar
+    # reference logic value for value.
+    t = np.asarray(table).reshape(-1, 5)
+    t = t[t[:, 4] > p.noise_area_thresh]
+    if len(t) == 0:
         return [], peak_locations, smoothed_projection
 
-    nrows = lambda r: r[1] - r[0] + 1
-    med_comp_height = np.median([nrows(r) for r in comps])
-    comps = [r for r in comps if nrows(r) < med_comp_height * p.remove_capitals_scale]
+    nrows_v = t[:, 1] - t[:, 0] + 1
+    med_comp_height = np.median(nrows_v)
+    keep = nrows_v < med_comp_height * p.remove_capitals_scale
+    t = t[keep]
+    nrows_v = nrows_v[keep]
 
-    cc_median_height = np.median([nrows(r) for r in comps])
+    cc_median_height = np.median(nrows_v)
+    # vertically_coincide's half-strip: int(collision/2) truncates toward 0
+    half = int((cc_median_height * p.collision_strip_scale) / 2)
 
+    comp_top = t[:, 0]
+    comp_bottom = t[:, 0] + nrows_v
     image_bin_np = np.asarray(image_bin)
     line_strips = []
     for line_loc in peak_locations:
-        res = [
-            r
-            for r in comps
-            if vertically_coincide(
-                line_loc, r[0], nrows(r), cc_median_height, p.collision_strip_scale
-            )
-        ]
-        if not res:
+        strip_top = line_loc - half
+        strip_bottom = line_loc + half
+        both_above = (comp_top < strip_top) & (comp_bottom < strip_top)
+        both_below = (comp_top > strip_bottom) & (comp_bottom > strip_bottom)
+        res = t[~both_above & ~both_below]
+        if len(res) == 0:
             # the reference would crash on min() of an empty list
             # (textAlignPreprocessing.py:251); we skip the empty line
             continue
-        ulx = min(int(r[2]) for r in res)
-        uly = min(int(r[0]) for r in res)
-        lrx = max(int(r[3]) for r in res)
-        lry = max(int(r[1]) for r in res)
+        ulx = int(res[:, 2].min())
+        uly = int(res[:, 0].min())
+        lrx = int(res[:, 3].max())
+        lry = int(res[:, 1].max())
         strip = oracle.subimage(image_bin_np, (ulx, uly), (lrx, lry))
         line_strips.append(LineStrip(strip, ulx, uly))
 
