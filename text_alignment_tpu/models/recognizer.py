@@ -48,9 +48,13 @@ def _recognize_device(params, packed_bits, hs, ws, t_max, target_height,
     int32 array so only one (small) download comes back.
 
     packed_bits: (B, Hp, Wp // 32) int32, little-endian bits, 1 = ink.
-    Returns (B, 3 + 2*max_regions) int32 rows:
-    [count, length(frames incl pad), t_raw, frames[max_regions],
-     classes[max_regions]].
+    Returns (B, 6 + 2*max_regions) uint16 rows — the download is the
+    latency wall on a remote tunnel, so the result crosses the wire at
+    half the int32 width: [count_lo, count_hi, length_lo, length_hi,
+    t_raw_lo, t_raw_hi, frames[max_regions], classes[max_regions]].
+    Region frames are < t_max <= 8192 and classes index the charset, so
+    both fit uint16 exactly; the three int32 header fields are split into
+    lo/hi halves (reassembled by ``_unpack_wire_rows``).
     """
     B, Hp, Wq = packed_bits.shape
     shifts = jnp.arange(32, dtype=jnp.uint32)
@@ -63,9 +67,19 @@ def _recognize_device(params, packed_bits, hs, ws, t_max, target_height,
     outputs = bilstm_forward_batched(params, frames, lengths)
     fr, cl, cnt = translate_back_batched(outputs, lengths,
                                          max_regions=max_regions)
+    hdr = jnp.stack([cnt, lengths, t_raws], axis=1).astype(jnp.int32)
+    hdr16 = jnp.stack([hdr & 0xFFFF, (hdr >> 16) & 0xFFFF], axis=2)
     return jnp.concatenate(
-        [cnt[:, None], lengths[:, None], t_raws[:, None], fr, cl], axis=1
-    ).astype(jnp.int32)
+        [hdr16.reshape(B, 6), fr, cl], axis=1
+    ).astype(jnp.uint16)
+
+
+def _unpack_wire_rows(packed_u16: np.ndarray) -> np.ndarray:
+    """uint16 wire rows -> (B, 3 + 2*max_regions) int32
+    [count, length, t_raw, frames, classes] (see _recognize_device)."""
+    p = np.asarray(packed_u16).astype(np.int32)
+    hdr = p[:, 0:6:2] + (p[:, 1:6:2] << 16)
+    return np.concatenate([hdr, p[:, 6:]], axis=1)
 
 
 class SeqRecognizer:
@@ -164,12 +178,12 @@ class SeqRecognizer:
         if self.mesh is not None:
             from ..parallel.infer_dp import recognize_sharded
 
-            return recognize_sharded(
+            return _unpack_wire_rows(recognize_sharded(
                 self.params, packed_bits, hs, ws, self.mesh, t_max=t_max,
                 target_height=self.target_height, pad=self.pad,
                 max_regions=_MAX_REGIONS,
-            )
-        return np.asarray(
+            ))
+        return _unpack_wire_rows(
             _recognize_device(
                 self.params, jnp.asarray(packed_bits), jnp.asarray(hs),
                 jnp.asarray(ws), t_max=t_max,
@@ -228,8 +242,11 @@ class SeqRecognizer:
         live = [h for h in handles if h[0] != "rows" and h[1] is not None]
         if live:
             # concat on device -> ONE download for all handles (downloads
-            # have a ~30 ms floor each on the remote tunnel)
-            cat = np.asarray(jnp.concatenate([h[1] for h in live], axis=0))
+            # have a ~30 ms floor each on the remote tunnel), then widen
+            # the uint16 wire rows back to int32 on host
+            cat = _unpack_wire_rows(
+                np.asarray(jnp.concatenate([h[1] for h in live], axis=0))
+            )
             splits = np.cumsum([h[1].shape[0] for h in live])[:-1]
             parts = iter(np.split(cat, splits, axis=0))
         results = []
