@@ -166,9 +166,10 @@ def ocr_metrics(pages, dev_rec):
 
 
 def nw_gcups_stress(n=8191):
-    """Secondary metric: fused NW fill+traceback throughput at 8k x 8k
-    (n chosen so the +1 sentinel keeps the 8192 padding bucket; only the
-    O(N+M) op stream is downloaded)."""
+    """Secondary metric: fused NW fill+traceback throughput at n x n
+    (n chosen so the +1 sentinel keeps the padding bucket; only the
+    2-bit-packed O(N+M) op stream is downloaded). Best of 3: a single
+    sample is hostage to tunnel latency jitter."""
     import random
     from text_alignment_tpu.align.scoring import resolve_scoring
     from text_alignment_tpu.align import api as align_api
@@ -179,9 +180,11 @@ def nw_gcups_stress(n=8191):
     sc = resolve_scoring(None)
     fused = align_api._device_align_ops(sc)
     fused(t, o, sc)  # compile
-    t0 = time.perf_counter()
-    fused(t, o, sc)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fused(t, o, sc)
+        dt = min(dt, time.perf_counter() - t0)
     return ((n + 1) * (n + 1)) / dt / 1e9
 
 
@@ -291,9 +294,10 @@ def main():
         print(f"# ocr metric failed: {e}", file=sys.stderr)
 
     try:
-        gcups = nw_gcups_stress()
-        print(f"# nw fused fill+traceback: {gcups:.2f} GCUPS @ 8192x8192",
-              file=sys.stderr)
+        gcups8 = nw_gcups_stress(8191)
+        gcups16 = nw_gcups_stress(16383)
+        print(f"# nw fused fill+traceback: {gcups8:.2f} GCUPS @ 8192x8192, "
+              f"{gcups16:.2f} GCUPS @ 16384x16384", file=sys.stderr)
     except Exception as e:  # stress metric must not sink the headline
         print(f"# nw stress failed: {e}", file=sys.stderr)
 

@@ -527,12 +527,29 @@ def supported(sc: Scoring) -> bool:
     return sc.match_mismatch is not None and sc.is_integral
 
 
-def _prepare(transcript, ocr, sc: Scoring, chunk=None):
-    Nt, No = len(transcript), len(ocr)
+def _token_ids(transcript, ocr):
+    """Map token sequences to int32 ids. Only id EQUALITY feeds the fill
+    (the match/mismatch test), so any injective mapping is exact; the
+    all-single-char common case uses raw codepoints (one C-speed join
+    instead of ~N dict lookups)."""
+    if all(type(c) is str and len(c) == 1 for c in transcript) and all(
+        type(c) is str and len(c) == 1 for c in ocr
+    ):
+        return (
+            np.frombuffer("".join(transcript).encode("utf-32-le"),
+                          np.uint32).astype(np.int32),
+            np.frombuffer("".join(ocr).encode("utf-32-le"),
+                          np.uint32).astype(np.int32),
+        )
     vocab = sorted(set(transcript) | set(ocr))
     ids = {v: k for k, v in enumerate(vocab)}
-    t_ids = np.array([ids[c] for c in transcript], np.int32)
-    o_ids = np.array([ids[c] for c in ocr], np.int32)
+    return (np.array([ids[c] for c in transcript], np.int32),
+            np.array([ids[c] for c in ocr], np.int32))
+
+
+def _prepare(transcript, ocr, sc: Scoring, chunk=None):
+    Nt, No = len(transcript), len(ocr)
+    t_ids, o_ids = _token_ids(transcript, ocr)
 
     L = _bucket(Nt)
     NoP = _bucket(No)
@@ -579,12 +596,21 @@ def _align_fused_pallas(t_ext2d, o_feed, params, Nt, No, L, NoP,
                         interpret=False):
     packed = _fill_pallas(t_ext2d, o_feed, params, L=L, NoP=NoP,
                           interpret=interpret, keep_padding=True)
-    ops, k, xpt, ypt = traceback_ops_pallas(packed, Nt, No, L + NoP, L=L,
+    P = L + NoP
+    ops, k, xpt, ypt = traceback_ops_pallas(packed, Nt, No, P, L=L,
                                             interpret=interpret)
     # ONE wire transfer: downloads have a ~25 ms floor each on the remote
-    # tunnel, so k/xpt/ypt ride in front of the op stream
+    # tunnel, so k/xpt/ypt ride in front of the op stream. Ops are 2-bit
+    # codes — 16 of them ride per int32, so the 8k-pair wire is ~4 KB
+    # instead of 64 KB (the download costs ~1 ms per 16 KB on top of the
+    # floor).
+    sh = 2 * jnp.arange(16, dtype=jnp.int32)
+    # mask to 2 bits first: entries past the path length are uninitialized
+    # scratch and must not bleed into neighbouring lanes
+    ops16 = jnp.sum((ops & 3).reshape(P // 16, 16) << sh, axis=1,
+                    dtype=jnp.int32)
     return jnp.concatenate(
-        [jnp.stack([k, xpt, ypt]), ops]
+        [jnp.stack([k, xpt, ypt]), ops16]
     )
 
 
@@ -598,4 +624,5 @@ def align_pallas_ops(transcript, ocr, sc: Scoring, interpret=False):
         jnp.asarray(len(ocr), jnp.int32),
         L=L, NoP=NoP, interpret=interpret,
     ))
-    return wire[3:], int(wire[0]), int(wire[1]), int(wire[2])
+    ops = (wire[3:, None] >> (2 * np.arange(16, dtype=np.int32))) & 3
+    return ops.reshape(-1), int(wire[0]), int(wire[1]), int(wire[2])
