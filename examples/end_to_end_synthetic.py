@@ -86,11 +86,18 @@ def gt_syllable_boxes(page):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=400)
+    ap.add_argument("--iters", type=int, default=800)
     ap.add_argument("--train-pages", type=int, default=4)
     ap.add_argument("--backend", default="hybrid",
                     choices=["host", "hybrid", "device"])
     ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--decode", default="region",
+                    choices=["region", "bestpath"],
+                    help="region: ocropy-parity llocs decode (precision-"
+                    "biased peaks, well-localized boxes; the alignment "
+                    "layer bridges dropped chars). bestpath: higher raw "
+                    "char accuracy, positions less grounded on a "
+                    "quick-trained model.")
     args = ap.parse_args()
 
     t_start = time.time()
@@ -139,7 +146,10 @@ def main():
     # 4. held-out page through the real pipeline (skew + speckles on)
     page = make_page(np.random.default_rng(999), speckles=40, angle=0.6,
                      **PAGE_KW)
-    result = process(page.image, page.transcript, ocropus_model=model_path,
+    from text_alignment_tpu.models.recognizer import SeqRecognizer
+
+    rec = SeqRecognizer.from_pyrnn(model_path, decode=args.decode)
+    result = process(page.image, page.transcript, ocropus_model=rec,
                      backend=args.backend, verbose=False)
     assert result is not None, "pipeline produced no syllables"
     syl_boxes, image_bin, peaks, all_chars = result

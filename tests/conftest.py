@@ -18,3 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# NB: do NOT enable jax_compilation_cache_dir here — measured on this
+# image, the XLA:CPU AOT serialization path it triggers makes the train
+# step ~3.5x slower at runtime and ballooned compiles, dwarfing any reuse
+# win (the cache also fails to persist across the machine-feature
+# mismatch, so it never even gets hits).

@@ -44,22 +44,57 @@ def translate_back_np(outputs: np.ndarray, threshold: float = THRESHOLD):
     return result
 
 
-@functools.partial(jax.jit, static_argnames=("max_regions",))
+def bestpath_np(outputs: np.ndarray):
+    """Best-path oracle decode for one line: maximal runs of a constant
+    argmax class != blank each emit (peak frame, class). Robust on young
+    models whose posteriors are not yet peaky (region decode needs the
+    blank to clear the threshold BETWEEN adjacent different characters,
+    which only long training on varied data produces); on a peaky model
+    both decodes agree. ``translate_back_np`` remains the ocropy-parity
+    default for loaded reference checkpoints."""
+    path = outputs.argmax(axis=1)
+    result = []
+    t = 0
+    T = len(outputs)
+    while t < T:
+        c = path[t]
+        if c == 0:
+            t += 1
+            continue
+        s = t
+        while t < T and path[t] == c:
+            t += 1
+        result.append((s + int(np.argmax(outputs[s:t, c])), int(c)))
+    return result
+
+
+@functools.partial(jax.jit, static_argnames=("max_regions", "mode"))
 def translate_back_batched(outputs, lengths, max_regions=256,
-                           threshold=THRESHOLD):
+                           threshold=THRESHOLD, mode="region"):
     """Batched decode. outputs: (B, T, C); lengths: (B,).
 
+    mode="region": ocropy translate_back semantics (blank-threshold
+    regions); mode="bestpath": argmax-path runs (bestpath_np semantics).
     Returns (frames (B, R) int32, classes (B, R) int32, counts (B,) int32);
     entries past counts[b] are padding (frame = T).
     """
     B, T, C = outputs.shape
     t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
     valid = t_idx < lengths[:, None]
-    mask = (outputs[:, :, 0] < threshold) & valid
-
-    # region ids: 1-based per run of consecutive masked frames
-    prev = jnp.concatenate([jnp.zeros((B, 1), bool), mask[:, :-1]], axis=1)
-    starts = mask & ~prev
+    if mode == "region":
+        mask = (outputs[:, :, 0] < threshold) & valid
+        # region ids: 1-based per run of consecutive masked frames
+        prev = jnp.concatenate([jnp.zeros((B, 1), bool), mask[:, :-1]],
+                               axis=1)
+        starts = mask & ~prev
+    else:  # bestpath: runs of a constant non-blank argmax class
+        path = jnp.argmax(outputs, axis=2).astype(jnp.int32)
+        path = jnp.where(valid, path, 0)
+        mask = path != 0
+        prev_path = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), path[:, :-1]], axis=1
+        )
+        starts = mask & (path != prev_path)
     rid = jnp.cumsum(starts.astype(jnp.int32), axis=1) * mask  # 0 = no region
 
     fb = jnp.max(outputs, axis=2)  # per-frame best posterior

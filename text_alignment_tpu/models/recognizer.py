@@ -38,10 +38,11 @@ def _bucket_T(t: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t_max", "target_height", "pad", "max_regions"),
+    static_argnames=("t_max", "target_height", "pad", "max_regions",
+                     "decode"),
 )
 def _recognize_device(params, packed_bits, hs, ws, t_max, target_height,
-                      pad, max_regions):
+                      pad, max_regions, decode="region"):
     """Fully-fused device OCR: unpack -> normalize -> BiLSTM -> CTC decode
     in ONE dispatch. Strips cross the interconnect as bit-packed int32
     (32x smaller than f32 frames) and every result is packed into a single
@@ -66,7 +67,8 @@ def _recognize_device(params, packed_bits, hs, ws, t_max, target_height,
     )
     outputs = bilstm_forward_batched(params, frames, lengths)
     fr, cl, cnt = translate_back_batched(outputs, lengths,
-                                         max_regions=max_regions)
+                                         max_regions=max_regions,
+                                         mode=decode)
     hdr = jnp.stack([cnt, lengths, t_raws], axis=1).astype(jnp.int32)
     hdr16 = jnp.stack([hdr & 0xFFFF, (hdr >> 16) & 0xFFFF], axis=2)
     return jnp.concatenate(
@@ -87,7 +89,8 @@ class SeqRecognizer:
 
     def __init__(self, params: BiLSTMParams, codec: Codec,
                  target_height: int = 48, pad: int = DEFAULT_PAD,
-                 normalize_on_device: bool = False, mesh=None):
+                 normalize_on_device: bool = False, mesh=None,
+                 decode: str = "region"):
         """``normalize_on_device=True`` runs line normalization on the
         accelerator too (models.lineest_jax): the whole OCR stage becomes
         one dispatch + one small download per bucket. Frames match the
@@ -99,14 +102,22 @@ class SeqRecognizer:
         self.target_height = target_height
         self.pad = pad
         self.normalize_on_device = normalize_on_device
+        # "region" = exact ocropy translate_back parity (the right decode
+        # for loaded reference .pyrnn checkpoints, whose long training made
+        # posteriors peaky); "bestpath" = argmax-path runs, robust for
+        # freshly trained models whose blank has not yet learned to clear
+        # the threshold between adjacent different characters
+        assert decode in ("region", "bestpath"), decode
+        self.decode = decode
         # optional jax.sharding.Mesh: shard the batch over its 'data' axis
         # (parallel.infer_dp) — the multi-chip serving path
         self.mesh = mesh
 
     @classmethod
-    def from_pyrnn(cls, path: str) -> "SeqRecognizer":
+    def from_pyrnn(cls, path: str, decode: str = "region") -> "SeqRecognizer":
         params_np, codec, target_height = load_pyrnn(path)
-        return cls(params_from_np(params_np), codec, target_height)
+        return cls(params_from_np(params_np), codec, target_height,
+                   decode=decode)
 
     def normalize(self, strip: np.ndarray):
         lnorm = CenterNormalizer(self.target_height)
@@ -154,7 +165,8 @@ class SeqRecognizer:
                 self.params, jnp.asarray(xs), jnp.asarray(lengths)
             )
             fr, cl, cnt = translate_back_batched(
-                outputs, jnp.asarray(lengths), max_regions=_MAX_REGIONS
+                outputs, jnp.asarray(lengths), max_regions=_MAX_REGIONS,
+                mode=self.decode
             )
             fr, cl, cnt = np.asarray(fr), np.asarray(cl), np.asarray(cnt)
 
@@ -181,14 +193,14 @@ class SeqRecognizer:
             return _unpack_wire_rows(recognize_sharded(
                 self.params, packed_bits, hs, ws, self.mesh, t_max=t_max,
                 target_height=self.target_height, pad=self.pad,
-                max_regions=_MAX_REGIONS,
+                max_regions=_MAX_REGIONS, decode=self.decode,
             ))
         return _unpack_wire_rows(
             _recognize_device(
                 self.params, jnp.asarray(packed_bits), jnp.asarray(hs),
                 jnp.asarray(ws), t_max=t_max,
                 target_height=self.target_height, pad=self.pad,
-                max_regions=_MAX_REGIONS,
+                max_regions=_MAX_REGIONS, decode=self.decode,
             )
         )
 
@@ -232,7 +244,7 @@ class SeqRecognizer:
             self.params, jnp.asarray(packed_bits), jnp.asarray(hs),
             jnp.asarray(ws), t_max=t_max,
             target_height=self.target_height, pad=self.pad,
-            max_regions=_MAX_REGIONS,
+            max_regions=_MAX_REGIONS, decode=self.decode,
         )  # async jax dispatch: not materialized here
         return (inks, out, (t_max, packed_bits, hs, ws))
 

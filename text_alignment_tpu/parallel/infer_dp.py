@@ -20,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 @functools.lru_cache(maxsize=None)
 def _sharded_fn(mesh: Mesh, t_max: int, target_height: int, pad: int,
-                max_regions: int):
+                max_regions: int, decode: str = "region"):
     from ..models.recognizer import _recognize_device
 
     data = NamedSharding(mesh, P("data"))
@@ -30,6 +30,7 @@ def _sharded_fn(mesh: Mesh, t_max: int, target_height: int, pad: int,
         return _recognize_device(
             params, packed_bits, hs, ws, t_max=t_max,
             target_height=target_height, pad=pad, max_regions=max_regions,
+            decode=decode,
         )
 
     return jax.jit(
@@ -41,7 +42,8 @@ def _sharded_fn(mesh: Mesh, t_max: int, target_height: int, pad: int,
 
 def recognize_sharded(params, packed_bits: np.ndarray, hs: np.ndarray,
                       ws: np.ndarray, mesh: Mesh, t_max: int,
-                      target_height: int, pad: int, max_regions: int):
+                      target_height: int, pad: int, max_regions: int,
+                      decode: str = "region"):
     """Run the fused recognizer with the batch sharded over ``mesh``.
 
     The batch dim must be divisible by the mesh's data-axis size (the
@@ -55,5 +57,6 @@ def recognize_sharded(params, packed_bits: np.ndarray, hs: np.ndarray,
         packed_bits = np.pad(packed_bits, ((0, pad_b), (0, 0), (0, 0)))
         hs = np.pad(hs, (0, pad_b))
         ws = np.pad(ws, (0, pad_b))
-    fn = _sharded_fn(mesh, t_max, target_height, pad, max_regions)
+    fn = _sharded_fn(mesh, t_max, target_height, pad, max_regions,
+                     decode)
     return np.asarray(fn(params, packed_bits, hs, ws))[:B]

@@ -92,6 +92,7 @@ def _model_cache_id(ocropus_model) -> str:
             getattr(ocropus_model, "target_height", None),
             getattr(ocropus_model, "pad", None),
             getattr(ocropus_model, "normalize_on_device", None),
+            getattr(ocropus_model, "decode", "region"),
         )
         return content_key("model", repr(cfg), *leaves)
     return repr(type(ocropus_model))
