@@ -86,7 +86,7 @@ def gt_syllable_boxes(page):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=800)
+    ap.add_argument("--iters", type=int, default=2500)
     ap.add_argument("--train-pages", type=int, default=4)
     ap.add_argument("--backend", default="hybrid",
                     choices=["host", "hybrid", "device"])
@@ -127,7 +127,12 @@ def main():
     T = ((max(f.shape[0] for f in frames_list) + 127) // 128) * 128
     S = max(len(t) for t in texts) + 8
     xs, xlens, labels, llens = batch_lines(frames_list, texts, codec, T, S)
-    tr = Trainer(codec=codec, lr=args.lr, seed=1)
+    # unclipped, gradual: the slow crawl through the CTC plateau grounds
+    # emissions on the glyphs, which is what gives the llocs positions —
+    # and therefore the syllable boxes — their accuracy (clipped fast
+    # convergence reaches the same loss with visually ungrounded,
+    # "bunched" alignments; see models/train.py)
+    tr = Trainer(codec=codec, lr=args.lr, seed=1, clip_norm=None)
     for it in range(args.iters):
         loss = tr.step(xs, xlens, labels, llens)
         if it % 50 == 0 or it == args.iters - 1:

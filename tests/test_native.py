@@ -197,3 +197,65 @@ def test_preprocess_page_matches_staged(rng):
         assert got_ang == ang
         np.testing.assert_array_equal(got_bin, img)
         np.testing.assert_array_equal(got_er, er)
+
+
+def test_greyscale_hist_fused(rng):
+    """Fused greyscale+histogram == staged greyscale then bincount, for
+    grey/RGB/RGBA inputs incl. the opaque fast path."""
+    for C in (1, 3, 4):
+        for opaque in (False, True):
+            shape = (37, 53) if C == 1 else (37, 53, C)
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            if C == 4 and opaque:
+                img[..., 3] = 255
+            g_ref = oracle.to_greyscale(img)
+            h_ref = np.bincount(g_ref.ravel(), minlength=256).astype(np.int64)
+            g, h = host_native._greyscale_hist(img)
+            np.testing.assert_array_equal(g, g_ref)
+            np.testing.assert_array_equal(h, h_ref)
+
+
+def test_stage1_runs_export(rng):
+    """The run-domain fused stage 1 paints the same page as the staged
+    oracle ops AND its exported run list reconstructs that page exactly."""
+    for trial in range(4):
+        h = int(rng.integers(40, 200))
+        w = int(rng.integers(40, 200))
+        img = (rng.random((h, w)) < float(rng.uniform(0.05, 0.45)))
+        k = int(rng.integers(1, 30))
+        sat = int(rng.integers(3, 40))
+        ref = oracle.despeckle(img, k)
+        ref = ~oracle.despeckle(~ref, k)
+        ref = oracle.remove_tall_ccs(ref, sat)
+        a = img.astype(np.uint8)
+        runs, n = host_native._stage1_runs(a, k, sat)
+        np.testing.assert_array_equal(a.view(bool), ref)
+        rec = np.zeros((h, w), np.uint8)
+        for y, xs, xe in runs[: 3 * n].reshape(-1, 3):
+            rec[y, xs:xe] = 1
+        np.testing.assert_array_equal(rec, a)
+
+
+def test_rotate_runs_matches_pixel_rotate(rng):
+    """Run-interval rotate == the per-pixel Q16 inverse-map rotate."""
+    for trial, ang in enumerate((0.0, 0.8, -2.3, 5.5, -5.9, 3.14159)):
+        h = int(rng.integers(30, 180))
+        w = int(rng.integers(30, 180))
+        img = (rng.random((h, w)) < 0.15).astype(np.uint8)
+        ref = host_native._rotate_u8(img, ang)
+        runs, n = host_native._black_runs(img)
+        got = host_native._rotate_runs_u8(runs, n, h, w, ang)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_cc_stats_masked_matches_erased_copy(rng):
+    img = _page(rng, h=140, w=180, density=0.25)
+    mask = np.zeros(140, bool)
+    for i in (12, 60, 61, 130):
+        mask[i : i + 2] = True
+    cut = img.copy()
+    cut[mask] = False
+    np.testing.assert_array_equal(
+        host_native.cc_stats_masked(img.astype(np.uint8), mask),
+        host_native.cc_stats(cut.astype(np.uint8)),
+    )

@@ -68,18 +68,26 @@ class Trainer:
     ns: int = 100
     lr: float = 1e-3
     seed: int = 0
+    clip_norm: float | None = 1.0
 
     def __post_init__(self):
         self.params = init_bilstm(
             jax.random.PRNGKey(self.seed), self.ni, self.ns, len(self.codec)
         )
-        # global-norm clipping is load-bearing: CTC training starts in a
-        # blank-collapse plateau whose rare escape gradients are huge, and
-        # unclipped Adam turns them into oscillation — measured on the
-        # synthetic corpus, clipped runs reach loss < 0.15 in ~350 iters
-        # where unclipped ones are still at ~50 after 400
-        self.optimizer = optax.chain(
-            optax.clip_by_global_norm(1.0), optax.adam(self.lr)
+        # Global-norm clipping trades llocs position quality for speed:
+        # CTC training starts in a blank-collapse plateau whose escape
+        # gradients are huge; clipped Adam converges ~7x faster (loss
+        # < 0.15 in ~350 iters vs ~2400 unclipped on the synthetic corpus)
+        # but lands on "bunched" alignments — characters emitted at frames
+        # unrelated to their glyphs — while the slow unclipped crawl grounds
+        # emissions visually (measured: end-to-end ink IoU 0.54 unclipped
+        # vs 0.25-0.37 clipped at equal final loss). Use the default for
+        # recognition accuracy (text); pass clip_norm=None when the llocs
+        # positions feed box geometry and training time is available.
+        inner = optax.adam(self.lr)
+        self.optimizer = (
+            optax.chain(optax.clip_by_global_norm(self.clip_norm), inner)
+            if self.clip_norm is not None else inner
         )
         self.opt_state = self.optimizer.init(self.params)
         self._step = make_train_step(self.optimizer)
