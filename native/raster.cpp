@@ -627,6 +627,41 @@ void ta_shear_projections_runs(const int32_t* runs, int64_t n,
   }
 }
 
+// ta_shear_projections_runs with int32 counters: halves the proj-buffer
+// traffic (the counters are bounded by the page's ink pixel count, far
+// below 2^31; the criterion widens to int64 on the host, so scores are
+// bit-identical). proj: int32[A*H] out, zeroed here.
+void ta_shear_projections_runs32(const int32_t* runs, int64_t n,
+                                 const int32_t* shifts, int64_t A,
+                                 int64_t H, int64_t W, int32_t* proj) {
+  std::memset(proj, 0, sizeof(int32_t) * (size_t)(A * H));
+  std::vector<int32_t> nb((size_t)W);
+  for (int64_t a = 0; a < A; ++a) {
+    const int32_t* sh = shifts + a * W;
+    int32_t* p = proj + a * H;
+    nb[W - 1] = (int32_t)W;
+    for (int64_t x = W - 2; x >= 0; --x)
+      nb[x] = (sh[x + 1] == sh[x]) ? nb[x + 1] : (int32_t)(x + 1);
+    for (int64_t k = 0; k < n; ++k) {
+      const int32_t y = runs[3 * k], xs = runs[3 * k + 1],
+                    xe = runs[3 * k + 2];
+      const int32_t s1 = sh[xs], s2 = sh[xe - 1];
+      if (s1 == s2) {
+        const int64_t yd = (int64_t)y - s1;
+        if (yd >= 0 && yd < H) p[yd] += xe - xs;
+        continue;
+      }
+      int32_t x = xs;
+      while (x < xe) {
+        const int32_t e = nb[x] < xe ? nb[x] : xe;
+        const int64_t yd = (int64_t)y - sh[x];
+        if (yd >= 0 && yd < H) p[yd] += e - x;
+        x = e;
+      }
+    }
+  }
+}
+
 // Fused k=2 erosion: filter_short_runs(2,'black') then
 // filter_narrow_runs(2,'black'). A black run of length < 2 is a single
 // pixel with both along-axis neighbors white, so each pass is a
@@ -686,12 +721,15 @@ void ta_binarize(const uint8_t* grey, int64_t n, int32_t thresh,
 // pixel ops (tested): each phase re-labels exactly the page state the
 // staged version would see.
 namespace {
-int64_t stage1_runs_impl(uint8_t* img, int64_t H, int64_t W, int64_t k,
-                         int64_t sat_thresh, std::vector<Run>& out) {
-  std::vector<Run> runs;
+// stage-1 pipeline over a pre-extracted black run list; paints the result
+// into img (which may be uninitialized — it is fully overwritten).
+int64_t stage1_from_runs(std::vector<Run>& runs, uint8_t* img, int64_t H,
+                         int64_t W, int64_t k, int64_t sat_thresh,
+                         std::vector<Run>& out) {
   std::vector<int64_t> rs;
   UF uf;
-  label_runs(img, H, W, runs, rs, uf);
+  build_row_start(runs, H, rs);
+  link_runs(runs, rs, H, uf);
   int32_t n = renumber_runs(runs, uf);
   std::vector<int64_t> area(n + 1, 0);
   for (const auto& r : runs) area[r.prov] += r.xe - r.xs;
@@ -770,6 +808,13 @@ int64_t stage1_runs_impl(uint8_t* img, int64_t H, int64_t W, int64_t k,
     std::memset(img + (int64_t)r.y * W + r.xs, 1, (size_t)(r.xe - r.xs));
   return (int64_t)out.size();
 }
+
+int64_t stage1_runs_impl(uint8_t* img, int64_t H, int64_t W, int64_t k,
+                         int64_t sat_thresh, std::vector<Run>& out) {
+  std::vector<Run> runs;
+  extract_runs(img, H, W, true, runs);
+  return stage1_from_runs(runs, img, H, W, k, sat_thresh, out);
+}
 }  // namespace
 
 void ta_preproc_stage1(uint8_t* img, int64_t H, int64_t W, int64_t k,
@@ -787,6 +832,42 @@ int64_t ta_preproc_stage1_runs(uint8_t* img, int64_t H, int64_t W,
                                int32_t* out_runs, int64_t max_n) {
   std::vector<Run> out;
   int64_t n = stage1_runs_impl(img, H, W, k, sat_thresh, out);
+  const int64_t m = n < max_n ? n : max_n;
+  for (int64_t i = 0; i < m; ++i) {
+    out_runs[3 * i] = out[i].y;
+    out_runs[3 * i + 1] = out[i].xs;
+    out_runs[3 * i + 2] = out[i].xe;
+  }
+  return n;
+}
+
+// Fully fused binarize + stage 1: black runs are extracted directly from
+// the greyscale page (predicate grey <= thresh, = ta_binarize's output),
+// so the intermediate binarized page is never materialized — one read of
+// grey and one paint of the final page instead of a binarize write plus a
+// re-scan. img_out: uint8[H*W], fully overwritten. Semantics identical
+// to ta_binarize followed by ta_preproc_stage1_runs.
+int64_t ta_preproc_grey_stage1_runs(const uint8_t* grey, int64_t H,
+                                    int64_t W, int32_t thresh, int64_t k,
+                                    int64_t sat_thresh, uint8_t* img_out,
+                                    int32_t* out_runs, int64_t max_n) {
+  const uint8_t t = (uint8_t)thresh;
+  std::vector<Run> runs;
+  for (int64_t y = 0; y < H; ++y) {
+    const uint8_t* row = grey + y * W;
+    int64_t x = 0;
+    while (x < W) {
+      if (row[x] > t) {
+        ++x;
+        continue;
+      }
+      int64_t s = x;
+      while (x < W && row[x] <= t) ++x;
+      runs.push_back({(int32_t)y, (int32_t)s, (int32_t)x, -1});
+    }
+  }
+  std::vector<Run> out;
+  int64_t n = stage1_from_runs(runs, img_out, H, W, k, sat_thresh, out);
   const int64_t m = n < max_n ? n : max_n;
   for (int64_t i = 0; i < m; ++i) {
     out_runs[3 * i] = out[i].y;
@@ -871,6 +952,6 @@ void ta_nw_fill(const int32_t* t_ids, int64_t N, const int32_t* o_ids,
   }
 }
 
-int32_t ta_abi_version() { return 8; }
+int32_t ta_abi_version() { return 9; }
 
 }  // extern "C"

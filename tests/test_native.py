@@ -259,3 +259,54 @@ def test_cc_stats_masked_matches_erased_copy(rng):
         host_native.cc_stats_masked(img.astype(np.uint8), mask),
         host_native.cc_stats(cut.astype(np.uint8)),
     )
+
+
+def test_new_native_paths_degenerate_inputs(rng):
+    """Empty pages, single-row/column pages, boundary angles."""
+    # empty page: no runs anywhere
+    empty = np.zeros((40, 60), np.uint8)
+    runs, n = host_native._stage1_runs(empty.copy(), 5, 10)
+    assert n == 0
+    got = host_native._rotate_runs_u8(runs, 0, 40, 60, 3.0)
+    np.testing.assert_array_equal(got, host_native._rotate_u8(empty, 3.0))
+    # all-black page (one giant CC), boundary angles +-6
+    full = np.ones((30, 50), np.uint8)
+    runs, n = host_native._black_runs(full)
+    for ang in (6.0, -6.0):
+        np.testing.assert_array_equal(
+            host_native._rotate_runs_u8(runs, n, 30, 50, ang),
+            host_native._rotate_u8(full, ang),
+        )
+    # 1-row and 1-col pages through the fused grey->stage1 entry
+    for shape in ((1, 40), (40, 1)):
+        grey = (rng.random(shape) * 255).astype(np.uint8)
+        img = oracle.to_onebit(grey)
+        ref = oracle.despeckle(img, 2)
+        ref = ~oracle.despeckle(~ref, 2)
+        ref = oracle.remove_tall_ccs(ref, 5)
+        got_bin, got_er, _ = host_native.preprocess_page(
+            grey, 2, 5, 1, 2, False
+        )
+        np.testing.assert_array_equal(got_bin, ref)
+
+
+def test_preprocess_page_rgba_alpha(rng):
+    """RGBA input with a real alpha channel through the fused chain."""
+    rgba = (rng.random((90, 120, 4)) * 255).astype(np.uint8)
+    rgba[20:40, 10:110] = (10, 10, 10, 255)
+    rgba[60:75, 15:100] = (5, 5, 5, 200)  # semi-transparent ink
+    got_bin, got_er, got_ang = host_native.preprocess_page(
+        rgba, 10, 40, 1, 2, True
+    )
+    img = oracle.to_onebit(rgba)
+    img = oracle.despeckle(img, 10)
+    img = ~oracle.despeckle(~img, 10)
+    img = oracle.remove_tall_ccs(img, 40)
+    ang = oracle.rotation_angle_projections(img, -6, 6)
+    img = oracle.rotate_onebit(img, ang)
+    er = oracle.filter_narrow_runs(
+        oracle.filter_short_runs(img, 2, "black"), 2, "black"
+    )
+    assert got_ang == ang
+    np.testing.assert_array_equal(got_bin, img)
+    np.testing.assert_array_equal(got_er, er)

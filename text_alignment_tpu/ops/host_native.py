@@ -89,9 +89,15 @@ def _build_and_load():
         lib.ta_cc_stats_masked.argtypes = [u8p, i64, i64, u8p, i64p, i32]
         lib.ta_rotate_runs.argtypes = [i32p, i64, i64, i64, i64, i64, i32,
                                        i32, i32, u8p]
+        lib.ta_shear_projections_runs32.argtypes = [i32p, i64, i32p, i64,
+                                                    i64, i64, i32p]
+        lib.ta_preproc_grey_stage1_runs.restype = i64
+        lib.ta_preproc_grey_stage1_runs.argtypes = [u8p, i64, i64, i32,
+                                                    i64, i64, u8p, i32p,
+                                                    i64]
         lib.ta_nw_fill.argtypes = [i32p, i64, i32p, i64, i64, i64, i64,
                                    i64, i64, i64, i64, i8p, i8p, i8p]
-        assert lib.ta_abi_version() == 8
+        assert lib.ta_abi_version() == 9
         _lib = lib
     except Exception as e:  # no toolchain / build failure -> oracle fallback
         _load_error = repr(e)
@@ -334,12 +340,14 @@ def rotation_angle_projections(img: np.ndarray, minangle: float = -6.0,
         )
         uniq, inv = _adjacent_unique(shifts)
         uniq = np.ascontiguousarray(uniq, np.int32)
-        projs_u = np.zeros((len(uniq), H), np.int64)
-        _lib.ta_shear_projections_runs(
+        # int32 counters (zeroed native-side): counts are bounded by the
+        # page's ink pixels, and the criterion widens to int64 — exact
+        projs_u = np.empty((len(uniq), H), np.int32)
+        _lib.ta_shear_projections_runs32(
             runs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
             uniq.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             len(uniq), H, W,
-            projs_u.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            projs_u.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
         scores = criterion_from_projections(projs_u)[inv]
         best = cands[int(np.argmax(scores))]
@@ -465,12 +473,20 @@ def preprocess_page(input_image: np.ndarray, despeckle_amt: int,
     _build_and_load()
     grey, hist = _greyscale_hist(input_image)
     t = oracle.otsu_from_hist(hist)
+    # fused binarize + stage 1: runs come straight off the greyscale page
+    # (the binarized intermediate is never materialized) and the skew
+    # search and rotate consume them directly, so no stage pays a
+    # full-page extraction scan
     img = np.empty_like(grey)
-    _lib.ta_binarize(_u8p(grey), grey.size, int(t), _u8p(img))
-    # the fused stage-1 call exports the processed page's black runs; the
-    # skew search and the rotate both consume them directly, so neither
-    # pays another full-page extraction scan
-    runs, n_runs = _stage1_runs(img, despeckle_amt, sat_area_thresh)
+    H, W = grey.shape
+    max_n = max(1024, (H * W) // 8)
+    runs = np.empty(3 * max_n, np.int32)
+    n_runs = int(_lib.ta_preproc_grey_stage1_runs(
+        _u8p(grey), H, W, int(t), despeckle_amt, sat_area_thresh,
+        _u8p(img),
+        runs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_n))
+    if n_runs > max_n:  # image is final; only the run export overflowed
+        runs, n_runs = _black_runs(img)
     angle = rotation_angle_projections(img, -6, 6, runs_n=(runs, n_runs))
     if correct_rotation:
         cfix, _ = fxp.rotation_coeffs(angle)
