@@ -231,10 +231,15 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
 
     # -- ALIGNMENT + ASSEMBLY --
     with timer("align"):
-        nw_backend = {"host": "host", "device": "jax", "hybrid": "jax"}.get(
+        # hybrid routes by pair size ("auto"): a chant-page alignment is
+        # ~1 ms in the native host fill but a device dispatch pays the
+        # ~35 ms tunnel round trip — only pairs past the cells threshold
+        # (align.api.auto_device_min_cells) go to the device wavefront.
+        # Results are bit-identical either way (tested).
+        nw_backend = {"host": "host", "device": "jax", "hybrid": "auto"}.get(
             backend, "auto"
         )
-        if nw_backend == "jax" and backend == "hybrid":
+        if nw_backend == "auto" and backend == "hybrid":
             # hybrid on a CPU-only runtime: the numpy fill beats paying an
             # XLA scan compile for every new size bucket. Decided from the
             # pinned platform config, NOT jax.default_backend() — backend
