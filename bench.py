@@ -185,7 +185,28 @@ def nw_gcups_stress(n=8191):
         t0 = time.perf_counter()
         fused(t, o, sc)
         dt = min(dt, time.perf_counter() - t0)
-    return ((n + 1) * (n + 1)) / dt / 1e9
+    lat = ((n + 1) * (n + 1)) / dt / 1e9
+
+    # pipelined throughput: K in-flight alignments, one download — the
+    # shape of the grid-search / batch workloads; amortizes the ~30 ms
+    # tunnel round-trip that dominates the single-shot latency number
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from text_alignment_tpu.align import nw_pallas as npl
+
+    t_ext2d, o_feed, params, L, NoP = npl._prepare(t, o, sc)
+    args = (jnp.asarray(t_ext2d), jnp.asarray(o_feed), jnp.asarray(params),
+            jnp.asarray(n + 1, jnp.int32), jnp.asarray(n + 1, jnp.int32))
+    fz = jax.jit(functools.partial(npl._align_fused_pallas, L=L, NoP=NoP))
+    np.asarray(fz(*args))
+    K = 8
+    t0 = time.perf_counter()
+    outs = [fz(*args) for _ in range(K)]
+    np.asarray(outs[-1])
+    thr = ((n + 1) * (n + 1)) / ((time.perf_counter() - t0) / K) / 1e9
+    return lat, thr
 
 
 def main():
@@ -294,10 +315,13 @@ def main():
         print(f"# ocr metric failed: {e}", file=sys.stderr)
 
     try:
-        gcups8 = nw_gcups_stress(8191)
-        gcups16 = nw_gcups_stress(16383)
-        print(f"# nw fused fill+traceback: {gcups8:.2f} GCUPS @ 8192x8192, "
-              f"{gcups16:.2f} GCUPS @ 16384x16384", file=sys.stderr)
+        lat8, thr8 = nw_gcups_stress(8191)
+        lat16, thr16 = nw_gcups_stress(16383)
+        print(f"# nw fused fill+traceback: {lat8:.2f} GCUPS @ 8192x8192, "
+              f"{lat16:.2f} GCUPS @ 16384x16384 (single-shot incl. tunnel "
+              f"round-trip)", file=sys.stderr)
+        print(f"# nw pipelined throughput (depth 8): {thr8:.2f} GCUPS @ "
+              f"8192x8192, {thr16:.2f} GCUPS @ 16384x16384", file=sys.stderr)
     except Exception as e:  # stress metric must not sink the headline
         print(f"# nw stress failed: {e}", file=sys.stderr)
 
