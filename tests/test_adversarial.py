@@ -216,3 +216,30 @@ if __name__ == "__main__":
                 json.dump(got, f, indent=1, sort_keys=True)
             n = "None" if got is None else len(got["syl_boxes"])
             print(f"wrote {path} (syl_boxes: {n})")
+
+
+def test_large_page_end_to_end():
+    """A 4000x3200 folio with 24 lines through the full hybrid pipeline:
+    stresses the CC-table sizes, the recognizer's frame-bucket ladder, and
+    host/hybrid identity at scale (the densest production page shape)."""
+    from text_alignment_tpu.synth import make_page, corrupt_ocr, ocr_with_spaces
+    from text_alignment_tpu.pipeline import process, to_JSON_dict
+
+    page = make_page(
+        np.random.default_rng(404), n_lines=24, words_per_line=4,
+        H=4000, W=3200, char_h=70, char_w=40, gap=8, space_w=60,
+        line_spacing=160, speckles=400, margin_x=80, angle=-1.1,
+    )
+    ocr = ocr_with_spaces(
+        corrupt_ocr(np.random.default_rng(405), page.char_boxes)
+    )
+    out = {}
+    for backend in ("host", "hybrid"):
+        result = process(page.image, page.transcript, existing_ocr=ocr,
+                         verbose=False, backend=backend)
+        assert result is not None
+        syl_boxes, _, peaks, _ = result
+        assert len(syl_boxes) > 50
+        out[backend] = json.dumps(to_JSON_dict(syl_boxes, peaks),
+                                  sort_keys=True)
+    assert out["host"] == out["hybrid"]
