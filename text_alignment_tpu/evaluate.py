@@ -141,7 +141,7 @@ def grid_search(fixtures, shuffle=True, seed=None, backend="host",
     the reference's __main__ (:191-198).
     """
     from .pipeline import process, to_JSON_dict
-    from .pipeline.preprocess import preprocess_images
+    from .pipeline.preprocess import preprocess_images, identify_text_lines
 
     params_list = scoring_grid()
     if shuffle:
@@ -149,24 +149,39 @@ def grid_search(fixtures, shuffle=True, seed=None, backend="host",
         rng.shuffle(params_list)
 
     # preprocess each fixture once (correct_rotation=False for eval images,
-    # matching evaluate_text_alignment.py:107)
+    # matching evaluate_text_alignment.py:107), and once more for the
+    # pipeline itself: only the scoring parameters change across the 729
+    # combinations, so the raster stages are combination-invariant and
+    # would otherwise be recomputed 729 times (measured 37 -> ~8 ms/combo)
     prepared = []
     for fx in fixtures:
         eval_img, _, _ = preprocess_images(
             fx["raw_image"], correct_rotation=False, backend=backend
         )
-        prepared.append(eval_img)
+        if fx.get("existing_preproc_images") is None:
+            fx = dict(fx)
+            fx["existing_preproc_images"] = preprocess_images(
+                fx["raw_image"], backend=backend,
+                params=fx.get("preproc_params"),
+            )
+        image, eroded, _ = fx["existing_preproc_images"]
+        strips, peaks, _ = identify_text_lines(
+            image, eroded, backend=backend, verbose=False,
+            params=fx.get("preproc_params"),
+        )
+        prepared.append((fx, eval_img, (strips, peaks)))
 
     logs = {}
     for p in params_list:
         results = []
-        for fx, eval_img in zip(fixtures, prepared):
+        for fx, eval_img, lines in prepared:
             result = process(
                 fx["raw_image"],
                 fx["transcript"],
                 seq_align_params=list(p),
                 existing_ocr=fx["existing_ocr"],
                 existing_preproc_images=fx.get("existing_preproc_images"),
+                existing_lines=lines,
                 preproc_params=fx.get("preproc_params"),
                 verbose=False,
                 backend=backend,

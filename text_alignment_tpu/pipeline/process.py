@@ -108,7 +108,7 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
             wkdir_name=None, parallel=None, median_line_mult=MEDIAN_LINE_MULT,
             existing_ocr_pickle=None, existing_preproc_images=None,
             verbose=True, backend="host", existing_ocr=None, timer=None,
-            preproc_params=None, stage_cache=None):
+            preproc_params=None, stage_cache=None, existing_lines=None):
     """Align ``transcript`` to the text-layer ``raw_image``.
 
     raw_image: (H, W[, C]) uint8/bool numpy array (or anything np.asarray
@@ -152,11 +152,18 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
                 )
             else:
                 image, eroded, angle = _run_preproc()
-    with timer("identify_lines"):
-        cc_strips, lines_peak_locs, _ = identify_text_lines(
-            image, eroded, backend=backend, verbose=verbose,
-            params=preproc_params,
-        )
+    # existing_lines: (strips, peak_locations) — the line-segmentation
+    # analog of existing_preproc_images, for callers that sweep a
+    # raster-invariant parameter (the evaluation grid search reruns only
+    # NW + assembly per scoring combination)
+    if existing_lines is not None:
+        cc_strips, lines_peak_locs = existing_lines
+    else:
+        with timer("identify_lines"):
+            cc_strips, lines_peak_locs, _ = identify_text_lines(
+                image, eroded, backend=backend, verbose=verbose,
+                params=preproc_params,
+            )
 
     # -- OCR --
     all_chars = []
