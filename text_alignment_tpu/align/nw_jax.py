@@ -456,11 +456,12 @@ def align_pairs_jax(pairs, sc: Scoring, min_device_cells: int | None = None,
             o_feeds[bi, 1:No] = o_ids[: No - 1]
             Nts[bi], Nos[bi] = Nt, No
 
-        # The Pallas kernel fills one pair faster, but its (B, G) grid runs
-        # pairs SEQUENTIALLY; the vmapped scan advances every pair of the
-        # bucket in lockstep and wins for B > 1 (measured: 6 pairs 150 ms
-        # scan vs 490 ms pallas-grid). Use Pallas only for singleton groups.
-        if use_pallas and B == 1 and mesh is None:
+        # The Pallas kernel packs 8/R pairs per (8, 128) tile (sublane-axis
+        # lockstep) and ships one fused wire per bucket, so it beats the
+        # vmapped scan for multi-pair groups too (measured: 6 pairs of
+        # 1024x4096 in 37 ms pallas-packed vs 60 ms scan; ties at the
+        # smallest buckets where both sit on the tunnel-latency floor).
+        if use_pallas and mesh is None:
             from .nw_pallas import align_pairs_pallas
 
             group_data = [

@@ -193,26 +193,34 @@ def _fill_pallas(t_ext2d, o_feed, params, L, NoP, interpret=False,
     return out if keep_padding else out[:D]
 
 
-def _make_nw_kernel_batched(chunk: int):
-    """Pair-batched variant: grid (B, G) — the TPU grid iterates g
-    (minor) fastest, so each pair's diagonals run sequentially while the
-    scratch carry is re-initialized at g == 0 for every new pair."""
+def _make_nw_kernel_batched(chunk: int, R: int, P: int):
+    """Pair-PACKED variant: P pairs share one (P*R, 128) tile, filling in
+    sublane-axis lockstep (small buckets have R = L/128 < 8 rows, so a
+    lone pair wastes most of every (8, 128) vreg — packing restores full
+    sublane occupancy and divides the sequential grid length by P). Grid
+    (ceil(B/P), G): g iterates fastest, the scratch carry re-initializes
+    at g == 0 for every new pair group. Per-pair semantics are identical
+    to the singleton kernel: shifts and the OCR feed respect pair
+    boundaries (head row per R-row block), and lane indices/boundary
+    conditions are computed per pair."""
+    PR = P * R
 
     def _nw_kernel_b(params_ref, o_ref, t_ref, out_ref, state):
-        b = pl.program_id(0)
+        bp = pl.program_id(0)
         g = pl.program_id(1)
-        R = t_ref.shape[1]
         NEG = jnp.int32(_INT_NEG)
         BGE = jnp.int32(BOUNDARY_GAP_EXTEND)
 
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
-        lane_i = row_ids * LANE + col_ids
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (PR, LANE), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (PR, LANE), 1)
+        prow = row_ids % R  # row within the pair's R-row block
+        lane_i = prow * LANE + col_ids
+        head_row = prow[:, :1] == 0
 
         @pl.when(g == 0)
         def _init():
-            state[...] = jnp.full((7, R, LANE), NEG, jnp.int32)
-            state[6] = jnp.zeros((R, LANE), jnp.int32)
+            state[...] = jnp.full((7, PR, LANE), NEG, jnp.int32)
+            state[6] = jnp.zeros((PR, LANE), jnp.int32)
 
         match = params_ref[0]
         mismatch = params_ref[1]
@@ -226,21 +234,28 @@ def _make_nw_kernel_batched(chunk: int):
         carry0 = (state[0], state[1], state[2], state[3], state[4],
                   state[5], state[6])
 
+        def shift_down(v, neg):
+            rolled = pltpu.roll(v, 1, axis=1)
+            wrap = pltpu.roll(rolled[:, :1], 1, axis=0)
+            head = jnp.where(head_row, neg, wrap)
+            return jnp.concatenate([head, rolled[:, 1:]], axis=1)
+
         def body(k, carry):
             m2s, x2s, y2s, m1, x1, y1, o_lane = carry
             d = g * chunk + k
 
-            o_elem = o_ref[b, g, k]
             o_rolled = pltpu.roll(o_lane, 1, axis=1)
-            o_wrap = pltpu.roll(o_rolled[:, :1], 1, axis=0)
-            o_head = jnp.where(row_ids[:, :1] == 0, o_elem, o_wrap)
+            o_head = pltpu.roll(o_rolled[:, :1], 1, axis=0)
+            for p in range(P):  # static unroll: one select per packed pair
+                o_head = jnp.where(row_ids[:, :1] == p * R,
+                                   o_ref[bp, p, g, k], o_head)
             o_lane = jnp.concatenate([o_head, o_rolled[:, 1:]], axis=1)
 
             s = jnp.where(t_ext == o_lane, match, mismatch)
 
-            m1s = _shift_down(m1, row_ids, NEG)
-            x1s = _shift_down(x1, row_ids, NEG)
-            y1s = _shift_down(y1, row_ids, NEG)
+            m1s = shift_down(m1, NEG)
+            x1s = shift_down(x1, NEG)
+            y1s = shift_down(y1, NEG)
 
             m_int, mp = _first_max3(m2s, x2s, y2s)
             m_int = m_int + s
@@ -276,31 +291,48 @@ def _make_nw_kernel_batched(chunk: int):
                    static_argnames=("L", "NoP", "interpret", "chunk"))
 def _fill_pallas_batched(t_ext3d, o_feed3d, params, L, NoP,
                          interpret=False, chunk=None):
-    """Fill B same-bucket pairs in ONE kernel invocation. t_ext3d:
-    (B, R, LANE) int32; o_feed3d: (B, G, CHUNK) int32. Returns packed
-    pointers (B, D, L) uint8."""
+    """Fill B same-bucket pairs in ONE kernel invocation, P = 8 // R pairs
+    packed per tile. t_ext3d: (B, R, LANE) int32; o_feed3d: (B, G, CHUNK)
+    int32. Returns packed pointers (B, D, L) uint8."""
     B = t_ext3d.shape[0]
     R = L // LANE
     D = L + NoP - 1
     CHUNK = chunk or _chunk_for(L)
     G = (D + CHUNK - 1) // CHUNK
+    P = max(1, 8 // R)
+    Bp = ((B + P - 1) // P) * P
+    if Bp != B:  # pad with copies of pair 0 (valid work, rows discarded)
+        pad = Bp - B
+        t_ext3d = jnp.concatenate(
+            [t_ext3d, jnp.repeat(t_ext3d[:1], pad, axis=0)], axis=0)
+        o_feed3d = jnp.concatenate(
+            [o_feed3d, jnp.repeat(o_feed3d[:1], pad, axis=0)], axis=0)
+    BG = Bp // P
+    t4 = t_ext3d.reshape(BG, P * R, LANE)
+    o4 = o_feed3d.reshape(BG, P, G, CHUNK)
     out = pl.pallas_call(
-        _make_nw_kernel_batched(CHUNK),
-        grid=(B, G),
+        _make_nw_kernel_batched(CHUNK, R, P),
+        grid=(BG, G),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, R, LANE), lambda b, g: (b, 0, 0),
+            pl.BlockSpec((1, P * R, LANE), lambda b, g: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, CHUNK, R, LANE),
+        out_specs=pl.BlockSpec((1, CHUNK, P * R, LANE),
                                lambda b, g: (b, g, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, G * CHUNK, R, LANE), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((7, R, LANE), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((BG, G * CHUNK, P * R, LANE),
+                                       jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((7, P * R, LANE), jnp.int32)],
         interpret=interpret,
-    )(params, o_feed3d, t_ext3d)
-    return out.reshape(B, G * CHUNK, L)[:, :D]
+    )(params, o4, t4)
+    # (BG, GC, P, R, LANE) -> (Bp, GC, L): pair-major rows back to a
+    # per-pair diagonal layout identical to the singleton kernel's
+    out = (out.reshape(BG, G * CHUNK, P, R * LANE)
+              .transpose(0, 2, 1, 3)
+              .reshape(Bp, G * CHUNK, L))
+    return out[:B, :D]
 
 
 @functools.partial(jax.jit,
@@ -316,7 +348,16 @@ def _align_fused_pairs_pallas(t_ext3d, o_feed3d, params, Nts, Nos, L, NoP,
         return _traceback_ops(p, Nt, No, P=L + NoP)
 
     ops, k, xpt, ypt = jax.vmap(one)(packed, Nts, Nos)
-    return ops.astype(jnp.int32), k, xpt, ypt
+    # ONE wire array per batch: downloads have a ~30 ms floor each on the
+    # remote tunnel, so k/xpt/ypt ride in front of the 2-bit-packed op
+    # streams (same scheme as the singleton _align_fused_pallas)
+    B = ops.shape[0]
+    P = L + NoP
+    sh = 2 * jnp.arange(16, dtype=jnp.int32)
+    ops16 = jnp.sum((ops.astype(jnp.int32) & 3).reshape(B, P // 16, 16) << sh,
+                    axis=2, dtype=jnp.int32)
+    hdr = jnp.stack([k, xpt, ypt], axis=1).astype(jnp.int32)
+    return jnp.concatenate([hdr, ops16], axis=1)
 
 
 def align_pairs_pallas(group_data, sc: Scoring, L: int, NoP: int,
@@ -349,12 +390,14 @@ def align_pairs_pallas(group_data, sc: Scoring, L: int, NoP: int,
          int(sc.gap_open_y) + int(sc.gap_extend_y),
          int(sc.gap_extend_x), int(sc.gap_extend_y), NoP, D], np.int32,
     )
-    ops, k, xpt, ypt = _align_fused_pairs_pallas(
+    wire = np.asarray(_align_fused_pairs_pallas(
         jnp.asarray(t3), jnp.asarray(o3.reshape(B, G, CHUNK)),
         jnp.asarray(params), jnp.asarray(Nts), jnp.asarray(Nos),
         L=L, NoP=NoP, interpret=interpret, chunk=chunk,
-    )
-    return np.asarray(ops), np.asarray(k), np.asarray(xpt), np.asarray(ypt)
+    ))  # ONE download: (B, 3 + (L+NoP)/16) int32
+    k, xpt, ypt = wire[:, 0], wire[:, 1], wire[:, 2]
+    ops = (wire[:, 3:, None] >> (2 * np.arange(16, dtype=np.int32))) & 3
+    return ops.reshape(B, -1), k, xpt, ypt
 
 
 def _tb_statics(Dp: int, L: int):
