@@ -152,8 +152,14 @@ def main():
     page = make_page(np.random.default_rng(999), speckles=40, angle=0.6,
                      **PAGE_KW)
     from text_alignment_tpu.models.recognizer import SeqRecognizer
+    from text_alignment_tpu.pipeline.process import _accel_platform
 
     rec = SeqRecognizer.from_pyrnn(model_path, decode=args.decode)
+    # passing an instance bypasses _resolve_recognizer, so mirror its
+    # normalize placement: device lineest on accelerator runtimes
+    rec.normalize_on_device = (
+        args.backend in ("device", "hybrid") and _accel_platform()
+    )
     result = process(page.image, page.transcript, ocropus_model=rec,
                      backend=args.backend, verbose=False)
     assert result is not None, "pipeline produced no syllables"

@@ -528,42 +528,6 @@ void ta_rotate_runs(const int32_t* runs, int64_t n, int64_t H, int64_t W,
   }
 }
 
-// Extract black pixel coordinates once (row-major scan order).
-// out_xy: int32[2*max_n] interleaved (y, x). Returns count (may exceed
-// max_n; only max_n pairs written).
-int64_t ta_black_coords(const uint8_t* img, int64_t H, int64_t W,
-                        int32_t* out_xy, int64_t max_n) {
-  int64_t n = 0;
-  for (int64_t y = 0; y < H; ++y) {
-    const uint8_t* row = img + y * W;
-    for (int64_t x = 0; x < W; ++x) {
-      if (!row[x]) continue;
-      if (n < max_n) {
-        out_xy[2 * n] = (int32_t)y;
-        out_xy[2 * n + 1] = (int32_t)x;
-      }
-      ++n;
-    }
-  }
-  return n;
-}
-
-// Shear projections over precomputed black coordinates (skew refinement
-// rounds reuse one extraction). proj: int64[A*H] out, zeroed here.
-void ta_shear_projections_coords(const int32_t* xy, int64_t n,
-                                 const int32_t* shifts, int64_t A,
-                                 int64_t H, int64_t W, int64_t* proj) {
-  for (int64_t i = 0; i < A * H; ++i) proj[i] = 0;
-  for (int64_t a = 0; a < A; ++a) {
-    const int32_t* sh = shifts + a * W;
-    int64_t* p = proj + a * H;
-    for (int64_t k = 0; k < n; ++k) {
-      int64_t y = (int64_t)xy[2 * k] - sh[xy[2 * k + 1]];
-      if (y >= 0 && y < H) p[y]++;
-    }
-  }
-}
-
 // Extract black runs once: out_runs int32[3*max_n] rows (y, xs, xe).
 // Returns run count (may exceed max_n; only max_n rows written).
 int64_t ta_black_runs(const uint8_t* img, int64_t H, int64_t W,
@@ -591,46 +555,10 @@ int64_t ta_black_runs(const uint8_t* img, int64_t H, int64_t W,
 // ramp changes value every >= 1/tan(angle) columns (>= ~10 px at the 6 deg
 // search limit) while text runs are a few px wide, so most runs fall inside
 // one shift cell and cost ONE counter increment for their whole length.
-// Bit-identical to the per-pixel replay: increments are merely grouped.
-// proj: int64[A*H] out, zeroed here.
-void ta_shear_projections_runs(const int32_t* runs, int64_t n,
-                               const int32_t* shifts, int64_t A,
-                               int64_t H, int64_t W, int64_t* proj) {
-  for (int64_t i = 0; i < A * H; ++i) proj[i] = 0;
-  // next-boundary index per column: nb[x] = first e > x with sh[e] != sh[x]
-  // — lets boundary-straddling runs jump cell to cell instead of scanning
-  // the shift ramp pixel by pixel
-  std::vector<int32_t> nb((size_t)W);
-  for (int64_t a = 0; a < A; ++a) {
-    const int32_t* sh = shifts + a * W;
-    int64_t* p = proj + a * H;
-    nb[W - 1] = (int32_t)W;
-    for (int64_t x = W - 2; x >= 0; --x)
-      nb[x] = (sh[x + 1] == sh[x]) ? nb[x + 1] : (int32_t)(x + 1);
-    for (int64_t k = 0; k < n; ++k) {
-      const int32_t y = runs[3 * k], xs = runs[3 * k + 1],
-                    xe = runs[3 * k + 2];
-      const int32_t s1 = sh[xs], s2 = sh[xe - 1];
-      if (s1 == s2) {
-        const int64_t yd = (int64_t)y - s1;
-        if (yd >= 0 && yd < H) p[yd] += xe - xs;
-        continue;
-      }
-      int32_t x = xs;
-      while (x < xe) {
-        const int32_t e = nb[x] < xe ? nb[x] : xe;
-        const int64_t yd = (int64_t)y - sh[x];
-        if (yd >= 0 && yd < H) p[yd] += e - x;
-        x = e;
-      }
-    }
-  }
-}
-
-// ta_shear_projections_runs with int32 counters: halves the proj-buffer
-// traffic (the counters are bounded by the page's ink pixel count, far
+// Bit-identical to the per-pixel replay: increments are merely grouped,
+// and the int32 counters are bounded by the page's ink pixel count (far
 // below 2^31; the criterion widens to int64 on the host, so scores are
-// bit-identical). proj: int32[A*H] out, zeroed here.
+// exact). proj: int32[A*H] out, zeroed here.
 void ta_shear_projections_runs32(const int32_t* runs, int64_t n,
                                  const int32_t* shifts, int64_t A,
                                  int64_t H, int64_t W, int32_t* proj) {
@@ -952,6 +880,6 @@ void ta_nw_fill(const int32_t* t_ids, int64_t N, const int32_t* o_ids,
   }
 }
 
-int32_t ta_abi_version() { return 9; }
+int32_t ta_abi_version() { return 10; }
 
 }  // extern "C"

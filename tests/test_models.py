@@ -291,3 +291,33 @@ def test_load_genuine_py2_pyrnn_swapped_parallel_order(tmp_path, rng):
     for part in ("fwd", "bwd"):
         for k in d[part]:
             np.testing.assert_array_equal(d[part][k], params2[part][k])
+
+
+def test_bestpath_batched_matches_oracle(rng):
+    """mode="bestpath" of translate_back_batched == bestpath_np, and
+    mode="region" == translate_back_np, over random posteriors incl. the
+    run-seam and first-max-peak cases; counts cap at max_regions."""
+    import jax.numpy as jnp
+    from text_alignment_tpu.models.ctc import (
+        translate_back_np, bestpath_np, translate_back_batched,
+    )
+
+    B, T, C = 6, 90, 7
+    outputs = rng.random((B, T, C)).astype(np.float32)
+    outputs /= outputs.sum(axis=2, keepdims=True)
+    # some peaky frames and some repeated argmax runs
+    outputs[:, ::7, 0] = 2.0
+    outputs[:, 20:26, 3] = 3.0
+    lengths = np.array([90, 80, 73, 90, 1, 45], np.int32)
+    for mode, oracle_fn in (("bestpath", bestpath_np),
+                            ("region", translate_back_np)):
+        fr, cl, cnt = translate_back_batched(
+            jnp.asarray(outputs), jnp.asarray(lengths), max_regions=16,
+            mode=mode)
+        fr, cl, cnt = np.asarray(fr), np.asarray(cl), np.asarray(cnt)
+        for b in range(B):
+            ref = oracle_fn(outputs[b, : lengths[b]])
+            n = min(len(ref), 16)
+            assert cnt[b] == n, (mode, b, cnt[b], len(ref))
+            assert [(int(f), int(c)) for f, c in
+                    zip(fr[b, :n], cl[b, :n])] == ref[:n], (mode, b)

@@ -114,7 +114,11 @@ def translate_back_batched(outputs, lengths, max_regions=256,
         )
         frames = frame_of[1 : R + 1]
         cls = jnp.where(frames < T, fc_b[jnp.clip(frames, 0, T - 1)], 0)
-        count = jnp.max(rid_b)
+        # cap at R: a line with more regions than max_regions (plausible
+        # for bestpath on a non-peaky model whose argmax flaps) must not
+        # report a count larger than the frames/classes blocks it ships —
+        # downstream slicing would read past the block boundary
+        count = jnp.minimum(jnp.max(rid_b), R)
         return frames, cls, count
 
     frames, classes, counts = jax.vmap(per_line)(rid, fb, fc, mask)

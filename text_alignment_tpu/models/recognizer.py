@@ -239,7 +239,9 @@ class SeqRecognizer:
         if self.mesh is not None or not all(g.dtype == bool for g in inks):
             return ("rows", self.recognize_batch(strips), None)
         packed_bits, hs, ws, Wp = self._pack_strips(inks)
-        t_max = max(_MIN_BUCKET, Wp)
+        # cap at _MAX_BUCKET like the host bucket ladder (frames clip);
+        # beyond it the uint16 wire could not carry frame values anyway
+        t_max = min(_MAX_BUCKET, max(_MIN_BUCKET, Wp))
         out = _recognize_device(
             self.params, jnp.asarray(packed_bits), jnp.asarray(hs),
             jnp.asarray(ws), t_max=t_max,
@@ -310,7 +312,7 @@ class SeqRecognizer:
             return []
         inks = [np.asarray(s) for s in strips]
         packed_bits, hs, ws, Wp = self._pack_strips(inks)
-        t_max = max(_MIN_BUCKET, Wp)
+        t_max = min(_MAX_BUCKET, max(_MIN_BUCKET, Wp))
         packed = self._dispatch_device(packed_bits, hs, ws, t_max)
         packed = self._escalate_if_clipped(
             inks, packed, t_max, packed_bits, hs, ws

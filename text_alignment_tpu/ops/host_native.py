@@ -69,14 +69,8 @@ def _build_and_load():
         lib.ta_grey_histogram.argtypes = [u8p, i64, i64p]
         lib.ta_rotate_onebit.argtypes = [u8p, i64, i64, i64, i64, i32, i32,
                                          i32, u8p]
-        lib.ta_black_coords.restype = i64
-        lib.ta_black_coords.argtypes = [u8p, i64, i64, i32p, i64]
-        lib.ta_shear_projections_coords.argtypes = [i32p, i64, i32p, i64,
-                                                    i64, i64, i64p]
         lib.ta_black_runs.restype = i64
         lib.ta_black_runs.argtypes = [u8p, i64, i64, i32p, i64]
-        lib.ta_shear_projections_runs.argtypes = [i32p, i64, i32p, i64,
-                                                  i64, i64, i64p]
         lib.ta_erode2.argtypes = [u8p, i64, i64, u8p]
         lib.ta_binarize.argtypes = [u8p, i64, i32, u8p]
         lib.ta_preproc_stage1.argtypes = [u8p, i64, i64, i64, i64]
@@ -97,7 +91,7 @@ def _build_and_load():
                                                     i64]
         lib.ta_nw_fill.argtypes = [i32p, i64, i32p, i64, i64, i64, i64,
                                    i64, i64, i64, i64, i8p, i8p, i8p]
-        assert lib.ta_abi_version() == 9
+        assert lib.ta_abi_version() == 10
         _lib = lib
     except Exception as e:  # no toolchain / build failure -> oracle fallback
         _load_error = repr(e)
