@@ -387,35 +387,35 @@ void ta_grey_histogram(const uint8_t* img, int64_t n, int64_t* hist) {
     hist[v] = (int64_t)bank[0][v] + bank[1][v] + bank[2][v] + bank[3][v];
 }
 
-// Fused greyscale + histogram: one pass over the (much larger) colour
-// buffer instead of a greyscale pass followed by a histogram pass over
-// the result. Values identical to ta_greyscale + ta_grey_histogram.
-// Opaque pixels (the overwhelming majority of a scanned page) skip the
-// alpha composite entirely: at a == 255 the over-white formula reduces to
-// the identity ((255 c + 127) / 255 == c).
+// Greyscale + histogram as two streamed passes: interleaving the
+// histogram scatter into the greyscale loop blocks tree-vectorization of
+// the whole loop (measured 5.5 ms fused vs 0.6 + 1.5 ms split on a
+// 2000x1600 RGB page). The alpha composite is branchless — the
+// over-white formula is the exact identity at a == 255
+// ((255 c + 127) / 255 == c) — so the C == 4 loop vectorizes too.
+// Values identical to ta_greyscale + ta_grey_histogram.
 void ta_greyscale_hist(const uint8_t* img, int64_t n_px, int32_t C,
                        uint8_t* out, int64_t* hist) {
   if (C == 1) {
     std::memcpy(out, img, (size_t)n_px);
-    ta_grey_histogram(img, n_px, hist);
-    return;
-  }
-  int32_t bank[4][256] = {};
-  for (int64_t i = 0; i < n_px; ++i) {
-    const uint8_t* p = img + i * C;
-    int32_t r = p[0], g = p[1], b = p[2];
-    if (C == 4 && p[3] != 255) {
-      const int32_t a = p[3];
-      r = (r * a + 255 * (255 - a) + 127) / 255;
-      g = (g * a + 255 * (255 - a) + 127) / 255;
-      b = (b * a + 255 * (255 - a) + 127) / 255;
+  } else if (C == 3) {
+    for (int64_t i = 0; i < n_px; ++i) {
+      const uint8_t* p = img + i * 3;
+      out[i] =
+          (uint8_t)((299 * p[0] + 587 * p[1] + 114 * p[2] + 500) / 1000);
     }
-    const uint8_t v = (uint8_t)((299 * r + 587 * g + 114 * b + 500) / 1000);
-    out[i] = v;
-    bank[i & 3][v]++;
+  } else {
+    for (int64_t i = 0; i < n_px; ++i) {
+      const uint8_t* p = img + i * 4;
+      const int32_t a = p[3];
+      const int32_t w = 255 * (255 - a) + 127;
+      const int32_t r = (p[0] * a + w) / 255;
+      const int32_t g = (p[1] * a + w) / 255;
+      const int32_t b = (p[2] * a + w) / 255;
+      out[i] = (uint8_t)((299 * r + 587 * g + 114 * b + 500) / 1000);
+    }
   }
-  for (int32_t v = 0; v < 256; ++v)
-    hist[v] = (int64_t)bank[0][v] + bank[1][v] + bank[2][v] + bank[3][v];
+  ta_grey_histogram(out, n_px, hist);
 }
 
 // cc_stats of the page with rows where row_mask[y] != 0 treated as
@@ -880,6 +880,6 @@ void ta_nw_fill(const int32_t* t_ids, int64_t N, const int32_t* o_ids,
   }
 }
 
-int32_t ta_abi_version() { return 10; }
+int32_t ta_abi_version() { return 11; }
 
 }  // extern "C"

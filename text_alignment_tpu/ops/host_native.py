@@ -91,7 +91,7 @@ def _build_and_load():
                                                     i64]
         lib.ta_nw_fill.argtypes = [i32p, i64, i32p, i64, i64, i64, i64,
                                    i64, i64, i64, i64, i8p, i8p, i8p]
-        assert lib.ta_abi_version() == 10
+        assert lib.ta_abi_version() == 11
         _lib = lib
     except Exception as e:  # no toolchain / build failure -> oracle fallback
         _load_error = repr(e)
