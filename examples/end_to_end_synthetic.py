@@ -12,6 +12,12 @@
    evaluation harness (evaluate.py: bbox IoU + ink IoU).
 
 Run: python examples/end_to_end_synthetic.py [--iters N] [--backend hybrid]
+
+Takes ~35-40 min on the single-vCPU runtime: the default recipe trains
+UNCLIPPED (gradual) on purpose — the slow crawl through the CTC plateau
+grounds emissions on the glyphs, which is what gives the llocs positions
+(and therefore the syllable boxes) their accuracy; see models/train.py.
+Expected result: PASS with ink IoU ~0.54, 65/70 syllables.
 """
 
 from __future__ import annotations
