@@ -1,0 +1,77 @@
+"""Spool-directory serving loop (serve.py — the Rodan job-queue analog)."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from text_alignment_tpu.synth import make_page, corrupt_ocr, ocr_with_spaces
+from text_alignment_tpu.serve import serve
+
+
+@pytest.fixture()
+def spool(tmp_path):
+    d = tmp_path / "spool"
+    d.mkdir()
+    return str(d)
+
+
+def _make_job(spool, name, seed, **extra):
+    page = make_page(np.random.default_rng(seed), n_lines=4,
+                     words_per_line=2)
+    Image.fromarray(page.image).save(os.path.join(spool, name + ".png"))
+    ocr = ocr_with_spaces(
+        corrupt_ocr(np.random.default_rng(seed + 1), page.char_boxes)
+    )
+    with open(os.path.join(spool, name + ".pickle"), "wb") as f:
+        pickle.dump(ocr, f)
+    job = {
+        "image": name + ".png",
+        "transcript": page.transcript,
+        "existing_ocr_pickle": name + ".pickle",
+        **extra,
+    }
+    with open(os.path.join(spool, name + ".job.json"), "w") as f:
+        json.dump(job, f)
+    return page
+
+
+def test_serve_drains_spool_and_writes_results(spool):
+    pages = {
+        "folio_a": _make_job(spool, "folio_a", 500),
+        "folio_b": _make_job(spool, "folio_b", 510,
+                             output="out/custom_b.json"),
+    }
+    n = serve(spool, model=None, backend="hybrid", once=True)
+    assert n == 2
+
+    names = sorted(os.listdir(spool))
+    assert "folio_a.job.done" in names and "folio_b.job.done" in names
+    assert not any(x.endswith(".job.json") or x.endswith(".failed")
+                   for x in names)
+
+    with open(os.path.join(spool, "folio_a.json")) as f:
+        d = json.load(f)
+    syls = "".join(s["syl"] for s in d["syl_boxes"])
+    first_word = pages["folio_a"].transcript.split()[0]
+    assert first_word.startswith(syls[: len(first_word)][:2])
+    assert len(d["syl_boxes"]) > 4
+
+    # custom output path honoured + recorded in the .done receipt
+    assert os.path.isfile(os.path.join(spool, "out/custom_b.json"))
+    with open(os.path.join(spool, "folio_b.job.done")) as f:
+        receipt = json.load(f)
+    assert receipt["result"].endswith("custom_b.json")
+
+
+def test_serve_marks_bad_job_failed(spool):
+    with open(os.path.join(spool, "broken.job.json"), "w") as f:
+        json.dump({"image": "missing.png", "transcript": "deus"}, f)
+    n = serve(spool, model=None, backend="hybrid", once=True)
+    assert n == 1
+    assert os.path.isfile(os.path.join(spool, "broken.job.failed"))
+    with open(os.path.join(spool, "broken.job.failed")) as f:
+        assert "Traceback" in f.read()

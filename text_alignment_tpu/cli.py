@@ -241,6 +241,16 @@ def cmd_train(args):
     return 0
 
 
+def cmd_serve(args):
+    from .serve import serve
+
+    n = serve(args.spool, args.model, backend=args.backend,
+              poll_s=args.poll, once=args.once, max_jobs=args.max_jobs,
+              verbose=args.verbose)
+    print(f"processed {n} job(s)")
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="text_alignment_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -302,6 +312,23 @@ def main(argv=None):
     t.add_argument("--log-every", type=int, default=100)
     t.add_argument("--save-every", type=int, default=5000)
     t.set_defaults(func=cmd_train)
+
+    s = sub.add_parser(
+        "serve",
+        help="spool-directory server: process *.job.json jobs with warm "
+        "model/compile caches (the Rodan job-queue analog)",
+    )
+    s.add_argument("--spool", required=True, help="job spool directory")
+    s.add_argument("--model", help=".pyrnn.gz recognizer checkpoint")
+    s.add_argument("--backend", default="hybrid",
+                   choices=["host", "hybrid", "device"])
+    s.add_argument("--poll", type=float, default=0.2,
+                   help="idle poll interval, seconds")
+    s.add_argument("--once", action="store_true",
+                   help="drain pending jobs and exit")
+    s.add_argument("--max-jobs", type=int, default=None)
+    s.add_argument("--verbose", action="store_true")
+    s.set_defaults(func=cmd_serve)
 
     args = p.parse_args(argv)
     return args.func(args)

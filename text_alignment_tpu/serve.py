@@ -1,0 +1,142 @@
+"""Spool-directory serving loop — the standalone analog of the Rodan job
+queue (reference textAlignment.py:51: Rodan/Celery schedules one
+``run_my_task`` per folio across platform workers).
+
+One long-lived process watches a spool directory for job files, keeping
+the recognizer weights and every jit/bucket compilation cache warm across
+jobs — per-job latency is the steady-state pipeline cost (~0.1 s on the
+hybrid backend) instead of paying model load + XLA compile per folio the
+way one-shot CLI invocations would.
+
+Job file protocol (``<name>.job.json`` in the spool directory):
+
+    {
+      "image": "folio_text.png",            // required: text-layer image
+      "transcript": "deus alleluia ...",    // literal transcript text, or
+      "transcript_path": "folio.txt",       //   a file (read_file rules)
+      "output": "out/folio.json",           // default: <spool>/<name>.json
+      "seq_align_params": [8,-4,-7,-7,-3,0],// optional scoring override
+      "existing_ocr_pickle": "f.pickle"     // optional OCR stage reuse
+    }
+
+Claiming is atomic: the server renames ``X.job.json`` to ``X.job.running``
+before touching it (same-filesystem rename), so multiple server processes
+can share one spool without double-processing — the multi-worker story of
+``ocropus-rpred -Q N`` and the Rodan fan-out, one directory instead of a
+message broker. Completed jobs become ``X.job.done`` (with the result path
+inside); failures become ``X.job.failed`` with the traceback appended.
+
+Relative paths inside a job file resolve against the spool directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import traceback
+
+import numpy as np
+
+
+def _resolve(spool: str, path: str) -> str:
+    return path if os.path.isabs(path) else os.path.join(spool, path)
+
+
+def _load_transcript(spool: str, job: dict) -> str:
+    if "transcript" in job:
+        return job["transcript"]
+    if "transcript_path" in job:
+        from .textio import read_file
+
+        return read_file(_resolve(spool, job["transcript_path"]))
+    raise ValueError("job needs 'transcript' or 'transcript_path'")
+
+
+def process_job(spool: str, job_path: str, recognizer, backend: str,
+                verbose: bool = False) -> str:
+    """Run one claimed job file; returns the output path."""
+    from PIL import Image
+
+    from .pipeline import process, to_JSON_dict
+
+    with open(job_path) as f:
+        job = json.load(f)
+
+    raw_image = np.asarray(Image.open(_resolve(spool, job["image"])))
+    transcript = _load_transcript(spool, job)
+
+    result = process(
+        raw_image,
+        transcript,
+        ocropus_model=recognizer,
+        seq_align_params=job.get("seq_align_params"),
+        existing_ocr_pickle=(
+            _resolve(spool, job["existing_ocr_pickle"])
+            if job.get("existing_ocr_pickle") else None
+        ),
+        backend=backend,
+        verbose=verbose,
+    )
+    if result is None:
+        raise RuntimeError("pipeline produced no alignable OCR")
+    syl_boxes, _, lines_peak_locs, _ = result
+
+    name = os.path.basename(job_path)
+    for suffix in (".job.running", ".job.json"):
+        if name.endswith(suffix):
+            name = name[: -len(suffix)]
+            break
+    out_path = _resolve(spool, job.get("output", name + ".json"))
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(to_JSON_dict(syl_boxes, lines_peak_locs), f)
+    return out_path
+
+
+def serve(spool: str, model, backend: str = "hybrid", poll_s: float = 0.2,
+          once: bool = False, max_jobs: int | None = None,
+          verbose: bool = False) -> int:
+    """Process ``*.job.json`` files in ``spool`` until interrupted (or, with
+    ``once=True``, until the directory holds no more pending jobs).
+    Returns the number of jobs processed."""
+    from .pipeline.process import _resolve_recognizer
+
+    recognizer = _resolve_recognizer(model, backend) if model else None
+    done = 0
+    while True:
+        pending = sorted(
+            f for f in os.listdir(spool) if f.endswith(".job.json")
+        )
+        if not pending:
+            if once:
+                return done
+            time.sleep(poll_s)
+            continue
+        for fname in pending:
+            job_path = os.path.join(spool, fname)
+            claimed = job_path[: -len(".json")] + ".running"
+            try:  # atomic claim: losing a race to another worker is fine
+                os.rename(job_path, claimed)
+            except OSError:
+                continue
+            try:
+                out_path = process_job(spool, claimed, recognizer, backend,
+                                       verbose=verbose)
+                with open(claimed) as f:
+                    job = json.load(f)
+                job["result"] = out_path
+                final = claimed[: -len(".running")] + ".done"
+                with open(final, "w") as f:
+                    json.dump(job, f)
+                os.remove(claimed)
+                print(f"done {fname} -> {out_path}")
+            except Exception:
+                final = claimed[: -len(".running")] + ".failed"
+                with open(final, "w") as f:
+                    f.write(traceback.format_exc())
+                os.remove(claimed)
+                print(f"FAILED {fname} (see {os.path.basename(final)})")
+            done += 1
+            if max_jobs is not None and done >= max_jobs:
+                return done
