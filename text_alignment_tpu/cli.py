@@ -246,7 +246,7 @@ def cmd_serve(args):
 
     n = serve(args.spool, args.model, backend=args.backend,
               poll_s=args.poll, once=args.once, max_jobs=args.max_jobs,
-              verbose=args.verbose)
+              verbose=args.verbose, do_warmup=args.warmup)
     print(f"processed {n} job(s)")
     return 0
 
@@ -327,6 +327,9 @@ def main(argv=None):
     s.add_argument("--once", action="store_true",
                    help="drain pending jobs and exit")
     s.add_argument("--max-jobs", type=int, default=None)
+    s.add_argument("--warmup", action="store_true",
+                   help="compile-warm the pipeline on a synthetic folio "
+                   "before accepting jobs")
     s.add_argument("--verbose", action="store_true")
     s.set_defaults(func=cmd_serve)
 

@@ -94,15 +94,35 @@ def process_job(spool: str, job_path: str, recognizer, backend: str,
     return out_path
 
 
+def warmup(recognizer, backend: str) -> None:
+    """Run one full-size synthetic folio through the pipeline so the
+    first real job doesn't pay the XLA compiles (the jit caches are
+    keyed by shape bucket, so the warmup page uses production folio
+    dimensions)."""
+    from .synth import make_page
+    from .pipeline import process
+
+    page = make_page(np.random.default_rng(0), n_lines=10,
+                     words_per_line=3, H=2000, W=1600, char_h=70,
+                     char_w=40, gap=8, space_w=60, line_spacing=180,
+                     margin_x=60, angle=0.5)
+    t0 = time.time()
+    process(page.image, page.transcript, ocropus_model=recognizer,
+            backend=backend, verbose=False)
+    print(f"warmup: {time.time() - t0:.1f}s (compiles cached)")
+
+
 def serve(spool: str, model, backend: str = "hybrid", poll_s: float = 0.2,
           once: bool = False, max_jobs: int | None = None,
-          verbose: bool = False) -> int:
+          verbose: bool = False, do_warmup: bool = False) -> int:
     """Process ``*.job.json`` files in ``spool`` until interrupted (or, with
     ``once=True``, until the directory holds no more pending jobs).
     Returns the number of jobs processed."""
     from .pipeline.process import _resolve_recognizer
 
     recognizer = _resolve_recognizer(model, backend) if model else None
+    if do_warmup and recognizer is not None:
+        warmup(recognizer, backend)
     done = 0
     while True:
         pending = sorted(
