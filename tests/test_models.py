@@ -321,3 +321,28 @@ def test_bestpath_batched_matches_oracle(rng):
             assert cnt[b] == n, (mode, b, cnt[b], len(ref))
             assert [(int(f), int(c)) for f, c in
                     zip(fr[b, :n], cl[b, :n])] == ref[:n], (mode, b)
+
+
+def test_trainer_full_state_resume_exact(tmp_path, rng):
+    """save_state/load_state resume the training trajectory bit-exactly
+    (params AND Adam moments survive, unlike the weights-only .pyrnn)."""
+    from text_alignment_tpu.models.train import Trainer, batch_lines
+
+    codec = Codec()
+    xs = rng.random((4, 128, 48)).astype(np.float32)
+    xlens = np.full(4, 100, np.int32)
+    labels = rng.integers(1, 30, (4, 10)).astype(np.int32)
+    llens = np.full(4, 8, np.int32)
+
+    tr = Trainer(codec=codec, ns=20, lr=3e-3, seed=5)
+    for _ in range(3):
+        tr.step(xs, xlens, labels, llens)
+    path = tr.save_state(str(tmp_path / "t.state"))
+
+    loss_direct = [tr.step(xs, xlens, labels, llens) for _ in range(2)]
+
+    tr2 = Trainer.load_state(path)
+    assert tr2.iteration == 3
+    assert tr2.codec.charset == codec.charset
+    loss_resumed = [tr2.step(xs, xlens, labels, llens) for _ in range(2)]
+    assert loss_direct == loss_resumed

@@ -217,8 +217,13 @@ def cmd_train(args):
             if ch not in charset:
                 charset.append(ch)
 
-    codec = Codec(charset)
-    trainer = Trainer(codec, ni=48, ns=args.hidden, lr=args.lr)
+    if args.resume:
+        trainer = Trainer.load_state(args.resume)
+        codec = trainer.codec
+        print(f"resumed at iteration {trainer.iteration} from {args.resume}")
+    else:
+        codec = Codec(charset)
+        trainer = Trainer(codec, ni=48, ns=args.hidden, lr=args.lr)
 
     rng = np.random.default_rng(0)
     T = max(len(f) for f in frames)
@@ -236,8 +241,10 @@ def cmd_train(args):
             print(f"iter {it}: ctc loss {loss:.4f}")
         if args.save_every and it > 0 and it % args.save_every == 0:
             print("saved", trainer.save(args.output_prefix))
+            print("saved", trainer.save_state(args.output_prefix + ".state"))
 
     print("saved", trainer.save(args.output_prefix))
+    print("saved", trainer.save_state(args.output_prefix + ".state"))
     return 0
 
 
@@ -311,6 +318,9 @@ def main(argv=None):
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--log-every", type=int, default=100)
     t.add_argument("--save-every", type=int, default=5000)
+    t.add_argument("--resume", default=None,
+                   help="resume from a .state checkpoint (full optimizer "
+                   "state; exact trajectory continuation)")
     t.set_defaults(func=cmd_train)
 
     s = sub.add_parser(

@@ -112,6 +112,53 @@ class Trainer:
         save_pyrnn(path, params_to_np(self.params), self.codec, self.ni)
         return path
 
+    # -- full-state checkpointing (resume with optimizer state) --
+    #
+    # The .pyrnn.gz checkpoint is the reference-compatible WEIGHT format
+    # (loadable by the alignment pipeline and by ocropy tooling), but it
+    # drops the Adam moments — resuming from it restarts the optimizer
+    # cold. save_state/load_state round-trip the whole training state
+    # (params, opt_state, iteration) for exact resume.
+
+    def save_state(self, path: str) -> str:
+        """Write the full training state; resuming from it continues the
+        trajectory bit-exactly (tested)."""
+        import pickle
+
+        flat, treedef = jax.tree_util.tree_flatten(
+            {"params": self.params, "opt_state": self.opt_state}
+        )
+        payload = {
+            "leaves": [np.asarray(x) for x in flat],
+            "config": {"ni": self.ni, "ns": self.ns, "lr": self.lr,
+                       "seed": self.seed, "clip_norm": self.clip_norm,
+                       "charset": self.codec.charset,
+                       "iteration": self.iteration},
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f, -1)
+        return path
+
+    @classmethod
+    def load_state(cls, path: str) -> "Trainer":
+        import pickle
+
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        cfg = payload["config"]
+        tr = cls(codec=Codec(cfg["charset"]), ni=cfg["ni"], ns=cfg["ns"],
+                 lr=cfg["lr"], seed=cfg["seed"], clip_norm=cfg["clip_norm"])
+        _, treedef = jax.tree_util.tree_flatten(
+            {"params": tr.params, "opt_state": tr.opt_state}
+        )
+        state = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(x) for x in payload["leaves"]]
+        )
+        tr.params = state["params"]
+        tr.opt_state = state["opt_state"]
+        tr.iteration = cfg["iteration"]
+        return tr
+
 
 def batch_lines(frame_list, text_list, codec: Codec, T: int, S: int):
     """Pack variable-length (frames, text) pairs into fixed (B,T,ni)/(B,S)."""
