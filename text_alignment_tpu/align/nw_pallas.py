@@ -114,6 +114,11 @@ def _nw_kernel_body(params_ref, o_ref, t_ref, out_ref, state, CHUNK):
     carry0 = (state[0], state[1], state[2], state[3], state[4], state[5],
               state[6])
 
+    # loop-invariant boundary terms
+    row0 = lane_i == 0
+    pos_lane = lane_i > 0
+    bge_lane = BGE * lane_i
+
     def body(k, carry):
         m2s, x2s, y2s, m1, x1, y1, o_lane = carry
         d = g * CHUNK + k
@@ -138,13 +143,12 @@ def _nw_kernel_body(params_ref, o_ref, t_ref, out_ref, state, CHUNK):
 
         # boundary conditions (textSeqCompare.py:53-60 overwrite order)
         j = d - lane_i
-        row0 = lane_i == 0
-        col0 = (j == 0) & (lane_i > 0)
+        col0 = (j == 0) & pos_lane
         invalid = (j < 0) | (j >= NoP)
 
-        m_v = jnp.where(row0, BGE * j, jnp.where(col0, BGE * lane_i, m_int))
+        m_v = jnp.where(row0, BGE * j, jnp.where(col0, bge_lane, m_int))
         x_v = jnp.where(row0, BGE * j, jnp.where(col0, NEG, x_int))
-        y_v = jnp.where(row0, NEG, jnp.where(col0, BGE * lane_i, y_int))
+        y_v = jnp.where(row0, NEG, jnp.where(col0, bge_lane, y_int))
 
         m_v = jnp.where(invalid, NEG, m_v)
         x_v = jnp.where(invalid, NEG, x_v)
@@ -234,6 +238,11 @@ def _make_nw_kernel_batched(chunk: int, R: int, P: int):
         carry0 = (state[0], state[1], state[2], state[3], state[4],
                   state[5], state[6])
 
+        # loop-invariant boundary terms
+        row0 = lane_i == 0
+        pos_lane = lane_i > 0
+        bge_lane = BGE * lane_i
+
         def shift_down(v, neg):
             rolled = pltpu.roll(v, 1, axis=1)
             wrap = pltpu.roll(rolled[:, :1], 1, axis=0)
@@ -263,14 +272,13 @@ def _make_nw_kernel_batched(chunk: int, R: int, P: int):
             x_int, xp = _first_max3(m1s + gox_gex, x1s + gex, y1s + gox_gex)
 
             j = d - lane_i
-            row0 = lane_i == 0
-            col0 = (j == 0) & (lane_i > 0)
+            col0 = (j == 0) & pos_lane
             invalid = (j < 0) | (j >= NoP)
 
             m_v = jnp.where(row0, BGE * j,
-                            jnp.where(col0, BGE * lane_i, m_int))
+                            jnp.where(col0, bge_lane, m_int))
             x_v = jnp.where(row0, BGE * j, jnp.where(col0, NEG, x_int))
-            y_v = jnp.where(row0, NEG, jnp.where(col0, BGE * lane_i, y_int))
+            y_v = jnp.where(row0, NEG, jnp.where(col0, bge_lane, y_int))
 
             m_v = jnp.where(invalid, NEG, m_v)
             x_v = jnp.where(invalid, NEG, x_v)
