@@ -193,3 +193,39 @@ def test_align_pairs_small_pair_host_routing():
     for (ta, oa), (t, o) in zip(via_host, pairs):
         ref = perform_alignment(t, o, backend="reference")
         assert (ta, oa) == ref
+
+
+def test_fuzz_random_scorings_all_fills_agree():
+    """Randomized integer scoring systems x random pairs: the literal
+    reference fill, the fast host fill, the native C++ fill (when built),
+    and the XLA wavefront must produce identical ALIGNMENTS (pointers feed
+    tie-breaking, so this catches candidate-order drift under scorings the
+    fixed SYSTEMS list never exercises)."""
+    from text_alignment_tpu.align.nw_host import _native_nw_available
+
+    rng = random.Random(7)
+    for trial in range(10):
+        match = rng.randrange(1, 13)
+        mismatch = -rng.randrange(0, 11)
+        gox, goy = -rng.randrange(0, 9), -rng.randrange(0, 9)
+        gex, gey = -rng.randrange(0, 6), -rng.randrange(0, 6)
+        sc_list = [match, mismatch, gox, goy, gex, gey]
+        n, m = rng.randrange(2, 60), rng.randrange(2, 60)
+        t, o = _random_pair(rng, n, m)
+        t, o = t + [" "], o + [" "]
+        sc = resolve_scoring(sc_list)
+
+        ref = traceback(t, o, DensePtrView(*fill_reference_slow(t, o, sc)))
+        fast = traceback(t, o, DensePtrView(*fill_host_fast(t, o, sc)))
+        assert fast == ref, (trial, sc_list)
+        jaxp = traceback(
+            t, o, DiagPtrView(fill_jax_packed(t, o, sc))
+        )
+        assert jaxp == ref, (trial, sc_list)
+        if _native_nw_available():
+            from text_alignment_tpu.align.nw_host import fill_native
+
+            nat = traceback(
+                t, o, DensePtrView(*fill_native(t, o, sc))
+            )
+            assert nat == ref, (trial, sc_list)
