@@ -132,8 +132,39 @@ def cmd_evaluate(args):
                 "existing_ocr": existing_ocr,
             }
         )
-    logs, ranked = grid_search(fixtures, backend=args.backend)
-    print(ranked[-10:])
+    if args.grid:
+        logs, ranked = grid_search(fixtures, backend=args.backend)
+        print(ranked[-10:])
+        return 0
+
+    # single-scoring evaluation: per-folio mean bbox IoU + ink IoU with
+    # the default (or given) scoring — the reference harness's
+    # evaluate_alignment workflow without the parameter sweep
+    from .evaluate import evaluate_alignment
+    from .pipeline import process, to_JSON_dict
+    from .pipeline.preprocess import preprocess_images
+
+    scoring = json.loads(args.scoring) if args.scoring else None
+    scores = []
+    for fx, ind in zip(fixtures, _folio_ids(args.folios)):
+        eval_img, _, _ = preprocess_images(
+            fx["raw_image"], correct_rotation=False, backend=args.backend
+        )
+        result = process(
+            fx["raw_image"], fx["transcript"], seq_align_params=scoring,
+            existing_ocr=fx["existing_ocr"], verbose=False,
+            backend=args.backend,
+        )
+        syl_boxes, _, peaks, _ = result
+        d = to_JSON_dict(syl_boxes, peaks)
+        iou, ink = evaluate_alignment(fx["gt_boxes"], d["syl_boxes"],
+                                      eval_img)
+        scores.append((iou, ink))
+        print(f"{ind}: bbox IoU {iou:.3f}  ink IoU {ink:.3f} "
+              f"({len(d['syl_boxes'])} syllables)")
+    mi = float(np.mean([s[0] for s in scores]))
+    mk = float(np.mean([s[1] for s in scores]))
+    print(f"mean: bbox IoU {mi:.3f}  ink IoU {mk:.3f}")
     return 0
 
 
@@ -291,6 +322,12 @@ def main(argv=None):
     e.add_argument("--folios", nargs="+", required=True)
     e.add_argument("--backend", default="host",
                    choices=["host", "hybrid", "device"])
+    e.add_argument("--grid", action="store_true",
+                   help="run the 729-combination scoring grid search "
+                   "instead of a single-scoring evaluation")
+    e.add_argument("--scoring", default=None,
+                   help='JSON scoring list, e.g. "[8,-4,-7,-7,-3,0]" '
+                   "(single-scoring mode only)")
     e.set_defaults(func=cmd_evaluate)
 
     m = sub.add_parser(
