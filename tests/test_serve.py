@@ -75,3 +75,42 @@ def test_serve_marks_bad_job_failed(spool):
     assert os.path.isfile(os.path.join(spool, "broken.job.failed"))
     with open(os.path.join(spool, "broken.job.failed")) as f:
         assert "Traceback" in f.read()
+
+
+def test_serve_requeues_stale_orphan_claim(spool):
+    _make_job(spool, "folio_c", 520)
+    # simulate a crashed worker: claim exists, no worker alive, old mtime
+    src = os.path.join(spool, "folio_c.job.json")
+    orphan = os.path.join(spool, "folio_c.job.running")
+    os.rename(src, orphan)
+    old = 4000
+    os.utime(orphan, (os.path.getmtime(orphan) - old,) * 2)
+    n = serve(spool, model=None, backend="hybrid", once=True,
+              stale_after_s=900)
+    assert n == 1
+    assert os.path.isfile(os.path.join(spool, "folio_c.job.done"))
+
+
+def test_serve_leaves_fresh_claim_alone(spool):
+    _make_job(spool, "folio_d", 530)
+    os.rename(os.path.join(spool, "folio_d.job.json"),
+              os.path.join(spool, "folio_d.job.running"))
+    n = serve(spool, model=None, backend="hybrid", once=True,
+              stale_after_s=900)
+    assert n == 0  # fresh claim = another worker's; not stolen
+    assert os.path.isfile(os.path.join(spool, "folio_d.job.running"))
+
+
+def test_serve_failed_receipt_is_requeueable(spool):
+    with open(os.path.join(spool, "broken2.job.json"), "w") as f:
+        json.dump({"image": "missing.png", "transcript": "deus"}, f)
+    serve(spool, model=None, backend="hybrid", once=True)
+    with open(os.path.join(spool, "broken2.job.failed")) as f:
+        receipt = json.load(f)
+    assert receipt["job"]["image"] == "missing.png"
+    assert "Traceback" in receipt["traceback"]
+    # requeue by restoring the job spec
+    with open(os.path.join(spool, "broken2.job.json"), "w") as f:
+        json.dump(receipt["job"], f)
+    n = serve(spool, model=None, backend="hybrid", once=True)
+    assert n == 1  # picked up again (fails again, but it WAS requeued)

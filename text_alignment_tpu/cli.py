@@ -155,6 +155,9 @@ def cmd_evaluate(args):
             existing_ocr=fx["existing_ocr"], verbose=False,
             backend=args.backend,
         )
+        if result is None:
+            print(f"{ind}: no alignable OCR; skipped")
+            continue
         syl_boxes, _, peaks, _ = result
         d = to_JSON_dict(syl_boxes, peaks)
         iou, ink = evaluate_alignment(fx["gt_boxes"], d["syl_boxes"],
@@ -251,6 +254,14 @@ def cmd_train(args):
     if args.resume:
         trainer = Trainer.load_state(args.resume)
         codec = trainer.codec
+        missing = sorted(set(charset) - set(codec.charset))
+        if missing:
+            print(f"training data contains characters absent from the "
+                  f"checkpoint charset: {missing!r}")
+            return 1
+        if args.hidden != trainer.ns or args.lr != trainer.lr:
+            print(f"note: --hidden/--lr ignored on resume; continuing with "
+                  f"the checkpoint's ns={trainer.ns} lr={trainer.lr}")
         print(f"resumed at iteration {trainer.iteration} from {args.resume}")
     else:
         codec = Codec(charset)

@@ -221,6 +221,8 @@ def to_greyscale(img: np.ndarray) -> np.ndarray:
     if a.ndim == 2:
         return a.copy()
     H, W, C = a.shape
+    if C not in (3, 4):  # same contract as oracle.to_greyscale
+        raise ValueError(f"expected RGB/RGBA/grey image, got {C} channels")
     out = np.zeros((H, W), np.uint8)
     _lib.ta_greyscale(_u8p(a), H * W, C, _u8p(out))
     return out
@@ -379,6 +381,8 @@ def _greyscale_hist(input_image: np.ndarray):
             hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         return a, hist
     H, W, C = a.shape
+    if C not in (3, 4):  # same contract as oracle.to_greyscale
+        raise ValueError(f"expected RGB/RGBA/grey image, got {C} channels")
     out = np.empty((H, W), np.uint8)
     _lib.ta_greyscale_hist(
         _u8p(a), H * W, C, _u8p(out),

@@ -23,8 +23,10 @@ Claiming is atomic: the server renames ``X.job.json`` to ``X.job.running``
 before touching it (same-filesystem rename), so multiple server processes
 can share one spool without double-processing — the multi-worker story of
 ``ocropus-rpred -Q N`` and the Rodan fan-out, one directory instead of a
-message broker. Completed jobs become ``X.job.done`` (with the result path
-inside); failures become ``X.job.failed`` with the traceback appended.
+message broker. Completed jobs become ``X.job.done`` (the job spec plus the
+result path); failures become ``X.job.failed`` (the job spec plus the
+traceback — rename it back to ``.job.json`` to requeue). Claims orphaned by
+a crashed worker (stale ``.job.running`` files) are requeued at startup.
 
 Relative paths inside a job file resolve against the spool directory.
 """
@@ -54,8 +56,8 @@ def _load_transcript(spool: str, job: dict) -> str:
 
 
 def process_job(spool: str, job_path: str, recognizer, backend: str,
-                verbose: bool = False) -> str:
-    """Run one claimed job file; returns the output path."""
+                verbose: bool = False):
+    """Run one claimed job file; returns (output path, job dict)."""
     from PIL import Image
 
     from .pipeline import process, to_JSON_dict
@@ -91,7 +93,7 @@ def process_job(spool: str, job_path: str, recognizer, backend: str,
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(to_JSON_dict(syl_boxes, lines_peak_locs), f)
-    return out_path
+    return out_path, job
 
 
 def warmup(recognizer, backend: str) -> None:
@@ -114,7 +116,8 @@ def warmup(recognizer, backend: str) -> None:
 
 def serve(spool: str, model, backend: str = "hybrid", poll_s: float = 0.2,
           once: bool = False, max_jobs: int | None = None,
-          verbose: bool = False, do_warmup: bool = False) -> int:
+          verbose: bool = False, do_warmup: bool = False,
+          stale_after_s: float = 900.0) -> int:
     """Process ``*.job.json`` files in ``spool`` until interrupted (or, with
     ``once=True``, until the directory holds no more pending jobs).
     Returns the number of jobs processed."""
@@ -123,6 +126,26 @@ def serve(spool: str, model, backend: str = "hybrid", poll_s: float = 0.2,
     recognizer = _resolve_recognizer(model, backend) if model else None
     if do_warmup and recognizer is not None:
         warmup(recognizer, backend)
+    # reclaim orphans: a worker killed mid-job leaves X.job.running behind,
+    # which the pending filter would otherwise never pick up again. Only
+    # claims older than stale_after_s are requeued — a younger one may be
+    # a concurrent worker's ACTIVE claim, and stealing it would
+    # double-process the job.
+    now = time.time()
+    for fname in sorted(os.listdir(spool)):
+        if not fname.endswith(".job.running"):
+            continue
+        path = os.path.join(spool, fname)
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue
+        if age > stale_after_s:
+            print(f"requeueing orphaned claim {fname} (age {age:.0f}s)")
+            os.rename(path, path[: -len(".running")] + ".json")
+        else:
+            print(f"note: {fname} looks like another worker's active claim "
+                  f"(age {age:.0f}s < {stale_after_s:.0f}s); leaving it")
     done = 0
     while True:
         pending = sorted(
@@ -136,15 +159,15 @@ def serve(spool: str, model, backend: str = "hybrid", poll_s: float = 0.2,
         for fname in pending:
             job_path = os.path.join(spool, fname)
             claimed = job_path[: -len(".json")] + ".running"
-            try:  # atomic claim: losing a race to another worker is fine
+            try:  # atomic claim
                 os.rename(job_path, claimed)
-            except OSError:
-                continue
+            except FileNotFoundError:
+                continue  # lost the race to another worker
+            # any other OSError (read-only spool, EACCES) is a real fault:
+            # swallowing it would leave the job pending and busy-spin
             try:
-                out_path = process_job(spool, claimed, recognizer, backend,
-                                       verbose=verbose)
-                with open(claimed) as f:
-                    job = json.load(f)
+                out_path, job = process_job(spool, claimed, recognizer,
+                                            backend, verbose=verbose)
                 job["result"] = out_path
                 final = claimed[: -len(".running")] + ".done"
                 with open(final, "w") as f:
@@ -152,9 +175,18 @@ def serve(spool: str, model, backend: str = "hybrid", poll_s: float = 0.2,
                 os.remove(claimed)
                 print(f"done {fname} -> {out_path}")
             except Exception:
+                # keep the job spec in the receipt so a failed job can be
+                # requeued by renaming it back to .job.json
+                try:
+                    with open(claimed) as f:
+                        job_spec = json.load(f)
+                except Exception:
+                    job_spec = None
                 final = claimed[: -len(".running")] + ".failed"
                 with open(final, "w") as f:
-                    f.write(traceback.format_exc())
+                    json.dump({"job": job_spec,
+                               "traceback": traceback.format_exc()}, f,
+                              indent=1)
                 os.remove(claimed)
                 print(f"FAILED {fname} (see {os.path.basename(final)})")
             done += 1
