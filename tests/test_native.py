@@ -310,3 +310,24 @@ def test_preprocess_page_rgba_alpha(rng):
     assert got_ang == ang
     np.testing.assert_array_equal(got_bin, img)
     np.testing.assert_array_equal(got_er, er)
+
+
+def test_cc_stats_masked_all_and_none(rng):
+    img = _page(rng, h=50, w=60, density=0.3)
+    # all rows masked: no components at all
+    assert len(host_native.cc_stats_masked(
+        img.astype(np.uint8), np.ones(50, bool))) == 0
+    # no rows masked: identical to plain cc_stats
+    np.testing.assert_array_equal(
+        host_native.cc_stats_masked(img.astype(np.uint8),
+                                    np.zeros(50, bool)),
+        host_native.cc_stats(img.astype(np.uint8)),
+    )
+
+
+def test_greyscale_rejects_unsupported_channels(rng):
+    la = rng.integers(0, 256, (20, 30, 2), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        host_native.to_greyscale(la)
+    with pytest.raises(ValueError):
+        host_native._greyscale_hist(la)
