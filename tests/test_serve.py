@@ -45,8 +45,8 @@ def test_serve_drains_spool_and_writes_results(spool):
         "folio_b": _make_job(spool, "folio_b", 510,
                              output="out/custom_b.json"),
     }
-    n = serve(spool, model=None, backend="hybrid", once=True)
-    assert n == 2
+    stats = serve(spool, model=None, backend="hybrid", once=True)
+    assert (stats.processed, stats.failed) == (2, 0)
 
     names = sorted(os.listdir(spool))
     assert "folio_a.job.done" in names and "folio_b.job.done" in names
@@ -70,8 +70,10 @@ def test_serve_drains_spool_and_writes_results(spool):
 def test_serve_marks_bad_job_failed(spool):
     with open(os.path.join(spool, "broken.job.json"), "w") as f:
         json.dump({"image": "missing.png", "transcript": "deus"}, f)
-    n = serve(spool, model=None, backend="hybrid", once=True)
-    assert n == 1
+    stats = serve(spool, model=None, backend="hybrid", once=True)
+    # a failed job must NOT count as processed (outcome accounting)
+    assert (stats.processed, stats.failed) == (0, 1)
+    assert stats.attempted == 1
     assert os.path.isfile(os.path.join(spool, "broken.job.failed"))
     with open(os.path.join(spool, "broken.job.failed")) as f:
         assert "Traceback" in f.read()
@@ -85,9 +87,9 @@ def test_serve_requeues_stale_orphan_claim(spool):
     os.rename(src, orphan)
     old = 4000
     os.utime(orphan, (os.path.getmtime(orphan) - old,) * 2)
-    n = serve(spool, model=None, backend="hybrid", once=True,
-              stale_after_s=900)
-    assert n == 1
+    stats = serve(spool, model=None, backend="hybrid", once=True,
+                  stale_after_s=900)
+    assert (stats.processed, stats.failed) == (1, 0)
     assert os.path.isfile(os.path.join(spool, "folio_c.job.done"))
 
 
@@ -95,9 +97,9 @@ def test_serve_leaves_fresh_claim_alone(spool):
     _make_job(spool, "folio_d", 530)
     os.rename(os.path.join(spool, "folio_d.job.json"),
               os.path.join(spool, "folio_d.job.running"))
-    n = serve(spool, model=None, backend="hybrid", once=True,
-              stale_after_s=900)
-    assert n == 0  # fresh claim = another worker's; not stolen
+    stats = serve(spool, model=None, backend="hybrid", once=True,
+                  stale_after_s=900)
+    assert stats.attempted == 0  # fresh claim = another worker's; not stolen
     assert os.path.isfile(os.path.join(spool, "folio_d.job.running"))
 
 
@@ -112,5 +114,43 @@ def test_serve_failed_receipt_is_requeueable(spool):
     # requeue by restoring the job spec
     with open(os.path.join(spool, "broken2.job.json"), "w") as f:
         json.dump(receipt["job"], f)
-    n = serve(spool, model=None, backend="hybrid", once=True)
-    assert n == 1  # picked up again (fails again, but it WAS requeued)
+    stats = serve(spool, model=None, backend="hybrid", once=True)
+    assert stats.failed == 1  # picked up again (fails again, but WAS requeued)
+
+
+def test_serve_mixed_spool_counts_outcomes_separately(spool):
+    _make_job(spool, "folio_ok", 540)
+    with open(os.path.join(spool, "folio_bad.job.json"), "w") as f:
+        json.dump({"image": "missing.png", "transcript": "deus"}, f)
+    stats = serve(spool, model=None, backend="hybrid", once=True, max_jobs=2)
+    assert (stats.processed, stats.failed) == (1, 1)
+    assert stats.attempted == 2  # a failed job still consumed a job slot
+
+
+def test_serve_reclaim_lost_race_does_not_crash(spool, monkeypatch):
+    """Two concurrently-starting workers may both try to requeue the same
+    stale claim; the loser's os.rename raises FileNotFoundError and must be
+    survived (ADVICE r2: unguarded reclaim rename)."""
+    _make_job(spool, "folio_e", 550)
+    orphan = os.path.join(spool, "folio_e.job.running")
+    os.rename(os.path.join(spool, "folio_e.job.json"), orphan)
+    os.utime(orphan, (os.path.getmtime(orphan) - 4000,) * 2)
+
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        if src == orphan:
+            # simulate the other worker winning the requeue race: it already
+            # moved the claim back to .job.json
+            real_rename(src, dst)
+            raise FileNotFoundError(src)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    stats = serve(spool, model=None, backend="hybrid", once=True,
+                  stale_after_s=900)
+    # the reclaim "failed" for this worker but the job was requeued by the
+    # "other" worker; this worker then claims and processes it normally
+    assert (stats.processed, stats.failed) == (1, 0)
+    names = os.listdir(spool)
+    assert not any(n.endswith(".job.running") for n in names)

@@ -1,0 +1,149 @@
+"""Repeatable on-hardware parity lane (VERDICT r2 missing #2).
+
+These re-run, on demand, the differential fuzzes that were previously only
+ad-hoc: the TPU Pallas NW kernel vs the host fill, host-vs-hybrid raster
+parity, and the device line-normalizer knife-edge invariants — one command
+standing between "it was checked once" and "it is checked":
+
+    TEXT_ALIGNMENT_TPU_HW_TESTS=1 python -m pytest tests/ -m tpu -q
+
+Everything here is marked ``tpu`` and auto-skipped in the normal CPU suite
+(see conftest.py). The same logic is exercised in interpret/CPU mode by
+test_nw_pallas.py / test_lineest_device.py; this lane pins that the REAL
+Mosaic kernel and the real TPU backend agree with the host oracles.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def on_tpu():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU backend available")
+    return True
+
+
+def test_pallas_nw_matches_host_fuzz(on_tpu):
+    """8 random pairs across size buckets: the Pallas fused fill+traceback
+    must reproduce the host fill's alignment exactly (first-max tie rule
+    included)."""
+    from text_alignment_tpu.align import perform_alignment
+
+    rng = random.Random(1234)
+    sizes = [(40, 55), (130, 120), (250, 300), (511, 500),
+             (700, 650), (1023, 1100), (1500, 1400), (90, 400)]
+    for n, m in sizes:
+        t = [rng.choice("abcdefgh ") for _ in range(n)]
+        o = [rng.choice("abcdefgh ") for _ in range(m)]
+        ta_h, oa_h = perform_alignment(t, o, backend="host")
+        ta_d, oa_d = perform_alignment(t, o, backend="jax")
+        assert ta_h == ta_d and oa_h == oa_d, f"divergence at {(n, m)}"
+
+
+def test_host_vs_hybrid_raster_fuzz(on_tpu):
+    """Native C++ raster engine vs the numpy oracle on random pages:
+    preprocess + line segmentation must be bit-identical."""
+    from text_alignment_tpu.ops import host_native
+    from text_alignment_tpu.synth import make_page
+    from text_alignment_tpu.pipeline.preprocess import (
+        preprocess_images,
+        identify_text_lines,
+    )
+
+    if not host_native.available():
+        pytest.skip("native toolchain unavailable")
+    for seed in range(6):
+        page = make_page(np.random.default_rng(9000 + seed), n_lines=5,
+                         words_per_line=2, angle=(seed - 3) * 0.4)
+        img_h, ero_h, ang_h = preprocess_images(page.image, backend="host")
+        img_n, ero_n, ang_n = preprocess_images(page.image, backend="hybrid")
+        assert ang_h == ang_n
+        assert np.array_equal(img_h, img_n)
+        assert np.array_equal(ero_h, ero_n)
+        s_h, p_h, _ = identify_text_lines(img_h, ero_h, backend="host",
+                                          verbose=False)
+        s_n, p_n, _ = identify_text_lines(img_n, ero_n, backend="hybrid",
+                                          verbose=False)
+        assert list(p_h) == list(p_n)
+        assert len(s_h) == len(s_n)
+        for a, b in zip(s_h, s_n):
+            assert (a.offset_x, a.offset_y) == (b.offset_x, b.offset_y)
+            assert np.array_equal(a.img, b.img)
+
+
+def test_device_lineest_knife_edge(on_tpu):
+    """Real-TPU device normalizer vs the scipy CenterNormalizer: identical
+    lengths, frames equal outside the documented +-1 center-truncation
+    boundary set."""
+    from text_alignment_tpu.synth import make_page
+    from text_alignment_tpu.pipeline.preprocess import (
+        preprocess_images,
+        identify_text_lines,
+    )
+    from text_alignment_tpu.models.lineest import normalize_strip
+    from text_alignment_tpu.models.lineest_jax import normalize_batch_device
+
+    page = make_page(
+        np.random.default_rng(42), n_lines=4, words_per_line=2,
+        H=800, W=700, char_h=50, char_w=30, gap=6, space_w=40,
+        line_spacing=150, speckles=30, margin_x=30, angle=0.6,
+    )
+    image, eroded, _ = preprocess_images(page.image, backend="host")
+    strips, _, _ = identify_text_lines(image, eroded, backend="host",
+                                       verbose=False)
+    assert len(strips) >= 3
+    B, Hp, Wp = len(strips), 128, 1024
+    grey = np.ones((B, Hp, Wp), np.float32)
+    hs = np.zeros(B, np.int32)
+    ws = np.zeros(B, np.int32)
+    for b, s in enumerate(strips):
+        h, w = s.img.shape
+        grey[b, :h, :w] = 1.0 - s.img.astype(np.float32)
+        hs[b], ws[b] = h, w
+    frames_d, lengths_d, _ = normalize_batch_device(grey, hs, ws, t_max=2048)
+    frames_d = np.asarray(frames_d)
+    lengths_d = np.asarray(lengths_d)
+    for b, s in enumerate(strips):
+        ref = normalize_strip(s.img.astype(bool))
+        assert ref is not None
+        fr, _ = ref
+        assert lengths_d[b] == fr.shape[0]
+        err = np.abs(frames_d[b, : fr.shape[0]] - fr)
+        assert np.mean(err > 1e-3) < 0.03
+        assert np.median(err) < 1e-5
+
+
+def test_fused_ocr_decode_matches_host_normalize(on_tpu):
+    """On real TPU the fully-fused bit-packed upload -> device normalize ->
+    BiLSTM -> CTC path must decode the same char strings as the host-side
+    scipy normalizer feeding the same net."""
+    import jax
+
+    from text_alignment_tpu.synth import make_page
+    from text_alignment_tpu.pipeline.preprocess import (
+        preprocess_images,
+        identify_text_lines,
+    )
+    from text_alignment_tpu.models.lstm_jax import init_bilstm
+    from text_alignment_tpu.models.recognizer import SeqRecognizer
+    from text_alignment_tpu.models.codec import Codec
+
+    page = make_page(np.random.default_rng(77), n_lines=4, words_per_line=2)
+    image, eroded, _ = preprocess_images(page.image, backend="host")
+    strips, _, _ = identify_text_lines(image, eroded, backend="host",
+                                       verbose=False)
+    codec = Codec()
+    params = init_bilstm(jax.random.PRNGKey(0), 48, 100, len(codec))
+    rec_h = SeqRecognizer(params, codec)
+    rec_d = SeqRecognizer(params, codec, normalize_on_device=True)
+    rows_h = rec_h.recognize_batch([s.img for s in strips])
+    rows_d = rec_d.recognize_batch([s.img for s in strips])
+    for rh, rd in zip(rows_h, rows_d):
+        assert "".join(c for c, _ in rh) == "".join(c for c, _ in rd)

@@ -26,25 +26,16 @@ Layer map (TPU-first, not a translation):
 
 __version__ = "0.1.0"
 
-import os as _os
-
-# Persistent XLA compilation cache: TPU compiles here go through a remote
-# tunnel and cost seconds-to-minutes; caching makes every process after the
-# first start warm. Opt out with TEXT_ALIGNMENT_TPU_NO_COMPILE_CACHE=1.
-if not _os.environ.get("TEXT_ALIGNMENT_TPU_NO_COMPILE_CACHE"):
-    try:
-        import jax as _jax
-
-        _cache_dir = _os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            _os.path.join(_os.path.expanduser("~"), ".cache", "text_alignment_tpu_xla"),
-        )
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:  # jax config API drift must never break imports
-        pass
+# Persistent XLA compilation cache: enabled lazily and ONLY for non-CPU
+# backends, via utils.compile_cache.ensure_compile_cache() — called from the
+# device-facing entry points (CLI, serve, bench, recognizer) right before
+# their first jit.  It must not be enabled at import time because the
+# effective platform is unknowable until the backend initializes, and on
+# XLA:CPU the cache's AOT path slows steps ~3.5x with zero hits (measured;
+# see tests/conftest.py).  Opt out with TEXT_ALIGNMENT_TPU_NO_COMPILE_CACHE=1.
 
 from .charbox import CharBox
 from .textio import read_file
+from .utils.compile_cache import ensure_compile_cache
 
-__all__ = ["CharBox", "read_file", "__version__"]
+__all__ = ["CharBox", "read_file", "ensure_compile_cache", "__version__"]

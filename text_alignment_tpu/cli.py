@@ -165,6 +165,9 @@ def cmd_evaluate(args):
         scores.append((iou, ink))
         print(f"{ind}: bbox IoU {iou:.3f}  ink IoU {ink:.3f} "
               f"({len(d['syl_boxes'])} syllables)")
+    if not scores:
+        print("no folios evaluated (all skipped)")
+        return 1
     mi = float(np.mean([s[0] for s in scores]))
     mk = float(np.mean([s[1] for s in scores]))
     print(f"mean: bbox IoU {mi:.3f}  ink IoU {mk:.3f}")
@@ -271,6 +274,14 @@ def cmd_train(args):
     T = max(len(f) for f in frames)
     S = max(len(t) for t in texts) + 2
     idx = np.arange(len(frames))
+    if args.resume and trainer.iteration:
+        # fast-forward the batch-sampling RNG past the draws the original
+        # run already consumed, so the resumed run continues the exact
+        # trajectory (assuming the same --lines-dir contents) instead of
+        # replaying the batch sequence from iteration 0
+        for _ in range(trainer.iteration):
+            rng.choice(idx, size=min(args.batch_size, len(idx)),
+                       replace=False)
     for it in range(args.iterations):
         batch = rng.choice(idx, size=min(args.batch_size, len(idx)),
                            replace=False)
@@ -293,11 +304,11 @@ def cmd_train(args):
 def cmd_serve(args):
     from .serve import serve
 
-    n = serve(args.spool, args.model, backend=args.backend,
-              poll_s=args.poll, once=args.once, max_jobs=args.max_jobs,
-              verbose=args.verbose, do_warmup=args.warmup)
-    print(f"processed {n} job(s)")
-    return 0
+    stats = serve(args.spool, args.model, backend=args.backend,
+                  poll_s=args.poll, once=args.once, max_jobs=args.max_jobs,
+                  verbose=args.verbose, do_warmup=args.warmup)
+    print(f"processed {stats.processed} job(s), {stats.failed} failed")
+    return 0 if stats.failed == 0 else 1
 
 
 def main(argv=None):
@@ -368,7 +379,9 @@ def main(argv=None):
     t.add_argument("--save-every", type=int, default=5000)
     t.add_argument("--resume", default=None,
                    help="resume from a .state checkpoint (full optimizer "
-                   "state; exact trajectory continuation)")
+                   "state; exact trajectory continuation when --lines-dir "
+                   "holds the same data; TRUSTED input only — .state files "
+                   "are pickles)")
     t.set_defaults(func=cmd_train)
 
     s = sub.add_parser(
@@ -392,6 +405,12 @@ def main(argv=None):
     s.set_defaults(func=cmd_serve)
 
     args = p.parse_args(argv)
+    # persistent XLA compile cache, iff the backend is a real accelerator
+    # (never on CPU — see utils/compile_cache.py). host-backend evaluate
+    # runs still benefit when the NW device path engages.
+    from .utils.compile_cache import ensure_compile_cache
+
+    ensure_compile_cache()
     return args.func(args)
 
 

@@ -141,6 +141,12 @@ class Trainer:
 
     @classmethod
     def load_state(cls, path: str) -> "Trainer":
+        """Load a save_state checkpoint.
+
+        TRUSTED INPUT ONLY: .state checkpoints are pickles, and unpickling
+        executes arbitrary code — same trust model as the .pyrnn.gz and
+        OCR-pickle surfaces (and ocropy's own model files). Load only
+        checkpoints you produced."""
         import pickle
 
         with open(path, "rb") as f:

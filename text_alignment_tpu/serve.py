@@ -37,8 +37,24 @@ import json
 import os
 import time
 import traceback
+from typing import NamedTuple
 
 import numpy as np
+
+
+class ServeStats(NamedTuple):
+    """Outcome accounting for one serve() run.
+
+    ``processed`` and ``failed`` are disjoint; ``max_jobs`` bounds their sum
+    (a failed job still consumed a job slot) but the two are reported
+    separately so "processed 10 job(s)" can never mean "9 succeeded"."""
+
+    processed: int
+    failed: int
+
+    @property
+    def attempted(self) -> int:
+        return self.processed + self.failed
 
 
 def _resolve(spool: str, path: str) -> str:
@@ -100,31 +116,42 @@ def warmup(recognizer, backend: str) -> None:
     """Run one full-size synthetic folio through the pipeline so the
     first real job doesn't pay the XLA compiles (the jit caches are
     keyed by shape bucket, so the warmup page uses production folio
-    dimensions)."""
-    from .synth import make_page
+    dimensions). With ``recognizer=None`` this still pre-warms the
+    raster/segmentation/NW compiles, which is exactly what jobs that
+    supply ``existing_ocr_pickle`` need."""
+    from .synth import make_page, corrupt_ocr, ocr_with_spaces
     from .pipeline import process
 
     page = make_page(np.random.default_rng(0), n_lines=10,
                      words_per_line=3, H=2000, W=1600, char_h=70,
                      char_w=40, gap=8, space_w=60, line_spacing=180,
                      margin_x=60, angle=0.5)
+    existing_ocr = None
+    if recognizer is None:
+        # model-less serving (existing_ocr_pickle jobs): exercise the
+        # post-OCR stages too so their compiles are also cached
+        existing_ocr = ocr_with_spaces(
+            corrupt_ocr(np.random.default_rng(1), page.char_boxes)
+        )
     t0 = time.time()
     process(page.image, page.transcript, ocropus_model=recognizer,
-            backend=backend, verbose=False)
+            existing_ocr=existing_ocr, backend=backend, verbose=False)
     print(f"warmup: {time.time() - t0:.1f}s (compiles cached)")
 
 
 def serve(spool: str, model, backend: str = "hybrid", poll_s: float = 0.2,
           once: bool = False, max_jobs: int | None = None,
           verbose: bool = False, do_warmup: bool = False,
-          stale_after_s: float = 900.0) -> int:
+          stale_after_s: float = 900.0) -> ServeStats:
     """Process ``*.job.json`` files in ``spool`` until interrupted (or, with
     ``once=True``, until the directory holds no more pending jobs).
-    Returns the number of jobs processed."""
+    Returns :class:`ServeStats` — processed and failed counted separately."""
     from .pipeline.process import _resolve_recognizer
+    from .utils.compile_cache import ensure_compile_cache
 
+    ensure_compile_cache()
     recognizer = _resolve_recognizer(model, backend) if model else None
-    if do_warmup and recognizer is not None:
+    if do_warmup:
         warmup(recognizer, backend)
     # reclaim orphans: a worker killed mid-job leaves X.job.running behind,
     # which the pending filter would otherwise never pick up again. Only
@@ -142,18 +169,24 @@ def serve(spool: str, model, backend: str = "hybrid", poll_s: float = 0.2,
             continue
         if age > stale_after_s:
             print(f"requeueing orphaned claim {fname} (age {age:.0f}s)")
-            os.rename(path, path[: -len(".running")] + ".json")
+            try:
+                os.rename(path, path[: -len(".running")] + ".json")
+            except FileNotFoundError:
+                # a concurrently-starting worker reclaimed (or re-claimed)
+                # it first — same lost-race handling as the claim loop
+                continue
         else:
             print(f"note: {fname} looks like another worker's active claim "
                   f"(age {age:.0f}s < {stale_after_s:.0f}s); leaving it")
-    done = 0
+    processed = 0
+    failed = 0
     while True:
         pending = sorted(
             f for f in os.listdir(spool) if f.endswith(".job.json")
         )
         if not pending:
             if once:
-                return done
+                return ServeStats(processed, failed)
             time.sleep(poll_s)
             continue
         for fname in pending:
@@ -173,6 +206,7 @@ def serve(spool: str, model, backend: str = "hybrid", poll_s: float = 0.2,
                 with open(final, "w") as f:
                     json.dump(job, f)
                 os.remove(claimed)
+                processed += 1
                 print(f"done {fname} -> {out_path}")
             except Exception:
                 # keep the job spec in the receipt so a failed job can be
@@ -188,7 +222,7 @@ def serve(spool: str, model, backend: str = "hybrid", poll_s: float = 0.2,
                                "traceback": traceback.format_exc()}, f,
                               indent=1)
                 os.remove(claimed)
+                failed += 1
                 print(f"FAILED {fname} (see {os.path.basename(final)})")
-            done += 1
-            if max_jobs is not None and done >= max_jobs:
-                return done
+            if max_jobs is not None and processed + failed >= max_jobs:
+                return ServeStats(processed, failed)

@@ -10,22 +10,29 @@ from __future__ import annotations
 
 import numpy as np
 
-from .ops import oracle
-from .pipeline.preprocess import preprocess_images, identify_text_lines
+from .pipeline.preprocess import (
+    _raster_engine,
+    preprocess_images,
+    identify_text_lines,
+)
 
 
 def clean_image(input_image, despeckle_amt: int = 25, filter_runs: int = 1,
                 filter_runs_amt: int = 1, cc_min_size: int = 50,
                 backend: str = "host"):
-    """clean_images_for_training.py:15-40 equivalent. Returns (image, angle)."""
-    img = oracle.to_onebit(np.asarray(input_image))
-    img = oracle.remove_small_ccs(img, cc_min_size)
-    img = ~oracle.despeckle(~img, despeckle_amt)  # invert-despeckle-invert
-    angle = oracle.rotation_angle_projections(img)
-    img = oracle.rotate_onebit(img, angle)
+    """clean_images_for_training.py:15-40 equivalent. Returns (image, angle).
+
+    ``backend="hybrid"`` runs the chain on the native C++ raster engine
+    (bit-identical to the host oracle; parity pinned in test_aux.py)."""
+    eng = _raster_engine(backend)
+    img = eng.to_onebit(np.asarray(input_image))
+    img = eng.remove_small_ccs(img, cc_min_size)
+    img = ~eng.despeckle(~img, despeckle_amt)  # invert-despeckle-invert
+    angle = eng.rotation_angle_projections(img)
+    img = eng.rotate_onebit(img, angle)
     for _ in range(filter_runs):
-        img = oracle.filter_short_runs(img, filter_runs_amt, "black")
-        img = oracle.filter_narrow_runs(img, filter_runs_amt, "black")
+        img = eng.filter_short_runs(img, filter_runs_amt, "black")
+        img = eng.filter_narrow_runs(img, filter_runs_amt, "black")
     return img, angle
 
 
