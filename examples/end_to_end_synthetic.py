@@ -13,11 +13,14 @@
 
 Run: python examples/end_to_end_synthetic.py [--iters N] [--backend hybrid]
 
-Takes ~35-40 min on the single-vCPU runtime: the default recipe trains
-UNCLIPPED (gradual) on purpose — the slow crawl through the CTC plateau
-grounds emissions on the glyphs, which is what gives the llocs positions
-(and therefore the syllable boxes) their accuracy; see models/train.py.
-Expected result: PASS with ink IoU ~0.54, 65/70 syllables.
+The default "fast" recipe — clipped Adam over a training pool that includes
+skewed+speckled pages (the held-out distribution) — converges in a few
+hundred iterations (~8 min on the single-vCPU runtime, ~3 min on TPU) and
+reaches held-out ink IoU ~0.59. `--recipe gradual` reproduces the original
+slow recipe (unclipped on clean pages, ~2400 iterations / ~37 min CPU, ink
+IoU ~0.54); see models/train.py for the measured story of why clipping used
+to cost position quality and what actually fixed it.
+Expected result: PASS with ink IoU >= 0.54.
 """
 
 from __future__ import annotations
@@ -97,6 +100,16 @@ def main():
     ap.add_argument("--backend", default="hybrid",
                     choices=["host", "hybrid", "device"])
     ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--recipe", default="fast", choices=["fast", "gradual"],
+                    help="fast: clipped Adam on a training pool that "
+                    "includes skewed+speckled pages (converges in a few "
+                    "hundred iterations with held-out ink IoU ~0.59). "
+                    "gradual: the original unclipped clean-page crawl "
+                    "(~2400 iterations, ink IoU ~0.54).")
+    ap.add_argument("--ground-weight", type=float, default=0.0,
+                    help="ink-grounding auxiliary loss weight (measured r3: "
+                    "did not improve held-out box quality on this corpus; "
+                    "kept as an experimentation knob)")
     ap.add_argument("--decode", default="region",
                     choices=["region", "bestpath"],
                     help="region: ocropy-parity llocs decode (precision-"
@@ -106,14 +119,31 @@ def main():
                     "quick-trained model.")
     args = ap.parse_args()
 
+    # persistent XLA compile cache on accelerator backends (remote-TPU
+    # compiles are minutes; the cache makes reruns warm-start)
+    from text_alignment_tpu import ensure_compile_cache
+
+    ensure_compile_cache()
+
     t_start = time.time()
     codec = Codec()
 
-    # 1. training data
+    # 1. training data.
+    # The fast recipe also renders SKEWED + SPECKLED training pages (the
+    # held-out page's distribution): measured r3, clipped training on
+    # clean-only pages generalizes its llocs positions poorly to noisy
+    # held-out lines (ink IoU 0.34-0.38), while the same clipped training
+    # on a representative pool reaches 0.59-0.60 — better than the slow
+    # gradual recipe's 0.54, at ~1/6 the iterations. (The gradual crawl was
+    # compensating for a train/test distribution gap, not a CTC property.)
+    page_specs = [(100 + s, 0, 0.0) for s in range(args.train_pages)]
+    if args.recipe == "fast":
+        page_specs += [(104, 40, 0.6), (105, 40, -0.5),
+                       (106, 30, 0.3), (107, 50, 0.8)]
     frames_list, texts = [], []
-    for seed in range(args.train_pages):
-        page = make_page(np.random.default_rng(100 + seed), speckles=0,
-                         angle=0.0, **PAGE_KW)
+    for seed, speckles, angle in page_specs:
+        page = make_page(np.random.default_rng(seed), speckles=speckles,
+                         angle=angle, **PAGE_KW)
         image, eroded, _ = preprocess_images(page.image,
                                              backend=args.backend)
         strips, _, _ = identify_text_lines(image, eroded,
@@ -132,19 +162,34 @@ def main():
     # 2. train
     T = ((max(f.shape[0] for f in frames_list) + 127) // 128) * 128
     S = max(len(t) for t in texts) + 8
-    xs, xlens, labels, llens = batch_lines(frames_list, texts, codec, T, S)
-    # unclipped, gradual: the slow crawl through the CTC plateau grounds
-    # emissions on the glyphs, which is what gives the llocs positions —
-    # and therefore the syllable boxes — their accuracy (clipped fast
-    # convergence reaches the same loss with visually ungrounded,
-    # "bunched" alignments; see models/train.py)
-    tr = Trainer(codec=codec, lr=args.lr, seed=1, clip_norm=None)
+    # fast recipe (default): clipped Adam escapes the CTC blank-collapse
+    # plateau ~7x sooner; minibatches of 32 keep the step cost constant as
+    # the pool grows. gradual: the original unclipped full-batch crawl
+    # (~2400 iterations; see models/train.py for the measured story).
+    if args.recipe == "fast":
+        tr = Trainer(codec=codec, lr=args.lr, seed=1, clip_norm=1.0,
+                     ground_weight=args.ground_weight)
+        stop_loss = 0.15
+    else:
+        tr = Trainer(codec=codec, lr=args.lr, seed=1, clip_norm=None)
+        stop_loss = 0.12
+    B = min(32, len(frames_list))
+    rng = np.random.default_rng(0)
+    idx = np.arange(len(frames_list))
+    full = batch_lines(frames_list, texts, codec, T, S)
     for it in range(args.iters):
+        if len(idx) > B:
+            b = rng.choice(idx, size=B, replace=False)
+            xs, xlens, labels, llens = batch_lines(
+                [frames_list[i] for i in b], [texts[i] for i in b],
+                codec, T, S)
+        else:
+            xs, xlens, labels, llens = full
         loss = tr.step(xs, xlens, labels, llens)
         if it % 50 == 0 or it == args.iters - 1:
             print(f"[{time.time()-t_start:5.1f}s] iter {it:4d} "
                   f"loss {loss:8.3f}")
-        if loss < 0.12:  # converged on the synthetic font
+        if loss < stop_loss:  # converged on the synthetic font
             print(f"[{time.time()-t_start:5.1f}s] early stop at iter {it} "
                   f"(loss {loss:.3f})")
             break
@@ -192,7 +237,9 @@ def main():
     # small model on a tiny synthetic corpus — char accuracy ~75%, the same
     # regime as the reference's reported ~80% — and the alignment layer is
     # what turns that into usable boxes, exactly as on real manuscripts.)
-    ok = n_pred >= 0.8 * len(gt) and ink_iou > 0.45
+    # Measured r3 (fast recipe): ink IoU 0.59-0.60 region/bestpath; the
+    # gate keeps margin for held-out seed variance.
+    ok = n_pred >= 0.8 * len(gt) and ink_iou > 0.50
     print(f"[{time.time()-t_start:5.1f}s] {'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1
 

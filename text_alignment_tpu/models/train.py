@@ -44,12 +44,36 @@ def bilstm_logits(params: BiLSTMParams, xs, lengths):
     return jnp.clip(logits, -100, 100)
 
 
-def make_train_step(optimizer):
+def make_train_step(optimizer, space_index: int | None = None):
+    """Build the jitted CTC train step.
+
+    The step takes a (traced, so schedule changes never recompile)
+    ``ground_weight``: when > 0 it adds the ink-grounding auxiliary loss —
+    frames whose normalized input column carries no ink should emit blank
+    (or space: inter-word gaps ARE empty frames), making emission paths at
+    inkless frames expensive. Measured (r3, synthetic corpus): the term
+    trains stably but did NOT improve held-out llocs/box quality — the
+    clipped recipe's position weakness was a train/test distribution gap,
+    fixed by training on representative (skewed/speckled) pages instead
+    (see examples/end_to_end_synthetic.py). Kept as an experimentation
+    knob; default off."""
+
     @jax.jit
-    def train_step(params, opt_state, xs, xlens, labels, llens):
+    def train_step(params, opt_state, xs, xlens, labels, llens, gw):
         def loss_fn(p):
             logits = bilstm_logits(p, xs, xlens)
-            return ctc_loss(logits, xlens, labels, llens)
+            loss = ctc_loss(logits, xlens, labels, llens)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ok = logp[..., 0]  # blank
+            if space_index is not None:
+                ok = jnp.logaddexp(ok, logp[..., space_index])
+            valid = jnp.arange(xs.shape[1])[None, :] < xlens[:, None]
+            # normalized frames are ink=1 background=0; interpolation
+            # bleed stays well under 0.05 column mass
+            empty = (xs.sum(axis=-1) < 0.05) & valid
+            n = jnp.maximum(jnp.sum(empty), 1)
+            aux = jnp.sum(jnp.where(empty, -ok, 0.0)) / n
+            return loss + gw * aux
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -69,32 +93,41 @@ class Trainer:
     lr: float = 1e-3
     seed: int = 0
     clip_norm: float | None = 1.0
+    ground_weight: float = 0.0
 
     def __post_init__(self):
         self.params = init_bilstm(
             jax.random.PRNGKey(self.seed), self.ni, self.ns, len(self.codec)
         )
-        # Global-norm clipping trades llocs position quality for speed:
-        # CTC training starts in a blank-collapse plateau whose escape
-        # gradients are huge; clipped Adam converges ~7x faster (loss
-        # < 0.15 in ~350 iters vs ~2400 unclipped on the synthetic corpus)
-        # but lands on "bunched" alignments — characters emitted at frames
-        # unrelated to their glyphs — while the slow unclipped crawl grounds
-        # emissions visually (measured: end-to-end ink IoU 0.54 unclipped
-        # vs 0.25-0.37 clipped at equal final loss). Use the default for
-        # recognition accuracy (text); pass clip_norm=None when the llocs
-        # positions feed box geometry and training time is available.
+        # Global-norm clipping: CTC training starts in a blank-collapse
+        # plateau whose escape gradients are huge; clipped Adam converges
+        # ~7x faster (loss < 0.15 in ~450 iters vs ~2400 unclipped on the
+        # synthetic corpus). r2 measured clipped models producing worse
+        # held-out box positions (ink IoU 0.34-0.38 vs 0.54 gradual) and
+        # attributed it to "bunched" CTC alignments; r3 re-measurement
+        # showed train-line positions are equivalent (both lag ~+1.5
+        # char widths with similar spread — the normal CTC late-emission
+        # bias) and the held-out gap disappears when the training pool
+        # includes pages from the evaluation distribution (skew+speckle):
+        # clipped training then reaches ink IoU 0.59-0.60 in ~450 iters.
+        # Keep clipping on; fix generalization with data, not step size.
         inner = optax.adam(self.lr)
         self.optimizer = (
             optax.chain(optax.clip_by_global_norm(self.clip_norm), inner)
             if self.clip_norm is not None else inner
         )
         self.opt_state = self.optimizer.init(self.params)
-        self._step = make_train_step(self.optimizer)
+        self._step = make_train_step(
+            self.optimizer, space_index=self.codec.char2code.get(" "),
+        )
         self.iteration = 0
 
-    def step(self, xs, xlens, labels, llens) -> float:
-        """One update. xs: (B, T, ni) float32; labels: (B, S) int32."""
+    def step(self, xs, xlens, labels, llens,
+             ground_weight: float | None = None) -> float:
+        """One update. xs: (B, T, ni) float32; labels: (B, S) int32.
+        ``ground_weight`` overrides the trainer default for this step (it
+        is a traced scalar, so phased recipes never recompile)."""
+        gw = self.ground_weight if ground_weight is None else ground_weight
         self.params, self.opt_state, loss = self._step(
             self.params,
             self.opt_state,
@@ -102,6 +135,7 @@ class Trainer:
             jnp.asarray(xlens, jnp.int32),
             jnp.asarray(labels, jnp.int32),
             jnp.asarray(llens, jnp.int32),
+            jnp.asarray(gw, jnp.float32),
         )
         self.iteration += 1
         return float(loss)
@@ -132,6 +166,7 @@ class Trainer:
             "leaves": [np.asarray(x) for x in flat],
             "config": {"ni": self.ni, "ns": self.ns, "lr": self.lr,
                        "seed": self.seed, "clip_norm": self.clip_norm,
+                       "ground_weight": self.ground_weight,
                        "charset": self.codec.charset,
                        "iteration": self.iteration},
         }
@@ -153,7 +188,8 @@ class Trainer:
             payload = pickle.load(f)
         cfg = payload["config"]
         tr = cls(codec=Codec(cfg["charset"]), ni=cfg["ni"], ns=cfg["ns"],
-                 lr=cfg["lr"], seed=cfg["seed"], clip_norm=cfg["clip_norm"])
+                 lr=cfg["lr"], seed=cfg["seed"], clip_norm=cfg["clip_norm"],
+                 ground_weight=cfg.get("ground_weight", 0.0))
         _, treedef = jax.tree_util.tree_flatten(
             {"params": tr.params, "opt_state": tr.opt_state}
         )
