@@ -114,9 +114,9 @@ def test_thin_ink_line_escalates_frame_bucket():
     seen = []
     orig = rec._dispatch_device
 
-    def spy(packed_bits, hs, ws, t_max):
+    def spy(packed_bits, hs, ws, t_max, **kw):
         seen.append(t_max)
-        return orig(packed_bits, hs, ws, t_max)
+        return orig(packed_bits, hs, ws, t_max, **kw)
 
     rec._dispatch_device = spy
     rows = rec.recognize_batch([strip])

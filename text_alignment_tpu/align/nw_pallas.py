@@ -108,7 +108,6 @@ def _nw_kernel_body(params_ref, o_ref, t_ref, out_ref, state, CHUNK):
     goy_gey = params_ref[3]
     gex = params_ref[4]
     gey = params_ref[5]
-    NoP = params_ref[6]
 
     t_ext = t_ref[...]
     carry0 = (state[0], state[1], state[2], state[3], state[4], state[5],
@@ -141,18 +140,19 @@ def _nw_kernel_body(params_ref, o_ref, t_ref, out_ref, state, CHUNK):
         y_int, yp = _first_max3(m1 + goy_gey, x1 + goy_gey, y1 + gey)
         x_int, xp = _first_max3(m1s + gox_gex, x1s + gex, y1s + gox_gex)
 
-        # boundary conditions (textSeqCompare.py:53-60 overwrite order)
+        # boundary conditions (textSeqCompare.py:53-60 overwrite order).
+        # Out-of-band lanes (j < 0 or j >= NoP) are NOT masked: every value
+        # a valid cell reads is either from a valid cell or overwritten by
+        # the row0/col0 selects below, and out-of-band lanes start at NEG
+        # (~-2^30) and drift by at most |params| per diagonal, so they can
+        # never win a max against a valid lane (bounded by BGE*(L+NoP)).
+        # Dropping the mask removes ~6 VPU ops from the per-diagonal body.
         j = d - lane_i
         col0 = (j == 0) & pos_lane
-        invalid = (j < 0) | (j >= NoP)
 
         m_v = jnp.where(row0, BGE * j, jnp.where(col0, bge_lane, m_int))
         x_v = jnp.where(row0, BGE * j, jnp.where(col0, NEG, x_int))
         y_v = jnp.where(row0, NEG, jnp.where(col0, bge_lane, y_int))
-
-        m_v = jnp.where(invalid, NEG, m_v)
-        x_v = jnp.where(invalid, NEG, x_v)
-        y_v = jnp.where(invalid, NEG, y_v)
 
         packed = (mp | (xp << 2) | (yp << 4)).astype(jnp.uint8)
         out_ref[k] = packed
@@ -232,7 +232,6 @@ def _make_nw_kernel_batched(chunk: int, R: int, P: int):
         goy_gey = params_ref[3]
         gex = params_ref[4]
         gey = params_ref[5]
-        NoP = params_ref[6]
 
         t_ext = t_ref[0]
         carry0 = (state[0], state[1], state[2], state[3], state[4],
@@ -271,18 +270,15 @@ def _make_nw_kernel_batched(chunk: int, R: int, P: int):
             y_int, yp = _first_max3(m1 + goy_gey, x1 + goy_gey, y1 + gey)
             x_int, xp = _first_max3(m1s + gox_gex, x1s + gex, y1s + gox_gex)
 
+            # out-of-band lanes unmasked — same argument as the singleton
+            # kernel: their NEG-seeded drift can never beat a valid lane
             j = d - lane_i
             col0 = (j == 0) & pos_lane
-            invalid = (j < 0) | (j >= NoP)
 
             m_v = jnp.where(row0, BGE * j,
                             jnp.where(col0, bge_lane, m_int))
             x_v = jnp.where(row0, BGE * j, jnp.where(col0, NEG, x_int))
             y_v = jnp.where(row0, NEG, jnp.where(col0, bge_lane, y_int))
-
-            m_v = jnp.where(invalid, NEG, m_v)
-            x_v = jnp.where(invalid, NEG, x_v)
-            y_v = jnp.where(invalid, NEG, y_v)
 
             packed = (mp | (xp << 2) | (yp << 4)).astype(jnp.uint8)
             out_ref[0, k] = packed

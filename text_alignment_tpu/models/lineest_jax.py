@@ -12,9 +12,10 @@ host round-trip:
 - axis-1 Gaussian (sigma = h) and the center-smoothing Gaussian
   (sigma = 0.3 h) as ONE grouped ``conv_general_dilated`` with a
   per-strip kernel row (zero padding == scipy's constant mode);
-- uniform filters via windowed prefix sums (exact same windows as
+- uniform filters as banded matmuls (rows) and a blocked-matmul prefix
+  sum with shift-based window edges (columns) — exact same windows as
   scipy's ``uniform_filter1d`` incl. the int() size cast and size//2
-  left origin);
+  left origin, no gathers;
 - MAD as an exact integer sum (deltas are integers; float64 division
   happens once), matching scipy's float64 mean semantics;
 - dewarp + bilinear zoom fused into a single gather from the padded
@@ -76,36 +77,85 @@ def _conv_rows(x, kernels):
         dimension_numbers=("NCH", "OIH", "NCH"),
         precision=_HI,
     )
-    return jnp.swapaxes(out, 0, 1)
+    # materialize: this K~1000-tap grouped conv is the most expensive op in
+    # the measure phase and has three downstream consumers — without the
+    # barrier XLA's fusion planner duplicates it into multiple consumer
+    # fusions (measured +23 ms at B=64 on v5e, ~1.5x the whole stage)
+    return jax.lax.optimization_barrier(jnp.swapaxes(out, 0, 1))
 
 
-def _windowed_mean(x, size, axis_len, axis):
-    """scipy uniform_filter1d semantics along ``axis``: window of
+def _windowed_mean_h(x, size):
+    """scipy uniform_filter1d semantics along axis 1 (rows): window of
     ``size`` (traced int32 per strip) starting at i - size//2, zero padded
-    (constant mode), divided by size. x: (B, H, W); size: (B,)."""
-    ps = jnp.cumsum(x, axis=axis)
-    idx = jnp.arange(axis_len, dtype=jnp.int32)
+    (constant mode), divided by size. x: (B, H, W); size: (B,).
 
-    def one(xb, psb, s):
-        s = jnp.maximum(s, 1)
-        lo = idx - s // 2          # first tap
-        hi = lo + s - 1            # last tap
-        take = lambda arr, i: jnp.take(arr, jnp.clip(i, 0, axis_len - 1),
-                                       axis=axis - 1)
-        # windowed sum = ps[hi] - ps[lo-1]; out-of-range ends clamp to 0
-        hi_v = jnp.where(_expand(hi >= 0, axis), take(psb, hi), 0.0)
-        lo_v = jnp.where(_expand(lo - 1 >= 0, axis), take(psb, lo - 1), 0.0)
-        return (hi_v - lo_v) / s.astype(jnp.float32)
+    H is small (the padded strip height), so the windowed sum is one
+    banded per-strip (H, H) matmul — the MXU eats it; the cumsum+gather
+    formulation this replaces cost ~15x more on TPU (gathers lower to
+    serial select chains)."""
+    B, H, W = x.shape
+    idx = jnp.arange(H, dtype=jnp.int32)
+    s = jnp.maximum(size, 1)                       # (B,)
+    lo = idx[None, :] - s[:, None] // 2            # (B, H) first tap
+    hi = lo + s[:, None] - 1                       # last tap
+    j = idx[None, None, :]
+    band = ((j >= lo[:, :, None]) & (j <= hi[:, :, None])).astype(jnp.float32)
+    summed = jnp.einsum("bij,bjx->bix", band, x, precision=_HI)
+    return summed / s[:, None, None].astype(jnp.float32)
 
-    return jax.vmap(one)(x, ps, size)
 
+def _windowed_mean_w(x, size):
+    """scipy uniform_filter1d semantics along axis 2 (columns), same
+    contract as :func:`_windowed_mean_h` for per-strip window ``size``.
 
-def _expand(v, axis):
-    """Broadcast a per-index vector along the non-``axis`` dims of a
-    (H, W) strip slice (axis is 1-based within the batched array)."""
-    if axis == 1:  # vector over H -> (H, 1)
-        return v[:, None]
-    return v[None, :]  # vector over W -> (1, W)
+    W is large, so the inclusive prefix sum runs as a blocked lower-
+    triangular matmul (in-block on the MXU, tiny cross-block cumsum) and
+    the two window-edge lookups — which sit at a constant per-strip offset
+    from the output index — become per-strip circular shifts via masked
+    log2(W) rolls, with the wrapped ends patched (right end clamps to the
+    row total, left end is the zero pad). No gathers anywhere.
+
+    The input is centered per row before the prefix sum (mean subtracted,
+    added back as n_in * mu with the exact in-range tap count): the
+    difference-of-prefix-sums form otherwise cancels catastrophically in
+    fp32 at large column positions, which flips the downstream center
+    argmax at int-truncation knife edges (this term feeds sm + 0.001 * u)."""
+    B, H, W = x.shape
+    s = jnp.maximum(size, 1)                       # (B,)
+    mu = jnp.mean(x, axis=2, keepdims=True)        # (B, H, 1)
+    x = x - mu
+
+    bs = 128
+    nb = -(-W // bs)
+    Wb = nb * bs
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, Wb - W))) if Wb != W else x
+    tri = jnp.tril(jnp.ones((bs, bs), jnp.float32))  # [i, j] = 1 for j <= i
+    xb = xp.reshape(B, H, nb, bs)
+    intra = jnp.einsum("bhnj,ij->bhni", xb, tri, precision=_HI)
+    totals = intra[..., -1]                         # (B, H, nb)
+    offs = jnp.cumsum(totals, axis=-1) - totals     # exclusive block offsets
+    S = (intra + offs[..., None]).reshape(B, H, Wb)[..., :W]
+
+    # window edges: sum[x] = S[min(x + c1, W-1)] - (x >= c2 ? S[x - c2] : 0)
+    c1 = s - 1 - s // 2
+    c2 = s // 2 + 1
+    SS = jnp.concatenate([S, S], axis=0)            # (2B, H, W)
+    sh = jnp.concatenate([c1, W - c2], axis=0)      # left-roll amounts
+    k = 1
+    while k < W:
+        bit = (sh & k) != 0
+        SS = jnp.where(bit[:, None, None], jnp.roll(SS, -k, axis=2), SS)
+        k *= 2
+    x_idx = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    last = S[..., W - 1][..., None]
+    hi_v = jnp.where(x_idx >= W - c1[:, None, None], last, SS[:B])
+    lo_v = jnp.where(x_idx >= c2[:, None, None], SS[B:], 0.0)
+    # exact count of in-range taps for the centering correction: the window
+    # [x - s//2, x + c1] clipped to [0, W-1] (zero pad contributes no mu)
+    n_in = (jnp.minimum(x_idx + c1[:, None, None], W - 1)
+            - jnp.maximum(x_idx - (s // 2)[:, None, None], 0) + 1
+            ).astype(jnp.float32)
+    return (hi_v - lo_v + n_in * mu) / s[:, None, None].astype(jnp.float32)
 
 
 @functools.partial(
@@ -170,8 +220,8 @@ def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
     # see zeros outside the strip's true (h, w) region (scipy's array ends
     # there), while our padded computation leaves garbage in the margins
     sm_z = jnp.where(valid, sm, 0.0)
-    u = _windowed_mean(sm_z, (0.5 * hf).astype(jnp.int32), Hp, axis=1)
-    u = _windowed_mean(u, ws, Wp, axis=2)
+    u = _windowed_mean_h(sm_z, (0.5 * hf).astype(jnp.int32))
+    u = _windowed_mean_w(u, ws)
     sm = sm + 0.001 * u
 
     # argmax over rows (restricted to i < h), first-max wins like numpy

@@ -68,52 +68,70 @@ def init_bilstm(key, ni: int, ns: int, nout: int,
     )
 
 
-def _direction_scan(W: LSTMParams, xs):
-    """xs: (B, T, ni) -> outputs (B, T, ns). One fused gate matmul/step."""
-    B, T, ni = xs.shape
-    ns = W.WGI.shape[0]
-    # fused gate weights, split into input / bias / recurrent blocks so the
-    # input contribution for all timesteps is one big (B*T, ni) matmul
-    Wg = jnp.concatenate([W.WGI, W.WGF, W.WGO, W.WCI], axis=0)  # (4ns, na)
-    bias = Wg[:, 0]
-    Wx = Wg[:, 1 : 1 + ni]
-    Wh = Wg[:, 1 + ni :]
+def _bidir_scan(Wf: LSTMParams, Wb: LSTMParams, xs_f, xs_b):
+    """Both LSTM directions in ONE ``lax.scan``.
+
+    xs_f / xs_b: (B, T, ni) forward frames and length-reversed frames.
+    Returns (f, b_rev), each (B, T, ns). One fused gate matmul per step,
+    batched over a leading direction axis: the per-step matmuls are tiny,
+    so the scan is loop-overhead-bound — stacking the directions halves
+    the sequential step count vs one scan per direction (measured ~1.8x
+    on the TPU OCR stage). Per-direction numerics are unchanged (the
+    direction axis is a batched matmul dimension)."""
+    B, T, ni = xs_f.shape
+    ns = Wf.WGI.shape[0]
+
+    def fuse(W):
+        # fused gate weights, split into input / bias / recurrent blocks so
+        # the input contribution for all timesteps is one big matmul
+        Wg = jnp.concatenate([W.WGI, W.WGF, W.WGO, W.WCI], axis=0)  # (4ns, na)
+        return Wg[:, 0], Wg[:, 1 : 1 + ni], Wg[:, 1 + ni :]
+
+    bias_f, Wx_f, Wh_f = fuse(Wf)
+    bias_b, Wx_b, Wh_b = fuse(Wb)
+    bias = jnp.stack([bias_f, bias_b])   # (2, 4ns)
+    Wx = jnp.stack([Wx_f, Wx_b])         # (2, 4ns, ni)
+    Wh = jnp.stack([Wh_f, Wh_b])         # (2, 4ns, ns)
+    WIP = jnp.stack([Wf.WIP, Wb.WIP])[:, None, :]  # (2, 1, ns)
+    WFP = jnp.stack([Wf.WFP, Wb.WFP])[:, None, :]
+    WOP = jnp.stack([Wf.WOP, Wb.WOP])[:, None, :]
 
     # precompute input projections for every frame (MXU-friendly batch)
+    xs2 = jnp.stack([xs_f, xs_b])        # (2, B, T, ni)
     xproj = (
-        jnp.einsum("bti,gi->btg", xs, Wx, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-        + bias
+        jnp.einsum("dbti,dgi->dbtg", xs2, Wx, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        + bias[:, None, None, :]
     )
 
     def step(carry, inp):
-        out_prev, state_prev, t = carry
-        xp = inp  # (B, 4ns)
-        gates = xp + jnp.einsum(
-            "bs,gs->bg", out_prev, Wh, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        out_prev, state_prev, t = carry  # (2, B, ns)
+        gates = inp + jnp.einsum(
+            "dbs,dgs->dbg", out_prev, Wh, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
         )
-        gix, gfx, gox, cix = jnp.split(gates, 4, axis=1)
+        gix, gfx, gox, cix = jnp.split(gates, 4, axis=2)
         not_first = (t > 0).astype(jnp.float32)
-        gix = gix + W.WIP * state_prev * not_first
-        gfx = gfx + W.WFP * state_prev * not_first
+        gix = gix + WIP * state_prev * not_first
+        gfx = gfx + WFP * state_prev * not_first
         gi = jax.nn.sigmoid(gix)
         gf = jax.nn.sigmoid(gfx)
         ci = jnp.tanh(cix)
         state = ci * gi + gf * state_prev * not_first
-        gox = gox + W.WOP * state * not_first  # ocropy quirk: skipped at t=0
+        gox = gox + WOP * state * not_first  # ocropy quirk: skipped at t=0
         go = jax.nn.sigmoid(gox)
         out = jnp.tanh(state) * go
         return (out, state, t + 1), out
 
     init = (
-        jnp.zeros((B, ns), jnp.float32),
-        jnp.zeros((B, ns), jnp.float32),
+        jnp.zeros((2, B, ns), jnp.float32),
+        jnp.zeros((2, B, ns), jnp.float32),
         jnp.int32(0),
     )
     # unroll amortizes the TPU loop overhead (~tens of us/iteration)
     # across 8 timesteps; the per-step matmuls are tiny so the loop is
     # overhead-bound, not FLOP-bound
-    _, outs = jax.lax.scan(step, init, jnp.swapaxes(xproj, 0, 1), unroll=8)
-    return jnp.swapaxes(outs, 0, 1)  # (B, T, ns)
+    _, outs = jax.lax.scan(step, init, jnp.moveaxis(xproj, 2, 0), unroll=8)
+    outs = jnp.moveaxis(outs, 0, 2)  # (2, B, T, ns)
+    return outs[0], outs[1]
 
 
 def _reverse_by_length(xs, lengths):
@@ -136,9 +154,8 @@ def bilstm_forward_batched(params: BiLSTMParams, xs, lengths):
     """xs: (B, T, ni) padded frames; lengths: (B,) int32 valid frame counts.
     Returns (B, T, nout) posteriors (softmax over the full padded T; frames
     past each line's length are meaningless and masked by the decoder)."""
-    f = _direction_scan(params.fwd, xs)
     xs_rev = _reverse_by_length(xs, lengths)
-    b_rev = _direction_scan(params.bwd, xs_rev)
+    f, b_rev = _bidir_scan(params.fwd, params.bwd, xs, xs_rev)
     b = _reverse_by_length(b_rev, lengths)
     y = jnp.concatenate([f, b], axis=2)  # (B, T, 2ns)
     ones = jnp.ones(y.shape[:2] + (1,), jnp.float32)

@@ -25,6 +25,11 @@ from .ctc import translate_back_batched, llocs_positions
 from .pyrnn import load_pyrnn
 
 _MAX_REGIONS = 512
+# device-path wire ships this many regions per line by default and
+# escalates x4 toward _MAX_REGIONS when any line hits the cap: the
+# (B, 6 + 2R) uint16 result download rides a ~15 MB/s tunnel, so R=512
+# costs ~9 ms/batch while real lines rarely exceed ~100 chars
+_WIRE_REGIONS = 128
 _MIN_BUCKET = 128
 _MAX_BUCKET = 8192
 
@@ -186,21 +191,22 @@ class SeqRecognizer:
 
         return results
 
-    def _dispatch_device(self, packed_bits, hs, ws, t_max):
+    def _dispatch_device(self, packed_bits, hs, ws, t_max,
+                         max_regions=_MAX_REGIONS):
         if self.mesh is not None:
             from ..parallel.infer_dp import recognize_sharded
 
             return _unpack_wire_rows(recognize_sharded(
                 self.params, packed_bits, hs, ws, self.mesh, t_max=t_max,
                 target_height=self.target_height, pad=self.pad,
-                max_regions=_MAX_REGIONS, decode=self.decode,
+                max_regions=max_regions, decode=self.decode,
             ))
         return _unpack_wire_rows(
             _recognize_device(
                 self.params, jnp.asarray(packed_bits), jnp.asarray(hs),
                 jnp.asarray(ws), t_max=t_max,
                 target_height=self.target_height, pad=self.pad,
-                max_regions=_MAX_REGIONS, decode=self.decode,
+                max_regions=max_regions, decode=self.decode,
             )
         )
 
@@ -239,14 +245,12 @@ class SeqRecognizer:
         if self.mesh is not None or not all(g.dtype == bool for g in inks):
             return ("rows", self.recognize_batch(strips), None)
         packed_bits, hs, ws, Wp = self._pack_strips(inks)
-        # cap at _MAX_BUCKET like the host bucket ladder (frames clip);
-        # beyond it the uint16 wire could not carry frame values anyway
-        t_max = min(_MAX_BUCKET, max(_MIN_BUCKET, Wp))
+        t_max = self._initial_t_max(Wp)
         out = _recognize_device(
             self.params, jnp.asarray(packed_bits), jnp.asarray(hs),
             jnp.asarray(ws), t_max=t_max,
             target_height=self.target_height, pad=self.pad,
-            max_regions=_MAX_REGIONS, decode=self.decode,
+            max_regions=_WIRE_REGIONS, decode=self.decode,
         )  # async jax dispatch: not materialized here
         return (inks, out, (t_max, packed_bits, hs, ws))
 
@@ -276,21 +280,46 @@ class SeqRecognizer:
             results.append(self._decode_packed(inks, packed))
         return results
 
+    @staticmethod
+    def _initial_t_max(Wp: int) -> int:
+        """First-dispatch frame bucket: Wp // 2, not Wp. The zoom scale is
+        48 / 2r < 0.5 whenever the ink band is taller than 96 px (every
+        realistic manuscript line at this corpus's resolutions), so the
+        halved bucket covers t_raw with room for the pads; the clip
+        escalation below redispatches the rare thin-ink batches that
+        don't fit. Halving t_max halves the BiLSTM scan's sequential step
+        count and the normalize col-interp matmul (~40% of the fused OCR
+        program's compute at bench shapes). Cap at _MAX_BUCKET like the
+        host bucket ladder (frames clip); beyond it the uint16 wire could
+        not carry frame values anyway."""
+        return min(_MAX_BUCKET, max(_MIN_BUCKET, Wp // 2))
+
     def _escalate_if_clipped(self, inks, packed, t_max, packed_bits, hs, ws):
         """Thin-ink lines zoom to MORE frames than the strip is wide
         (scale = 48/2r > 1); if any line hit the frame cap, escalate the
         bucket and rerun so the device path matches the host normalizer's
-        un-clipped output (host cap: _MAX_BUCKET). packed_bits is
-        t_max-independent, so no re-packing."""
-        while t_max < _MAX_BUCKET and np.any(
-            packed[: len(inks), 2] >= t_max - 2 * self.pad
-        ):
-            t_max = min(_MAX_BUCKET, t_max * 2)
-            packed = self._dispatch_device(packed_bits, hs, ws, t_max)
-        return packed
+        un-clipped output (host cap: _MAX_BUCKET). Likewise a line whose
+        decode filled the wire's region block (count == R) escalates the
+        region cap toward _MAX_REGIONS so no region is dropped.
+        packed_bits is independent of both caps, so no re-packing."""
+        R = (packed.shape[1] - 3) // 2
+        n = len(inks)
+        while True:
+            t_clip = t_max < _MAX_BUCKET and np.any(
+                packed[:n, 2] >= t_max - 2 * self.pad
+            )
+            r_clip = R < _MAX_REGIONS and np.any(packed[:n, 0] >= R)
+            if not (t_clip or r_clip):
+                return packed
+            if t_clip:
+                t_max = min(_MAX_BUCKET, t_max * 2)
+            if r_clip:
+                R = min(_MAX_REGIONS, R * 4)
+            packed = self._dispatch_device(packed_bits, hs, ws, t_max,
+                                           max_regions=R)
 
     def _decode_packed(self, inks, packed):
-        R = _MAX_REGIONS
+        R = (packed.shape[1] - 3) // 2
         results: list = [[] for _ in inks]
         for i in range(len(inks)):
             cnt, length = int(packed[i, 0]), int(packed[i, 1])
@@ -312,8 +341,9 @@ class SeqRecognizer:
             return []
         inks = [np.asarray(s) for s in strips]
         packed_bits, hs, ws, Wp = self._pack_strips(inks)
-        t_max = min(_MAX_BUCKET, max(_MIN_BUCKET, Wp))
-        packed = self._dispatch_device(packed_bits, hs, ws, t_max)
+        t_max = self._initial_t_max(Wp)
+        packed = self._dispatch_device(packed_bits, hs, ws, t_max,
+                                       max_regions=_WIRE_REGIONS)
         packed = self._escalate_if_clipped(
             inks, packed, t_max, packed_bits, hs, ws
         )

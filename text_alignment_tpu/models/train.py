@@ -22,7 +22,7 @@ from .codec import Codec
 from .lstm_jax import (
     BiLSTMParams,
     init_bilstm,
-    _direction_scan,
+    _bidir_scan,
     _reverse_by_length,
     params_to_np,
 )
@@ -33,8 +33,9 @@ from .pyrnn import save_pyrnn
 def bilstm_logits(params: BiLSTMParams, xs, lengths):
     """(B, T, nout) UN-normalized logits (clipped like the reference's
     softmax layer)."""
-    f = _direction_scan(params.fwd, xs)
-    b = _reverse_by_length(_direction_scan(params.bwd, _reverse_by_length(xs, lengths)), lengths)
+    f, b_rev = _bidir_scan(params.fwd, params.bwd, xs,
+                           _reverse_by_length(xs, lengths))
+    b = _reverse_by_length(b_rev, lengths)
     y = jnp.concatenate([f, b], axis=2)
     ones = jnp.ones(y.shape[:2] + (1,), jnp.float32)
     inputs = jnp.concatenate([ones, y], axis=2)
