@@ -61,14 +61,27 @@ def _shift_down(v, row_ids, neg):
     return jnp.concatenate([head, rolled[:, 1:]], axis=1)
 
 
-def _first_max3(a, b, c):
+def _first_max3(a, b, c, enc=(0, 1, 2)):
     """(max, argmax) over three lanes with first-max-wins tie-breaking
-    (the reference's ``list.index(max(...))``, textSeqCompare.py:72-88)."""
+    (the reference's ``list.index(max(...))``, textSeqCompare.py:72-88).
+    ``enc`` lets callers receive the argmax already shifted into its final
+    bit position (packing is mp | xp << 2 | yp << 4 — encoding here turns
+    the two pack shifts into free constants)."""
+    e0, e1, e2 = (jnp.int32(e) for e in enc)
     v01 = jnp.maximum(a, b)
-    p01 = jnp.where(a >= b, 0, 1)
+    p01 = jnp.where(a >= b, e0, e1)
     v = jnp.maximum(v01, c)
-    p = jnp.where(v01 >= c, p01, 2)
+    p = jnp.where(v01 >= c, p01, e2)
     return v, p
+
+
+def _unroll_for(chunk: int) -> int:
+    """Largest power-of-two diagonal-retirement factor <= 8 dividing
+    ``chunk`` (production chunks are multiples of 32; tests use odd ones)."""
+    u = 8
+    while chunk % u:
+        u //= 2
+    return max(u, 1)
 
 
 def _make_nw_kernel(chunk: int):
@@ -115,7 +128,6 @@ def _nw_kernel_body(params_ref, o_ref, t_ref, out_ref, state, CHUNK):
 
     # loop-invariant boundary terms
     row0 = lane_i == 0
-    pos_lane = lane_i > 0
     bge_lane = BGE * lane_i
 
     def body(k, carry):
@@ -137,8 +149,10 @@ def _nw_kernel_body(params_ref, o_ref, t_ref, out_ref, state, CHUNK):
 
         m_int, mp = _first_max3(m2s, x2s, y2s)
         m_int = m_int + s
-        y_int, yp = _first_max3(m1 + goy_gey, x1 + goy_gey, y1 + gey)
-        x_int, xp = _first_max3(m1s + gox_gex, x1s + gex, y1s + gox_gex)
+        y_int, yp = _first_max3(m1 + goy_gey, x1 + goy_gey, y1 + gey,
+                                enc=(0, 1 << 4, 2 << 4))
+        x_int, xp = _first_max3(m1s + gox_gex, x1s + gex, y1s + gox_gex,
+                                enc=(0, 1 << 2, 2 << 2))
 
         # boundary conditions (textSeqCompare.py:53-60 overwrite order).
         # Out-of-band lanes (j < 0 or j >= NoP) are NOT masked: every value
@@ -147,19 +161,37 @@ def _nw_kernel_body(params_ref, o_ref, t_ref, out_ref, state, CHUNK):
         # (~-2^30) and drift by at most |params| per diagonal, so they can
         # never win a max against a valid lane (bounded by BGE*(L+NoP)).
         # Dropping the mask removes ~6 VPU ops from the per-diagonal body.
-        j = d - lane_i
-        col0 = (j == 0) & pos_lane
+        # Row 0 sits at lane 0 where j == d, so its BGE * j boundary value
+        # is the SCALAR BGE * d (broadcast); col0 (j == 0) is the single
+        # lane lane_i == d, and lane 0 needn't be excluded from it because
+        # the outer row0 select wins there.
+        col0 = lane_i == d
+        bge_j0 = BGE * d
 
-        m_v = jnp.where(row0, BGE * j, jnp.where(col0, bge_lane, m_int))
-        x_v = jnp.where(row0, BGE * j, jnp.where(col0, NEG, x_int))
+        m_v = jnp.where(row0, bge_j0, jnp.where(col0, bge_lane, m_int))
+        x_v = jnp.where(row0, bge_j0, jnp.where(col0, NEG, x_int))
         y_v = jnp.where(row0, NEG, jnp.where(col0, bge_lane, y_int))
 
-        packed = (mp | (xp << 2) | (yp << 4)).astype(jnp.uint8)
+        packed = (mp | xp | yp).astype(jnp.uint8)
         out_ref[k] = packed
 
         return m1s, x1s, y1s, m_v, x_v, y_v, o_lane
 
-    carry = jax.lax.fori_loop(0, CHUNK, body, carry0)
+    # manual 8x unroll (Mosaic's fori_loop only supports unroll=1|all):
+    # the per-diagonal body is issue/latency-bound (measured ~400 ns per
+    # diagonal whether the tile is 8 or 16 vregs wide; 8k raw fill
+    # 19.3 -> 24.7 GCUPS at 16k^2 from the unroll alone), so retiring
+    # several diagonals per loop step amortizes the loop overhead.
+    # _chunk_for returns multiples of 32; tests pass odd chunks, so fall
+    # back to the largest power-of-two divisor.
+    U = _unroll_for(CHUNK)
+
+    def bodyU(k8, carry):
+        for u in range(U):
+            carry = body(k8 * U + u, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(0, CHUNK // U, bodyU, carry0)
     for idx in range(7):
         state[idx] = carry[idx]
 
@@ -239,7 +271,6 @@ def _make_nw_kernel_batched(chunk: int, R: int, P: int):
 
         # loop-invariant boundary terms
         row0 = lane_i == 0
-        pos_lane = lane_i > 0
         bge_lane = BGE * lane_i
 
         def shift_down(v, neg):
@@ -267,24 +298,35 @@ def _make_nw_kernel_batched(chunk: int, R: int, P: int):
 
             m_int, mp = _first_max3(m2s, x2s, y2s)
             m_int = m_int + s
-            y_int, yp = _first_max3(m1 + goy_gey, x1 + goy_gey, y1 + gey)
-            x_int, xp = _first_max3(m1s + gox_gex, x1s + gex, y1s + gox_gex)
+            y_int, yp = _first_max3(m1 + goy_gey, x1 + goy_gey, y1 + gey,
+                                    enc=(0, 1 << 4, 2 << 4))
+            x_int, xp = _first_max3(m1s + gox_gex, x1s + gex, y1s + gox_gex,
+                                    enc=(0, 1 << 2, 2 << 2))
 
-            # out-of-band lanes unmasked — same argument as the singleton
-            # kernel: their NEG-seeded drift can never beat a valid lane
-            j = d - lane_i
-            col0 = (j == 0) & pos_lane
+            # out-of-band lanes unmasked; scalar BGE * d row-0 boundary and
+            # single-lane col0 — same arguments as the singleton kernel
+            col0 = lane_i == d
+            bge_j0 = BGE * d
 
-            m_v = jnp.where(row0, BGE * j,
+            m_v = jnp.where(row0, bge_j0,
                             jnp.where(col0, bge_lane, m_int))
-            x_v = jnp.where(row0, BGE * j, jnp.where(col0, NEG, x_int))
+            x_v = jnp.where(row0, bge_j0, jnp.where(col0, NEG, x_int))
             y_v = jnp.where(row0, NEG, jnp.where(col0, bge_lane, y_int))
 
-            packed = (mp | (xp << 2) | (yp << 4)).astype(jnp.uint8)
+            packed = (mp | xp | yp).astype(jnp.uint8)
             out_ref[0, k] = packed
             return m1s, x1s, y1s, m_v, x_v, y_v, o_lane
 
-        carry = jax.lax.fori_loop(0, chunk, body, carry0)
+        # same manual unroll as the singleton kernel: the body is
+        # issue/latency-bound, not VPU-throughput-bound
+        U = _unroll_for(chunk)
+
+        def bodyU(k8, carry):
+            for u in range(U):
+                carry = body(k8 * U + u, carry)
+            return carry
+
+        carry = jax.lax.fori_loop(0, chunk // U, bodyU, carry0)
         for idx in range(7):
             state[idx] = carry[idx]
 
@@ -303,7 +345,12 @@ def _fill_pallas_batched(t_ext3d, o_feed3d, params, L, NoP,
     D = L + NoP - 1
     CHUNK = chunk or _chunk_for(L)
     G = (D + CHUNK - 1) // CHUNK
-    P = max(1, 8 // R)
+    # pack pairs to PR = 32 sublane rows (4 vregs per vector op), not just
+    # one vreg: the body is dependency-latency-bound, so quadrupling the
+    # independent lane work per instruction is nearly free and divides the
+    # sequential grid length by another 4 (measured on R=16 buckets: the
+    # P=1 fill was ~65k sequential diagonals for a 16-pair batch)
+    P = max(1, 32 // R)
     Bp = ((B + P - 1) // P) * P
     if Bp != B:  # pad with copies of pair 0 (valid work, rows discarded)
         pad = Bp - B
@@ -348,6 +395,11 @@ def _align_fused_pairs_pallas(t_ext3d, o_feed3d, params, Nts, Nos, L, NoP,
     packed = _fill_pallas_batched(t_ext3d, o_feed3d, params, L=L, NoP=NoP,
                                   interpret=interpret, chunk=chunk)
 
+    # vmapped XLA traceback: all pairs walk in lock-step, one vectorized
+    # gather per path step — at B >= 8 this amortizes better than B
+    # sequential Pallas hopping kernels (measured 16 x ~4 ms sequential vs
+    # ~18 ms total lock-step on 16 x 2k pairs; the hopping kernel stays
+    # the right choice for the singleton path)
     def one(p, Nt, No):
         return _traceback_ops(p, Nt, No, P=L + NoP)
 

@@ -117,6 +117,11 @@ class SeqRecognizer:
         # optional jax.sharding.Mesh: shard the batch over its 'data' axis
         # (parallel.infer_dp) — the multi-chip serving path
         self.mesh = mesh
+        # observed frames-per-pixel-of-width ratio (zoom scale) from the
+        # last collected batch: the first dispatch of a session buckets
+        # frames conservatively at Wp, later dispatches size the bucket
+        # from this hint (see _initial_t_max)
+        self._fpp_hint: float | None = None
 
     @classmethod
     def from_pyrnn(cls, path: str, decode: str = "region") -> "SeqRecognizer":
@@ -245,7 +250,7 @@ class SeqRecognizer:
         if self.mesh is not None or not all(g.dtype == bool for g in inks):
             return ("rows", self.recognize_batch(strips), None)
         packed_bits, hs, ws, Wp = self._pack_strips(inks)
-        t_max = self._initial_t_max(Wp)
+        t_max = self._initial_t_max(Wp, ws[: len(inks)])
         out = _recognize_device(
             self.params, jnp.asarray(packed_bits), jnp.asarray(hs),
             jnp.asarray(ws), t_max=t_max,
@@ -277,22 +282,33 @@ class SeqRecognizer:
             packed = self._escalate_if_clipped(
                 inks, packed, t_max, packed_bits, hs, ws
             )
+            self._update_fpp_hint(packed, ws, len(inks))
             results.append(self._decode_packed(inks, packed))
         return results
 
-    @staticmethod
-    def _initial_t_max(Wp: int) -> int:
-        """First-dispatch frame bucket: Wp // 2, not Wp. The zoom scale is
-        48 / 2r < 0.5 whenever the ink band is taller than 96 px (every
-        realistic manuscript line at this corpus's resolutions), so the
-        halved bucket covers t_raw with room for the pads; the clip
-        escalation below redispatches the rare thin-ink batches that
-        don't fit. Halving t_max halves the BiLSTM scan's sequential step
-        count and the normalize col-interp matmul (~40% of the fused OCR
-        program's compute at bench shapes). Cap at _MAX_BUCKET like the
-        host bucket ladder (frames clip); beyond it the uint16 wire could
-        not carry frame values anyway."""
-        return min(_MAX_BUCKET, max(_MIN_BUCKET, Wp // 2))
+    def _initial_t_max(self, Wp: int, ws=None) -> int:
+        """First-dispatch frame bucket. The zoom scale 48 / 2r depends on
+        each strip's ink-band spread r, which only the device normalizer
+        measures — a fixed guess either wastes BiLSTM steps (too big) or
+        forces a second dispatch on every batch (too small; a Wp // 2
+        guess did exactly that on 70 px ink bands, where the scale is
+        0.7-1.4). So: the FIRST batch of a session dispatches
+        conservatively at Wp, every collect records the observed
+        frames-per-width-pixel ratio (_fpp_hint), and later batches size
+        their bucket from the hint rounded up to the power-of-2 ladder
+        (bounded compile set). The clip escalation below remains the
+        correctness net when a batch's ink is thinner than the hint
+        predicted. Cap at _MAX_BUCKET like the host bucket ladder (frames
+        clip); beyond it the uint16 wire could not carry frame values
+        anyway."""
+        if self._fpp_hint is not None and ws is not None and len(ws):
+            need = int(float(np.max(ws)) * self._fpp_hint) + 2 * self.pad + 2
+            t = _MIN_BUCKET
+            while t < need:
+                t *= 2
+        else:
+            t = Wp
+        return min(_MAX_BUCKET, max(_MIN_BUCKET, t))
 
     def _escalate_if_clipped(self, inks, packed, t_max, packed_bits, hs, ws):
         """Thin-ink lines zoom to MORE frames than the strip is wide
@@ -318,6 +334,15 @@ class SeqRecognizer:
             packed = self._dispatch_device(packed_bits, hs, ws, t_max,
                                            max_regions=R)
 
+    def _update_fpp_hint(self, packed, ws, n):
+        """Record the observed zoom ratio max(t_raw / w) of a finished
+        (post-escalation) batch; sizes the next batch's first dispatch."""
+        t_raw = packed[:n, 2].astype(np.float64)
+        w = np.asarray(ws[:n], np.float64)
+        ok = (w > 0) & (t_raw > 2 * self.pad)
+        if np.any(ok):
+            self._fpp_hint = float(np.max(t_raw[ok] / w[ok]))
+
     def _decode_packed(self, inks, packed):
         R = (packed.shape[1] - 3) // 2
         results: list = [[] for _ in inks]
@@ -341,10 +366,11 @@ class SeqRecognizer:
             return []
         inks = [np.asarray(s) for s in strips]
         packed_bits, hs, ws, Wp = self._pack_strips(inks)
-        t_max = self._initial_t_max(Wp)
+        t_max = self._initial_t_max(Wp, ws[: len(inks)])
         packed = self._dispatch_device(packed_bits, hs, ws, t_max,
                                        max_regions=_WIRE_REGIONS)
         packed = self._escalate_if_clipped(
             inks, packed, t_max, packed_bits, hs, ws
         )
+        self._update_fpp_hint(packed, ws, len(inks))
         return self._decode_packed(inks, packed)
