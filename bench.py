@@ -206,7 +206,23 @@ def nw_gcups_stress(n=8191):
     outs = [fz(*args) for _ in range(K)]
     np.asarray(outs[-1])
     thr = ((n + 1) * (n + 1)) / ((time.perf_counter() - t0) / K) / 1e9
-    return lat, thr
+
+    # raw fill compute rate: reduce the pointer tensor to a checksum on
+    # device so neither the traceback nor the ~29 ms download floor is in
+    # the measurement — the kernel's own speed, the number a local
+    # (untunneled) TPU deployment would see
+    @functools.partial(jax.jit, static_argnames=("L", "NoP"))
+    def fill_sum(t2, of, p, L, NoP):
+        out = npl._fill_pallas(t2, of, p, L=L, NoP=NoP)
+        return jnp.sum(out.astype(jnp.int32))
+
+    np.asarray(fill_sum(*args[:3], L=L, NoP=NoP))
+    t0 = time.perf_counter()
+    for _ in range(K):
+        s = fill_sum(*args[:3], L=L, NoP=NoP)
+    np.asarray(s)
+    raw = ((n + 1) * (n + 1)) / ((time.perf_counter() - t0) / K) / 1e9
+    return lat, thr, raw
 
 
 def main():
@@ -233,6 +249,16 @@ def main():
     print(f"# device[{DEVICE_BACKEND}] warmup (incl. compile): {warm_wall:.1f}s",
           file=sys.stderr)
     print(f"# warmup compile breakdown: {cold.report()}", file=sys.stderr)
+    if warm_wall - cold.total() > 30:
+        # measured (r3): jax's compile() returns in seconds on the axon
+        # platform; the real program build happens server-side at FIRST
+        # EXECUTION (671 s observed for a never-seen fused-OCR program,
+        # 0.2 s for the second exec) and emits no compile log. The gap
+        # below is that deferred load, not host work. Program size is the
+        # lever — the BiLSTM scan unroll retune (8 -> 2) cut it 20x.
+        print(f"# warmup gap (deferred server-side program load at first "
+              f"execution, not XLA-logged): {warm_wall - cold.total():.1f}s",
+              file=sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(1, N_DEVICE_FOLIOS + 1):
@@ -329,13 +355,16 @@ def main():
         print(f"# ocr metric failed: {e}", file=sys.stderr)
 
     try:
-        lat8, thr8 = nw_gcups_stress(8191)
-        lat16, thr16 = nw_gcups_stress(16383)
+        lat8, thr8, raw8 = nw_gcups_stress(8191)
+        lat16, thr16, raw16 = nw_gcups_stress(16383)
         print(f"# nw fused fill+traceback: {lat8:.2f} GCUPS @ 8192x8192, "
               f"{lat16:.2f} GCUPS @ 16384x16384 (single-shot incl. tunnel "
               f"round-trip)", file=sys.stderr)
         print(f"# nw pipelined throughput (depth 8): {thr8:.2f} GCUPS @ "
               f"8192x8192, {thr16:.2f} GCUPS @ 16384x16384", file=sys.stderr)
+        print(f"# nw raw fill compute (no traceback/download): "
+              f"{raw8:.2f} GCUPS @ 8192x8192, {raw16:.2f} GCUPS @ "
+              f"16384x16384", file=sys.stderr)
     except Exception as e:  # stress metric must not sink the headline
         print(f"# nw stress failed: {e}", file=sys.stderr)
 

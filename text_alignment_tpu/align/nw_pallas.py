@@ -601,7 +601,7 @@ def traceback_ops_pallas(packed, Nt, No, P, L: int,
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -126,10 +126,13 @@ def _bidir_scan(Wf: LSTMParams, Wb: LSTMParams, xs_f, xs_b):
         jnp.zeros((2, B, ns), jnp.float32),
         jnp.int32(0),
     )
-    # unroll amortizes the TPU loop overhead (~tens of us/iteration)
-    # across 8 timesteps; the per-step matmuls are tiny so the loop is
-    # overhead-bound, not FLOP-bound
-    _, outs = jax.lax.scan(step, init, jnp.moveaxis(xproj, 2, 0), unroll=8)
+    # unroll=2: steady-state is identical at unroll 1/2/4/8 on TPU
+    # (measured 252-255 ms/exec at B=16, T=2048 — the scan is no longer
+    # the stage bottleneck since the direction fusion), but program size
+    # drives the tunnel's deferred first-execution load: 269 s at
+    # unroll=8, 185 s at unroll=1 (very long scans are also expensive to
+    # compile), 13 s at unroll=2 — the cold-start sweet spot
+    _, outs = jax.lax.scan(step, init, jnp.moveaxis(xproj, 2, 0), unroll=2)
     outs = jnp.moveaxis(outs, 0, 2)  # (2, B, T, ns)
     return outs[0], outs[1]
 
