@@ -135,6 +135,71 @@ def test_thin_ink_line_escalates_frame_bucket():
     )
 
 
+def _make_rec(decode="region"):
+    import jax
+    from text_alignment_tpu.models.lstm_jax import init_bilstm
+    from text_alignment_tpu.models.recognizer import SeqRecognizer
+    from text_alignment_tpu.models.codec import Codec
+
+    codec = Codec()
+    params = init_bilstm(jax.random.PRNGKey(0), 48, 100, len(codec))
+    return SeqRecognizer(params, codec, normalize_on_device=True,
+                         decode=decode)
+
+
+def test_region_wire_cap_escalates(monkeypatch):
+    """A line that decodes more regions than the lean wire carries must
+    redispatch with a larger region block — same rows as a direct
+    full-width dispatch, nothing silently dropped."""
+    from text_alignment_tpu.models import recognizer as rmod
+
+    rng = np.random.default_rng(9)
+    strip = np.zeros((60, 220), dtype=bool)
+    strip[20:44] = rng.random((24, 220)) < 0.5  # dense noise: many regions
+    rec = _make_rec(decode="bestpath")  # argmax path -> many transitions
+    full = rec.recognize_batch([strip])
+
+    rec2 = _make_rec(decode="bestpath")
+    monkeypatch.setattr(rmod, "_WIRE_REGIONS", 4)
+    seen = []
+    orig = rec2._dispatch_device
+
+    def spy(packed_bits, hs, ws, t_max, **kw):
+        seen.append(kw.get("max_regions", rmod._MAX_REGIONS))
+        return orig(packed_bits, hs, ws, t_max, **kw)
+
+    rec2._dispatch_device = spy
+    rows = rec2.recognize_batch([strip])
+    assert seen[0] == 4 and len(seen) >= 2, seen
+    assert rows == full
+
+
+def test_frame_bucket_hint_learned():
+    """The second batch of a session must size its first dispatch from the
+    observed zoom ratio: no escalation redispatch, identical rows."""
+    rng = np.random.default_rng(5)
+    strip = np.zeros((60, 200), dtype=bool)
+    strip[28:33] = rng.random((5, 200)) < 0.7  # thin ink: scale > 1
+    rec = _make_rec()
+    seen = []
+    orig = rec._dispatch_device
+
+    def spy(packed_bits, hs, ws, t_max, **kw):
+        seen.append(t_max)
+        return orig(packed_bits, hs, ws, t_max, **kw)
+
+    rec._dispatch_device = spy
+    first = rec.recognize_batch([strip])
+    n_first = len(seen)
+    assert n_first >= 2  # thin ink forced an escalation on batch 1
+    assert rec._fpp_hint is not None and rec._fpp_hint > 1.0
+    seen.clear()
+    second = rec.recognize_batch([strip])
+    assert len(seen) == 1  # hint sized the bucket right: ONE dispatch
+    assert seen[0] >= max(1, int(200 * rec._fpp_hint))  # covers the zoom
+    assert second == first
+
+
 def _pack_one(strip):
     B, Hp, Wp = 8, 128, 256
     bits = np.zeros((B, Hp, Wp // 8), np.uint8)

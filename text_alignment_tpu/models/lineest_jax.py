@@ -80,8 +80,13 @@ def _conv_rows(x, kernels):
     # materialize: this K~1000-tap grouped conv is the most expensive op in
     # the measure phase and has three downstream consumers — without the
     # barrier XLA's fusion planner duplicates it into multiple consumer
-    # fusions (measured +23 ms at B=64 on v5e, ~1.5x the whole stage)
-    return jax.lax.optimization_barrier(jnp.swapaxes(out, 0, 1))
+    # fusions (measured +27 ms at B=64 on v5e). But at B=16 the barrier
+    # makes XLA pick a catastrophic downstream strategy (+203 ms — the
+    # whole fused OCR program goes 41 -> 244 ms), so it is gated on the
+    # static batch dim: barrier for the big cross-folio sweeps, natural
+    # fusion for the per-folio dispatches.
+    out = jnp.swapaxes(out, 0, 1)
+    return jax.lax.optimization_barrier(out) if out.shape[0] >= 32 else out
 
 
 def _windowed_mean_h(x, size):

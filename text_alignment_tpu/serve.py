@@ -136,6 +136,11 @@ def warmup(recognizer, backend: str) -> None:
     t0 = time.time()
     process(page.image, page.transcript, ocropus_model=recognizer,
             existing_ocr=existing_ocr, backend=backend, verbose=False)
+    # second pass: the first folio taught the recognizer its frame-bucket
+    # hint, so real jobs dispatch a differently-shaped (hint-sized) OCR
+    # program — load that one now too, not on the first paying job
+    process(page.image, page.transcript, ocropus_model=recognizer,
+            existing_ocr=existing_ocr, backend=backend, verbose=False)
     print(f"warmup: {time.time() - t0:.1f}s (compiles cached)")
 
 
