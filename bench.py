@@ -156,9 +156,11 @@ def ocr_metrics(pages, dev_rec):
     ni, ns, nout = 48, 100, 64
     flops_per_frame = 2 * (4 * 2 * ns * (1 + ni + ns)) + 2 * nout * (2 * ns + 1)
     dev_rec.recognize_batch(strips)  # warm the size buckets
-    t0 = time.perf_counter()
-    dev_rec.recognize_batch(strips)
-    dt = time.perf_counter() - t0
+    dt = float("inf")  # best of 3: host-side packing rides the bursty vCPU
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dev_rec.recognize_batch(strips)
+        dt = min(dt, time.perf_counter() - t0)
     print(f"# ocr: {len(strips)/dt:.0f} strips/sec, "
           f"~{frames * flops_per_frame / dt / 1e9:.2f} model GFLOP/s "
           f"({len(strips)} strips, ~{frames} frames, fp32 parity path)",
