@@ -34,7 +34,11 @@ import time
 import numpy as np
 
 BENCH_SEED = 1234
-N_DEVICE_FOLIOS = 6
+# 12 folios per batch: the batched pipeline's tail (the last folio's OCR
+# execution + the single combined download, ~70 ms) is fixed per batch, so
+# the per-folio number amortizes it at realistic serving batch sizes (the
+# reference processes whole manuscripts, hundreds of folios)
+N_DEVICE_FOLIOS = 12
 N_BASELINE_FOLIOS = 5  # median of 5: the host vCPU is bursty (5-20 s swings)
 DEVICE_BACKEND = os.environ.get("TEXT_ALIGNMENT_TPU_BENCH_BACKEND", "hybrid")
 

@@ -346,3 +346,32 @@ def test_trainer_full_state_resume_exact(tmp_path, rng):
     assert tr2.codec.charset == codec.charset
     loss_resumed = [tr2.step(xs, xlens, labels, llens) for _ in range(2)]
     assert loss_direct == loss_resumed
+
+
+def test_bidir_scan_pallas_interpret_matches_scan(rng):
+    """The Mosaic BiLSTM recurrence (lstm_pallas) must reproduce the XLA
+    scan to float32 roundoff, padded lanes (ns < 128) included."""
+    import jax
+    from text_alignment_tpu.models.lstm_jax import (
+        init_bilstm, _bidir_scan, _reverse_by_length,
+    )
+    from text_alignment_tpu.models.lstm_pallas import (
+        bidir_scan_pallas, pallas_ok,
+    )
+
+    for B, T, ns, ni in [(8, 128, 100, 48), (16, 64, 20, 8), (8, 64, 128, 48)]:
+        assert pallas_ok(B, T, ns)
+        params = init_bilstm(jax.random.PRNGKey(2), ni, ns, 16,
+                             initial_range=0.3)
+        xs = jnp.asarray(rng.normal(0, 1, (B, T, ni)).astype(np.float32))
+        lens = jnp.asarray(rng.integers(T // 2, T + 1, B).astype(np.int32))
+        xs_rev = _reverse_by_length(xs, lens)
+        f0, b0 = _bidir_scan(params.fwd, params.bwd, xs, xs_rev)
+        f1, b1 = bidir_scan_pallas(params.fwd, params.bwd, xs, xs_rev,
+                                   interpret=True)
+        np.testing.assert_allclose(f0, f1, rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(b0, b1, rtol=2e-5, atol=2e-6)
+    # odd shapes must be rejected toward the scan fallback
+    assert not pallas_ok(4, 128, 100)   # B below one sublane tile
+    assert not pallas_ok(8, 129, 100)   # T not divisible by the block
+    assert not pallas_ok(8, 128, 200)   # hidden width beyond one lane tile

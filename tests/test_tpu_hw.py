@@ -152,3 +152,65 @@ def test_fused_ocr_decode_matches_host_normalize(on_tpu):
     rows_d = rec_d.recognize_batch([s.img for s in strips])
     for rh, rd in zip(rows_h, rows_d):
         assert "".join(c for c, _ in rh) == "".join(c for c, _ in rd)
+
+
+def test_pallas_lstm_matches_scan_on_tpu(on_tpu):
+    """The real Mosaic BiLSTM kernel vs the XLA scan on the chip, at the
+    recognizer's production shape, plus decode equality end to end."""
+    import jax
+    import jax.numpy as jnp
+    from text_alignment_tpu.models.lstm_jax import (
+        init_bilstm, _bidir_scan, _reverse_by_length,
+    )
+    from text_alignment_tpu.models.lstm_pallas import bidir_scan_pallas
+
+    rng = np.random.default_rng(5)
+    B, T, ns, ni = 16, 256, 100, 48
+    params = init_bilstm(jax.random.PRNGKey(1), ni, ns, 64,
+                         initial_range=0.3)
+    xs = jnp.asarray(rng.normal(0, 1, (B, T, ni)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(T // 2, T + 1, B).astype(np.int32))
+    xs_rev = _reverse_by_length(xs, lens)
+    f0, b0 = _bidir_scan(params.fwd, params.bwd, xs, xs_rev)
+    f1, b1 = bidir_scan_pallas(params.fwd, params.bwd, xs, xs_rev)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(b0), np.asarray(b1),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_pallas_lstm_decode_equality_on_tpu(on_tpu):
+    """Recognizer rows with the kernel enabled vs forced scan fallback."""
+    import os
+    import subprocess
+    import sys
+
+    # the routing flag is read at trace time, so compare across processes
+    code = r"""
+import sys, pickle
+import numpy as np, jax
+from text_alignment_tpu.synth import make_page
+from text_alignment_tpu.pipeline.preprocess import preprocess_images, identify_text_lines
+from text_alignment_tpu.models.lstm_jax import init_bilstm
+from text_alignment_tpu.models.recognizer import SeqRecognizer
+from text_alignment_tpu.models.codec import Codec
+page = make_page(np.random.default_rng(321), n_lines=4, words_per_line=2)
+image, eroded, _ = preprocess_images(page.image, backend="host")
+strips, _, _ = identify_text_lines(image, eroded, backend="host", verbose=False)
+codec = Codec()
+params = init_bilstm(jax.random.PRNGKey(0), 48, 100, len(codec))
+rec = SeqRecognizer(params, codec, normalize_on_device=True)
+rows = rec.recognize_batch([s.img for s in strips])
+sys.stdout.buffer.write(pickle.dumps(rows))
+"""
+    outs = []
+    for no_pallas in ("", "1"):
+        env = dict(os.environ)
+        env["TEXT_ALIGNMENT_TPU_NO_PALLAS_LSTM"] = no_pallas
+        proc = subprocess.run([sys.executable, "-c", code], env=env,
+                              capture_output=True, timeout=1700)
+        assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+        import pickle
+
+        outs.append(pickle.loads(proc.stdout))
+    assert outs[0] == outs[1]

@@ -152,13 +152,37 @@ def _reverse_by_length(xs, lengths):
     return jnp.where(mask, gathered, 0)
 
 
+def _use_pallas_scan(B: int, T: int, ns: int) -> bool:
+    """Trace-time routing of the recurrence: the Mosaic kernel
+    (lstm_pallas) on TPU when the shapes fit its tile layout, the XLA
+    scan everywhere else (CPU runs, odd test shapes, sharded remainders).
+    Inference only — training differentiates through the scan
+    (models/train.bilstm_logits)."""
+    import os
+
+    if os.environ.get("TEXT_ALIGNMENT_TPU_NO_PALLAS_LSTM"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from .lstm_pallas import pallas_ok
+
+    return pallas_ok(B, T, ns)
+
+
 @jax.jit
 def bilstm_forward_batched(params: BiLSTMParams, xs, lengths):
     """xs: (B, T, ni) padded frames; lengths: (B,) int32 valid frame counts.
     Returns (B, T, nout) posteriors (softmax over the full padded T; frames
     past each line's length are meaningless and masked by the decoder)."""
     xs_rev = _reverse_by_length(xs, lengths)
-    f, b_rev = _bidir_scan(params.fwd, params.bwd, xs, xs_rev)
+    B, T = xs.shape[0], xs.shape[1]
+    ns = params.fwd.WGI.shape[0]
+    if _use_pallas_scan(B, T, ns):
+        from .lstm_pallas import bidir_scan_pallas
+
+        f, b_rev = bidir_scan_pallas(params.fwd, params.bwd, xs, xs_rev)
+    else:
+        f, b_rev = _bidir_scan(params.fwd, params.bwd, xs, xs_rev)
     b = _reverse_by_length(b_rev, lengths)
     y = jnp.concatenate([f, b], axis=2)  # (B, T, 2ns)
     ones = jnp.ones(y.shape[:2] + (1,), jnp.float32)
