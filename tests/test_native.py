@@ -331,3 +331,38 @@ def test_greyscale_rejects_unsupported_channels(rng):
         host_native.to_greyscale(la)
     with pytest.raises(ValueError):
         host_native._greyscale_hist(la)
+
+
+def test_run_extraction_word_boundary_widths(rng):
+    """The AVX-512 run-mask path decodes runs from 64-px mask words; pin
+    exactness at widths that straddle word boundaries, plus all-black and
+    alternating rows (worst-case toggle density) against the oracle."""
+    for w in (1, 2, 63, 64, 65, 127, 128, 129, 191, 192, 200):
+        for kind in ("random", "black", "alt", "edges"):
+            h = 5
+            if kind == "random":
+                img = (rng.random((h, w)) < 0.4)
+            elif kind == "black":
+                img = np.ones((h, w), bool)
+            elif kind == "alt":
+                img = np.zeros((h, w), bool)
+                img[:, ::2] = True
+            else:  # single pixels at both edges
+                img = np.zeros((h, w), bool)
+                img[:, 0] = True
+                img[:, -1] = True
+            a = img.astype(np.uint8)
+            runs, n = host_native._black_runs(a)
+            rec = np.zeros((h, w), np.uint8)
+            total = 0
+            for y, xs, xe in runs[: 3 * n].reshape(-1, 3):
+                assert 0 <= xs < xe <= w
+                rec[y, xs:xe] = 1
+                total += xe - xs
+            np.testing.assert_array_equal(rec.view(bool), img)
+            assert total == int(img.sum())
+            # labeling (extract_runs path) must agree with the oracle too
+            lab_n, n_n = host_native.cc_label(img)
+            lab_o, n_o = oracle.label_ccs(img)
+            assert n_n == n_o
+            np.testing.assert_array_equal(lab_n, lab_o)
