@@ -76,6 +76,15 @@ def _make_kernel(TB: int, B: int):
             h_ref[...] = jnp.zeros_like(h_ref)
             c_ref[...] = jnp.zeros_like(c_ref)
 
+        # loop-invariant reads hoisted out of the step loop
+        wh = (wh_ref[0], wh_ref[1])
+        peeps = [
+            (peep_ref[3 * d + 0:3 * d + 1, :],   # WIP (1, NSP)
+             peep_ref[3 * d + 1:3 * d + 2, :],   # WFP
+             peep_ref[3 * d + 2:3 * d + 3, :])   # WOP
+            for d in range(2)
+        ]
+
         def step(k, _):
             t = t0 + k
             nf = jnp.where(t > 0, 1.0, 0.0)  # ocropy t=0 peephole skip
@@ -83,12 +92,10 @@ def _make_kernel(TB: int, B: int):
                 hp = h_ref[d]   # (B, NSP)
                 cp = c_ref[d]
                 g = gx_ref[d, k] + jnp.dot(
-                    hp, wh_ref[d], preferred_element_type=jnp.float32,
+                    hp, wh[d], preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )  # (B, G4); gate chunks at exact vreg boundaries
-                wip = peep_ref[3 * d + 0:3 * d + 1, :]  # (1, NSP)
-                wfp = peep_ref[3 * d + 1:3 * d + 2, :]
-                wop = peep_ref[3 * d + 2:3 * d + 3, :]
+                wip, wfp, wop = peeps[d]
                 cp_nf = cp * nf
                 gi = jax.nn.sigmoid(g[:, 0:NSP] + wip * cp_nf)
                 gf = jax.nn.sigmoid(g[:, NSP:2 * NSP] + wfp * cp_nf)
