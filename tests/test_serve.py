@@ -154,3 +154,56 @@ def test_serve_reclaim_lost_race_does_not_crash(spool, monkeypatch):
     assert (stats.processed, stats.failed) == (1, 0)
     names = os.listdir(spool)
     assert not any(n.endswith(".job.running") for n in names)
+
+
+def test_serve_batched_drain_matches_singleton(spool, tmp_path):
+    """--batch N must produce byte-identical outputs and the same receipts
+    as one-at-a-time serving."""
+    for i in range(3):
+        _make_job(spool, f"folio_{i}", 600 + 10 * i)
+    # reference: singleton drain into a copy of the spool
+    import shutil
+
+    spool2 = str(tmp_path / "spool2")
+    shutil.copytree(spool, spool2)
+
+    stats_b = serve(spool, model=None, backend="hybrid", once=True, batch=8)
+    stats_s = serve(spool2, model=None, backend="hybrid", once=True)
+    assert (stats_b.processed, stats_b.failed) == (3, 0)
+    assert (stats_s.processed, stats_s.failed) == (3, 0)
+    for i in range(3):
+        with open(os.path.join(spool, f"folio_{i}.json")) as f:
+            got = json.load(f)
+        with open(os.path.join(spool2, f"folio_{i}.json")) as f:
+            want = json.load(f)
+        assert got == want
+        assert os.path.exists(os.path.join(spool, f"folio_{i}.job.done"))
+
+
+def test_serve_batched_isolates_bad_job(spool):
+    """A job with an unreadable image fails alone; batchmates succeed."""
+    _make_job(spool, "good_a", 700)
+    _make_job(spool, "good_b", 710)
+    with open(os.path.join(spool, "broken.job.json"), "w") as f:
+        json.dump({"image": "missing.png", "transcript": "deus"}, f)
+
+    stats = serve(spool, model=None, backend="hybrid", once=True, batch=8)
+    assert (stats.processed, stats.failed) == (2, 1)
+    names = sorted(os.listdir(spool))
+    assert "broken.job.failed" in names
+    assert "good_a.job.done" in names and "good_b.job.done" in names
+    with open(os.path.join(spool, "broken.job.failed")) as f:
+        receipt = json.load(f)
+    assert receipt["job"]["image"] == "missing.png"  # requeueable spec
+
+
+def test_serve_batched_respects_max_jobs(spool):
+    for i in range(4):
+        _make_job(spool, f"folio_{i}", 800 + 10 * i)
+    stats = serve(spool, model=None, backend="hybrid", once=True, batch=8,
+                  max_jobs=2)
+    assert stats.attempted == 2
+    # unclaimed jobs stay pending (no stranded .running claims)
+    names = sorted(os.listdir(spool))
+    assert sum(n.endswith(".job.json") for n in names) == 2
+    assert not any(n.endswith(".job.running") for n in names)

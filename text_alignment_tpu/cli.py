@@ -306,7 +306,8 @@ def cmd_serve(args):
 
     stats = serve(args.spool, args.model, backend=args.backend,
                   poll_s=args.poll, once=args.once, max_jobs=args.max_jobs,
-                  verbose=args.verbose, do_warmup=args.warmup)
+                  verbose=args.verbose, do_warmup=args.warmup,
+                  batch=args.batch)
     print(f"processed {stats.processed} job(s), {stats.failed} failed")
     return 0 if stats.failed == 0 else 1
 
@@ -398,6 +399,10 @@ def main(argv=None):
     s.add_argument("--once", action="store_true",
                    help="drain pending jobs and exit")
     s.add_argument("--max-jobs", type=int, default=None)
+    s.add_argument("--batch", type=int, default=1,
+                   help="drain up to N pending jobs per sweep through the "
+                   "batched pipeline (cross-folio OCR + vmapped NW); "
+                   "1 = one job at a time")
     s.add_argument("--warmup", action="store_true",
                    help="compile-warm the pipeline on a synthetic folio "
                    "before accepting jobs")
