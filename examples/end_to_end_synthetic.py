@@ -176,7 +176,10 @@ def main():
     B = min(32, len(frames_list))
     rng = np.random.default_rng(0)
     idx = np.arange(len(frames_list))
-    full = batch_lines(frames_list, texts, codec, T, S)
+    # whole-pool batch only when the pool fits one minibatch (built lazily:
+    # the >B path resamples every iteration and never touches it)
+    full = batch_lines(frames_list, texts, codec, T, S) if len(idx) <= B \
+        else None
     for it in range(args.iters):
         if len(idx) > B:
             b = rng.choice(idx, size=B, replace=False)

@@ -207,3 +207,37 @@ def test_serve_batched_respects_max_jobs(spool):
     names = sorted(os.listdir(spool))
     assert sum(n.endswith(".job.json") for n in names) == 2
     assert not any(n.endswith(".job.running") for n in names)
+
+
+def test_serve_max_jobs_zero_returns_immediately(spool):
+    _make_job(spool, "folio_z", 900)
+    stats = serve(spool, model=None, backend="hybrid", once=True,
+                  max_jobs=0)
+    assert stats.attempted == 0
+    assert any(n.endswith(".job.json") for n in os.listdir(spool))
+
+
+def test_serve_batched_empty_pickle_matches_singleton(spool, tmp_path):
+    """An existing_ocr_pickle that unpickles to [] must fail (or succeed)
+    the same way in --batch and singleton modes — here, with no model,
+    both fail with the no-OCR-source error."""
+    import pickle as pk
+    import shutil
+
+    _make_job(spool, "folio_ok", 910)
+    with open(os.path.join(spool, "empty.pickle"), "wb") as f:
+        pk.dump([], f)
+    with open(os.path.join(spool, "empty.job.json"), "w") as f:
+        json.dump({"image": "folio_ok.png", "transcript": "deus",
+                   "existing_ocr_pickle": "empty.pickle"}, f)
+    spool2 = str(tmp_path / "spool2")
+    shutil.copytree(spool, spool2)
+
+    stats_b = serve(spool, model=None, backend="hybrid", once=True, batch=8)
+    stats_s = serve(spool2, model=None, backend="hybrid", once=True)
+    assert (stats_b.processed, stats_b.failed) == (1, 1)
+    assert (stats_s.processed, stats_s.failed) == (1, 1)
+    for d in (spool, spool2):
+        with open(os.path.join(d, "empty.job.failed")) as f:
+            receipt = json.load(f)
+        assert "no OCR source" in receipt["traceback"]

@@ -123,10 +123,13 @@ def _block_T(T: int, B: int) -> int:
 def pallas_ok(B: int, T: int, ns: int) -> bool:
     """Shape gate for the kernel path (the caller falls back to the XLA
     scan otherwise): pow-2-friendly B and T from the recognizer's bucket
-    ladder, hidden width within one padded lane tile."""
+    ladder, hidden width within one padded lane tile. B caps at 128:
+    beyond that _block_T's floor of 8 would blow the (2, TB, B, G4)
+    VMEM block past the ~4 MB/buffer budget, and giant buckets amortize
+    the scan's loop overhead anyway."""
     if ns > NSP:
         return False
-    if B < 8 or B % 8 != 0:
+    if B < 8 or B % 8 != 0 or B > 128:
         return False
     TB = _block_T(T, B)
     return T % TB == 0

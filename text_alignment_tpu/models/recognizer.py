@@ -102,6 +102,9 @@ class SeqRecognizer:
         scipy normalizer to ~1e-5 except at center-truncation knife edges
         (<1% of pixels, ±1 row); strict scipy-exact runs keep the host
         normalizer (the default)."""
+        from ..utils.compile_cache import ensure_compile_cache
+
+        ensure_compile_cache()  # idempotent; accelerator backends only
         self.params = params
         self.codec = codec
         self.target_height = target_height

@@ -101,6 +101,11 @@ def _parse_job(spool: str, job_path: str, recognizer):
                 existing_ocr = pickle.load(f)
         except (IOError, AttributeError):
             existing_ocr = None  # process()'s fallback-to-OCR semantics
+        if not existing_ocr:
+            # an EMPTY unpickled stream also falls back to the model in
+            # process() ("if not all_chars"); mirror that so --batch and
+            # singleton serving give identical receipts
+            existing_ocr = None
     if existing_ocr is None and recognizer is None:
         raise ValueError(
             "no OCR source: the server has no model and the job supplies "
@@ -229,11 +234,14 @@ def warmup(recognizer, backend: str) -> None:
     t0 = time.time()
     process(page.image, page.transcript, ocropus_model=recognizer,
             existing_ocr=existing_ocr, backend=backend, verbose=False)
-    # second pass: the first folio taught the recognizer its frame-bucket
-    # hint, so real jobs dispatch a differently-shaped (hint-sized) OCR
-    # program — load that one now too, not on the first paying job
-    process(page.image, page.transcript, ocropus_model=recognizer,
-            existing_ocr=existing_ocr, backend=backend, verbose=False)
+    if recognizer is not None:
+        # second pass: the first folio taught the recognizer its
+        # frame-bucket hint, so real jobs dispatch a differently-shaped
+        # (hint-sized) OCR program — load that one now too, not on the
+        # first paying job. (Model-less warmup learns no hint; one pass
+        # covers it.)
+        process(page.image, page.transcript, ocropus_model=recognizer,
+                existing_ocr=existing_ocr, backend=backend, verbose=False)
     print(f"warmup: {time.time() - t0:.1f}s (compiles cached)")
 
 
@@ -311,6 +319,8 @@ def serve(spool: str, model, backend: str = "hybrid", poll_s: float = 0.2,
         print(f"FAILED {fname} (see {os.path.basename(final)})")
 
     while True:
+        if max_jobs is not None and processed + failed >= max_jobs:
+            return ServeStats(processed, failed)  # incl. max_jobs <= 0
         pending = sorted(
             f for f in os.listdir(spool) if f.endswith(".job.json")
         )
