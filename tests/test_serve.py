@@ -241,3 +241,45 @@ def test_serve_batched_empty_pickle_matches_singleton(spool, tmp_path):
         with open(os.path.join(d, "empty.job.failed")) as f:
             receipt = json.load(f)
         assert "no OCR source" in receipt["traceback"]
+
+
+def test_serve_batched_mixed_ocr_and_model_jobs(spool, tmp_path):
+    """One sweep holding both an OCR-injected job and a model-OCR job:
+    the groups run through separate process_batch calls; both complete,
+    and each mode's output matches its singleton-serve counterpart."""
+    import shutil
+
+    import jax
+
+    from text_alignment_tpu.models.codec import Codec
+    from text_alignment_tpu.models.lstm_jax import init_bilstm, params_to_np
+    from text_alignment_tpu.models.pyrnn import save_pyrnn
+
+    _make_job(spool, "with_ocr", 920)
+    page = _make_job(spool, "with_model", 930)
+    # strip the pickle key so this job needs the model
+    jp = os.path.join(spool, "with_model.job.json")
+    with open(jp) as f:
+        job = json.load(f)
+    del job["existing_ocr_pickle"]
+    with open(jp, "w") as f:
+        json.dump(job, f)
+
+    codec = Codec()
+    d = params_to_np(init_bilstm(jax.random.PRNGKey(3), 48, 20, len(codec)))
+    model = str(tmp_path / "m-00000100.pyrnn.gz")
+    save_pyrnn(model, d, codec, 48)
+
+    spool2 = str(tmp_path / "spool2")
+    shutil.copytree(spool, spool2)
+
+    stats_b = serve(spool, model=model, backend="hybrid", once=True, batch=8)
+    stats_s = serve(spool2, model=model, backend="hybrid", once=True)
+    assert (stats_b.processed, stats_b.failed) == (2, 0)
+    assert (stats_s.processed, stats_s.failed) == (2, 0)
+    for name in ("with_ocr", "with_model"):
+        with open(os.path.join(spool, name + ".json")) as f:
+            got = json.load(f)
+        with open(os.path.join(spool2, name + ".json")) as f:
+            want = json.load(f)
+        assert got == want, name
