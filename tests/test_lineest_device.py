@@ -217,3 +217,47 @@ def test_json_dict_single_line_page():
 
     d = to_JSON_dict([], [42])
     assert d["median_line_spacing"] == 0.0 and d["syl_boxes"] == []
+
+
+def test_pallas_failure_falls_back_to_scan(monkeypatch):
+    """A Mosaic kernel failure must degrade to the XLA scan (flag flip +
+    one retry), not take down the OCR stage."""
+    import jax
+    from text_alignment_tpu.models import lstm_jax, lstm_pallas
+
+    rng = np.random.default_rng(11)
+    # an odd width no other test uses: the jit caches are keyed by shape
+    # bucket, and only a FRESH trace consults the (patched) routing
+    strip = np.zeros((60, 313), dtype=bool)
+    strip[20:40] = rng.random((20, 313)) < 0.4
+
+    # force the pallas route on (we're on CPU) and make the kernel blow up
+    monkeypatch.setattr(lstm_jax, "_pallas_disabled", [False])
+    monkeypatch.setattr(
+        lstm_jax, "_use_pallas_scan",
+        lambda *a: not lstm_jax._pallas_disabled[0],
+    )
+    monkeypatch.setattr(
+        lstm_pallas, "bidir_scan_pallas",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("mosaic boom")),
+    )
+    # ns=104 is used by no other test: the inner bilstm jit caches on the
+    # params/frames AVALs, so a unique hidden size guarantees a fresh
+    # trace (which is when the routing is consulted) regardless of order
+    def make_rec104():
+        import jax
+        from text_alignment_tpu.models.lstm_jax import init_bilstm
+        from text_alignment_tpu.models.recognizer import SeqRecognizer
+        from text_alignment_tpu.models.codec import Codec
+
+        codec = Codec()
+        params = init_bilstm(jax.random.PRNGKey(0), 48, 104, len(codec))
+        return SeqRecognizer(params, codec, normalize_on_device=True)
+
+    rec2 = make_rec104()
+    got = rec2.recognize_batch([strip])
+    assert lstm_jax._pallas_disabled[0]  # flag flipped by the guard
+    # and the rows are the scan path's, produced without raising
+    rec3 = make_rec104()
+    monkeypatch.setattr(lstm_jax, "_use_pallas_scan", lambda *a: False)
+    assert got == rec3.recognize_batch([strip])

@@ -152,6 +152,11 @@ def _reverse_by_length(xs, lengths):
     return jnp.where(mask, gathered, 0)
 
 
+# Flipped by the recognizer's fallback guard when the Mosaic kernel fails
+# to compile/run on this runtime: subsequent traces route to the scan.
+_pallas_disabled = [False]
+
+
 def _use_pallas_scan(B: int, T: int, ns: int) -> bool:
     """Trace-time routing of the recurrence: the Mosaic kernel
     (lstm_pallas) on TPU when the shapes fit its tile layout, the XLA
@@ -160,6 +165,8 @@ def _use_pallas_scan(B: int, T: int, ns: int) -> bool:
     (models/train.bilstm_logits)."""
     import os
 
+    if _pallas_disabled[0]:
+        return False
     if os.environ.get("TEXT_ALIGNMENT_TPU_NO_PALLAS_LSTM"):
         return False
     if jax.default_backend() != "tpu":

@@ -24,6 +24,29 @@ from .lstm_jax import BiLSTMParams, bilstm_forward_batched, params_from_np
 from .ctc import translate_back_batched, llocs_positions
 from .pyrnn import load_pyrnn
 
+def _with_pallas_fallback(fn):
+    """Run a recognizer dispatch; if it fails while the Pallas LSTM route
+    is enabled, disable the kernel (lstm_jax._pallas_disabled) and retry
+    once through the XLA scan. Engine resilience: a Mosaic compile
+    failure on an unexpected runtime must degrade to the (always-correct)
+    scan path, not take down the OCR stage. If the kernel was already
+    disabled — or the retry fails too — the original error propagates."""
+    from . import lstm_jax
+
+    try:
+        return fn()
+    except Exception:
+        if lstm_jax._pallas_disabled[0]:
+            raise
+        lstm_jax._pallas_disabled[0] = True
+        import sys
+
+        print("warning: Pallas LSTM path failed; retrying via the XLA "
+              "scan (set TEXT_ALIGNMENT_TPU_NO_PALLAS_LSTM=1 to skip the "
+              "kernel at startup)", file=sys.stderr)
+        return fn()
+
+
 _MAX_REGIONS = 512
 # device-path wire ships this many regions per line by default and
 # escalates x4 toward _MAX_REGIONS when any line hits the cap: the
@@ -174,8 +197,10 @@ class SeqRecognizer:
                 xs[bi, :T] = frames
                 lengths[bi] = T
 
-            outputs = bilstm_forward_batched(
-                self.params, jnp.asarray(xs), jnp.asarray(lengths)
+            outputs = _with_pallas_fallback(
+                lambda: bilstm_forward_batched(
+                    self.params, jnp.asarray(xs), jnp.asarray(lengths)
+                )
             )
             fr, cl, cnt = translate_back_batched(
                 outputs, jnp.asarray(lengths), max_regions=_MAX_REGIONS,
@@ -209,14 +234,14 @@ class SeqRecognizer:
                 target_height=self.target_height, pad=self.pad,
                 max_regions=max_regions, decode=self.decode,
             ))
-        return _unpack_wire_rows(
-            _recognize_device(
+        return _unpack_wire_rows(_with_pallas_fallback(
+            lambda: _recognize_device(
                 self.params, jnp.asarray(packed_bits), jnp.asarray(hs),
                 jnp.asarray(ws), t_max=t_max,
                 target_height=self.target_height, pad=self.pad,
                 max_regions=max_regions, decode=self.decode,
             )
-        )
+        ))
 
     def _pack_strips(self, inks):
         def b2(n, floor):
@@ -254,12 +279,12 @@ class SeqRecognizer:
             return ("rows", self.recognize_batch(strips), None)
         packed_bits, hs, ws, Wp = self._pack_strips(inks)
         t_max = self._initial_t_max(Wp, ws[: len(inks)])
-        out = _recognize_device(
+        out = _with_pallas_fallback(lambda: _recognize_device(
             self.params, jnp.asarray(packed_bits), jnp.asarray(hs),
             jnp.asarray(ws), t_max=t_max,
             target_height=self.target_height, pad=self.pad,
             max_regions=_WIRE_REGIONS, decode=self.decode,
-        )  # async jax dispatch: not materialized here
+        ))  # async jax dispatch: not materialized here
         return (inks, out, (t_max, packed_bits, hs, ws))
 
     def collect_async(self, handles):
