@@ -87,7 +87,11 @@ def _make_kernel(TB: int, B: int):
 
         def step(k, _):
             t = t0 + k
-            nf = jnp.where(t > 0, 1.0, 0.0)  # ocropy t=0 peephole skip
+            # ocropy t=0 quirk: WIP/WFP terms vanish at t=0 because the
+            # zero-initialized carry makes wip*cp exactly 0 — no masking
+            # needed there; only the OUTPUT peephole (wop * c, with c != 0
+            # already at t=0) needs the explicit skip
+            nf = jnp.where(t > 0, 1.0, 0.0)
             for d in range(2):  # direction axis unrolled
                 hp = h_ref[d]   # (B, NSP)
                 cp = c_ref[d]
@@ -96,11 +100,10 @@ def _make_kernel(TB: int, B: int):
                     precision=jax.lax.Precision.HIGHEST,
                 )  # (B, G4); gate chunks at exact vreg boundaries
                 wip, wfp, wop = peeps[d]
-                cp_nf = cp * nf
-                gi = jax.nn.sigmoid(g[:, 0:NSP] + wip * cp_nf)
-                gf = jax.nn.sigmoid(g[:, NSP:2 * NSP] + wfp * cp_nf)
+                gi = jax.nn.sigmoid(g[:, 0:NSP] + wip * cp)
+                gf = jax.nn.sigmoid(g[:, NSP:2 * NSP] + wfp * cp)
                 ci = jnp.tanh(g[:, 3 * NSP:4 * NSP])
-                c = ci * gi + gf * cp_nf
+                c = ci * gi + gf * cp
                 go = jax.nn.sigmoid(g[:, 2 * NSP:3 * NSP] + wop * c * nf)
                 h = jnp.tanh(c) * go
                 h_ref[d] = h
