@@ -283,3 +283,26 @@ def test_serve_batched_mixed_ocr_and_model_jobs(spool, tmp_path):
         with open(os.path.join(spool2, name + ".json")) as f:
             want = json.load(f)
         assert got == want, name
+
+
+def test_serve_batched_groups_custom_scoring(spool, tmp_path):
+    """Jobs with a seq_align_params override run in their own group and
+    still match their singleton-serve outputs."""
+    import shutil
+
+    _make_job(spool, "default_sc", 940)
+    _make_job(spool, "custom_sc", 950,
+              seq_align_params=[5, -4, -2, -2, 0, 0])
+    spool2 = str(tmp_path / "spool2")
+    shutil.copytree(spool, spool2)
+
+    stats_b = serve(spool, model=None, backend="hybrid", once=True, batch=8)
+    stats_s = serve(spool2, model=None, backend="hybrid", once=True)
+    assert (stats_b.processed, stats_b.failed) == (2, 0)
+    assert (stats_s.processed, stats_s.failed) == (2, 0)
+    for name in ("default_sc", "custom_sc"):
+        with open(os.path.join(spool, name + ".json")) as f:
+            got = json.load(f)
+        with open(os.path.join(spool2, name + ".json")) as f:
+            want = json.load(f)
+        assert got == want, name
