@@ -173,10 +173,13 @@ def test_pallas_lstm_matches_scan_on_tpu(on_tpu):
     xs_rev = _reverse_by_length(xs, lens)
     f0, b0 = _bidir_scan(params.fwd, params.bwd, xs, xs_rev)
     f1, b1 = bidir_scan_pallas(params.fwd, params.bwd, xs, xs_rev)
+    # fp32 accumulation-order drift between the Mosaic kernel and the XLA
+    # scan: worst observed violation 3.3e-6 abs / 6.8e-5 rel on 1 of 409600
+    # elements at unroll=1, so atol must sit above that noise floor
     np.testing.assert_allclose(np.asarray(f0), np.asarray(f1),
-                               rtol=2e-5, atol=2e-6)
+                               rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(b0), np.asarray(b1),
-                               rtol=2e-5, atol=2e-6)
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_pallas_lstm_decode_equality_on_tpu(on_tpu):

@@ -111,7 +111,13 @@ def _make_kernel(TB: int, B: int):
                 out_ref[d, k] = h
             return 0
 
-        jax.lax.fori_loop(0, TB, step, 0, unroll=2)
+        # unroll must stay 1: Mosaic's for-loop lowering accepts only
+        # unroll=1 or a full unroll (=num_steps), and a full unroll of a
+        # 64-512-step body bloats the program (the tunnel's deferred
+        # first-execution load scales with program size — docs/DESIGN.md
+        # "Cold start"). CPU interpret-mode tests never lower via Mosaic,
+        # so this constraint is only visible on real TPU.
+        jax.lax.fori_loop(0, TB, step, 0, unroll=1)
 
     return kernel
 

@@ -44,6 +44,13 @@ def _with_pallas_fallback(fn):
         print("warning: Pallas LSTM path failed; retrying via the XLA "
               "scan (set TEXT_ALIGNMENT_TPU_NO_PALLAS_LSTM=1 to skip the "
               "kernel at startup)", file=sys.stderr)
+        # The failed dispatch left its TRACE in the jit caches (routing is
+        # decided at trace time), so without clearing them the retry would
+        # replay the exact same pallas_call jaxpr and die on the same
+        # lowering error. One-time cost: unrelated live programs re-trace
+        # on their next call (their compiled executables re-load from the
+        # persistent compile cache where enabled).
+        jax.clear_caches()
         return fn()
 
 
