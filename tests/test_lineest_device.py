@@ -261,3 +261,24 @@ def test_pallas_failure_falls_back_to_scan(monkeypatch):
     rec3 = make_rec104()
     monkeypatch.setattr(lstm_jax, "_use_pallas_scan", lambda *a: False)
     assert got == rec3.recognize_batch([strip])
+
+
+def test_pack_strips_ladder_rungs():
+    """Padded pack dims ride the mult-32 height / mult-256 width ladders
+    (uploads and every H/W-proportional normalize stage scale with them),
+    and strip content round-trips the bit packing exactly."""
+    rec = _make_rec()
+    rng = np.random.default_rng(3)
+    inks = [rng.random((70, 900)) < 0.3, rng.random((61, 1401)) < 0.3]
+    bits, hs, ws, Wp = rec._pack_strips(inks)
+    B, Hp, Wq = bits.shape
+    assert (Hp, Wp, Wq) == (96, 1536, 1536 // 32)
+    assert list(hs[:2]) == [70, 61] and list(ws[:2]) == [900, 1401]
+    unpacked = np.unpackbits(
+        bits.view(np.uint8).reshape(B, Hp, Wp // 8), axis=2,
+        bitorder="little",
+    ).astype(bool)
+    for b, g in enumerate(inks):
+        h, w = g.shape
+        assert np.array_equal(unpacked[b, :h, :w], g)
+        assert not unpacked[b, h:].any() and not unpacked[b, :, w:].any()

