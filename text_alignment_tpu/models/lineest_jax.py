@@ -59,14 +59,38 @@ def _gauss_kernel_bank(sigma, kmax: int):
 
 
 def _conv_rows(x, kernels):
-    """Per-strip 1-D correlation along the last axis with zero padding.
+    """Per-strip 1-D filter along the last axis with zero padding.
 
-    x: (B, R, W); kernels: (B, K) with K odd. Returns (B, R, W) where
-    out[b, i, p] = sum_t kernels[b, t] * x_padded[b, i, p + t - K//2].
-    Implemented as one grouped conv: channels = strips.
+    x: (B, R, W); kernels: (B, K) with K odd and SYMMETRIC (gaussian
+    banks — both callers), so correlation == convolution. Returns
+    (B, R, W) where out[b, i, p] = sum_t kernels[b, t] *
+    x_padded[b, i, p + t - K//2].
+
+    Two routes, gated on the static batch dim:
+
+    - B < 128: FFT overlap product. The grouped conv this replaces made
+      the surrounding fused OCR program's schedule a lottery — XLA's
+      fusion planner around a ~800-tap feature_group_count=B conv picked
+      catastrophic strategies at most small/mid shapes (measured on v5e,
+      whole fused program: 124 ms at B=16/Hp=96, 170 ms at B=32/Hp=128,
+      193 ms at B=64/Hp=128 vs 6-19 ms with the FFT route, same
+      program otherwise). The FFT is also closer to the float64 oracle
+      than the conv (3e-7 vs 1e-6 max abs at production shapes).
+    - B >= 128: grouped conv + optimization_barrier. At the big
+      cross-folio sweep shape the conv schedule is healthy and beats the
+      FFT (24 vs 36 ms whole-program at B=128); the barrier stops the
+      planner from duplicating the conv into its three consumer fusions
+      (measured +27 ms without it).
     """
     B, R, W = x.shape
     K = kernels.shape[1]
+    if B < 128:
+        L = W + K - 1
+        Lp = 1 << (L - 1).bit_length()
+        X = jnp.fft.rfft(x, n=Lp, axis=2)
+        Kf = jnp.fft.rfft(kernels[:, ::-1], n=Lp, axis=1)
+        y = jnp.fft.irfft(X * Kf[:, None, :], n=Lp, axis=2)
+        return y[:, :, K - 1 - K // 2 : K - 1 - K // 2 + W]
     lhs = jnp.swapaxes(x, 0, 1)            # (R, B, W): N=R, C=B
     rhs = kernels[:, None, ::-1]            # (B, 1, K) flipped: conv==corr
     out = jax.lax.conv_general_dilated(
@@ -77,16 +101,7 @@ def _conv_rows(x, kernels):
         dimension_numbers=("NCH", "OIH", "NCH"),
         precision=_HI,
     )
-    # materialize: this K~1000-tap grouped conv is the most expensive op in
-    # the measure phase and has three downstream consumers — without the
-    # barrier XLA's fusion planner duplicates it into multiple consumer
-    # fusions (measured +27 ms at B=64 on v5e). But at B=16 the barrier
-    # makes XLA pick a catastrophic downstream strategy (+203 ms — the
-    # whole fused OCR program goes 41 -> 244 ms), so it is gated on the
-    # static batch dim: barrier for the big cross-folio sweeps, natural
-    # fusion for the per-folio dispatches.
-    out = jnp.swapaxes(out, 0, 1)
-    return jax.lax.optimization_barrier(out) if out.shape[0] >= 32 else out
+    return jax.lax.optimization_barrier(jnp.swapaxes(out, 0, 1))
 
 
 def _windowed_mean_h(x, size):
