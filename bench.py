@@ -272,6 +272,19 @@ def main():
     folio_flow(pages[0], ocrs[0], dev_rec, backend=DEVICE_BACKEND)
     print(f"# hint-shape warmup pass: {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
+    # rung-warming lap: per-folio OCR dispatches are shaped by each folio's
+    # pack-ladder rungs (Hp, Wp, t_max), so a folio with a novel rung
+    # triggers a one-time compile + deferred program load. Steady-state
+    # serving has all rungs resident after the first few folios of a
+    # manuscript; warm them here so the timed laps measure that steady
+    # state (cold cost stays visible in the warmup lines above).
+    t0 = time.perf_counter()
+    with compile_log_capture() as cold_r:
+        for i in range(1, N_DEVICE_FOLIOS + 1):
+            folio_flow(pages[i], ocrs[i], dev_rec, backend=DEVICE_BACKEND)
+    print(f"# rung-warming lap ({time.perf_counter()-t0:.1f}s wall): "
+          f"{cold_r.report() if cold_r.entries else 'no new programs'}",
+          file=sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(1, N_DEVICE_FOLIOS + 1):
