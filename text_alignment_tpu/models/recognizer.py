@@ -335,17 +335,19 @@ class SeqRecognizer:
         0.7-1.4). So: the FIRST batch of a session dispatches
         conservatively at Wp, every collect records the observed
         frames-per-width-pixel ratio (_fpp_hint), and later batches size
-        their bucket from the hint rounded up to the power-of-2 ladder
-        (bounded compile set). The clip escalation below remains the
-        correctness net when a batch's ink is thinner than the hint
-        predicted. Cap at _MAX_BUCKET like the host bucket ladder (frames
-        clip); beyond it the uint16 wire could not carry frame values
-        anyway."""
+        their bucket from the hint rounded up to a multiple-of-128 ladder
+        (bounded compile set; LSTM scan steps + CTC decode + frame memory
+        all scale with the bucket, and a doubling ladder wasted up to 2x
+        on near-miss fits — a 523-frame sweep used to pay for 1024). The
+        clip escalation below remains the correctness net when a batch's
+        ink is thinner than the hint predicted. Multiples of 128 keep
+        every Pallas T-block divisor (lstm_pallas._block_T yields powers
+        of two <= 128). Cap at _MAX_BUCKET like the host bucket ladder
+        (frames clip); beyond it the uint16 wire could not carry frame
+        values anyway."""
         if self._fpp_hint is not None and ws is not None and len(ws):
             need = int(float(np.max(ws)) * self._fpp_hint) + 2 * self.pad + 2
-            t = _MIN_BUCKET
-            while t < need:
-                t *= 2
+            t = -(-need // _MIN_BUCKET) * _MIN_BUCKET
         else:
             t = Wp
         return min(_MAX_BUCKET, max(_MIN_BUCKET, t))
