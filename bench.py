@@ -170,6 +170,36 @@ def ocr_metrics(pages, dev_rec):
           f"({len(strips)} strips, ~{frames} frames, fp32 parity path)",
           file=sys.stderr)
 
+    # raw fused-program compute (no host packing, no tunnel upload, no
+    # download): packed bits pre-placed on device, depth-8 pipelined —
+    # the OCR stage speed a local (PCIe-attached) deployment would see;
+    # the end-to-end line above is upload-bound through the remote tunnel
+    # (~28 ms floor + ~13 ms/MB against a ~2.4 MB bit-packed batch)
+    try:
+        import jax
+        import jax.numpy as jnp
+        from text_alignment_tpu.models.recognizer import _recognize_device
+
+        inks = [np.asarray(s) for s in strips]
+        packed_bits, hs, ws, Wp = dev_rec._pack_strips(inks)
+        t_max = dev_rec._initial_t_max(Wp, ws[: len(inks)])
+        args = (jnp.asarray(packed_bits), jnp.asarray(hs), jnp.asarray(ws))
+        kw = dict(t_max=t_max, target_height=dev_rec.target_height,
+                  pad=dev_rec.pad, max_regions=128, decode=dev_rec.decode)
+        np.asarray(_recognize_device(dev_rec.params, *args, **kw)[0, 0])
+        K = 8
+        t0 = time.perf_counter()
+        for _ in range(K - 1):
+            _recognize_device(dev_rec.params, *args, **kw)
+        np.asarray(_recognize_device(dev_rec.params, *args, **kw)[0, 0])
+        raw_dt = (time.perf_counter() - t0) / K
+        print(f"# ocr raw compute (bits resident on device): "
+              f"{len(strips)/raw_dt:.0f} strips/sec, "
+              f"~{frames * flops_per_frame / raw_dt / 1e9:.2f} model "
+              f"GFLOP/s", file=sys.stderr)
+    except Exception as e:
+        print(f"# ocr raw metric failed: {e}", file=sys.stderr)
+
 
 def nw_gcups_stress(n=8191):
     """Secondary metric: fused NW fill+traceback throughput at n x n
