@@ -668,23 +668,27 @@ int64_t ta_black_runs(const uint8_t* img, int64_t H, int64_t W,
 // and the int32 counters are bounded by the page's ink pixel count (far
 // below 2^31; the criterion widens to int64 on the host, so scores are
 // exact). proj: int32[A*H] out, zeroed here.
-void ta_shear_projections_runs32(const int32_t* runs, int64_t n,
-                                 const int32_t* shifts, int64_t A,
-                                 int64_t H, int64_t W, int32_t* proj) {
-  std::memset(proj, 0, sizeof(int32_t) * (size_t)(A * H));
-  // 4-angle blocks: each run's (y, xs, xe) is loaded once per block and
-  // the four angles' counter updates are independent chains, so they
-  // pipeline — measured ~1.7x over the one-angle sweep (the loop is
-  // load-latency-bound, not ALU-bound; the runs array streams from L2
-  // a quarter as often)
-  // interleaved (x-major) shift copy: the block's four sh[x] values share
-  // one cache line, so the fast path costs two line touches per run
-  std::vector<int32_t> shT((size_t)(4 * W));
-  std::vector<int32_t> nb((size_t)(4 * W));
-  for (int64_t a0 = 0; a0 < A; a0 += 4) {
-    const int64_t ab = (A - a0) < 4 ? (A - a0) : 4;
-    const int32_t* sh[4];
-    int32_t* p[4];
+// BB-angle blocks: each run's (y, xs, xe) is loaded once per block and
+// the BB angles' counter updates are independent chains, so they
+// pipeline (the loop is load-latency-bound, not ALU-bound; the runs
+// array streams from L2 1/BB as often). Measured on the bench folio
+// (20k runs, 51 angle rows over the 3 search rounds): BB=4 ~8.1 ms,
+// BB=8 ~6.9 ms, BB=16 ~7.8 ms — 16 spills the interleaved shT row past a
+// cache line and loses the gain, so 8 is the plateau.
+// interleaved (x-major) shift copy: the block's BB sh[x] values share
+// one or two cache lines, so the fast path costs two line touches per
+// run.
+extern "C++" {
+template <int BB>
+static void shear_proj_runs_block(const int32_t* runs, int64_t n,
+                                  const int32_t* shifts, int64_t A,
+                                  int64_t H, int64_t W, int32_t* proj) {
+  std::vector<int32_t> shT((size_t)(BB * W));
+  std::vector<int32_t> nb((size_t)(BB * W));
+  for (int64_t a0 = 0; a0 < A; a0 += BB) {
+    const int64_t ab = (A - a0) < BB ? (A - a0) : BB;
+    const int32_t* sh[BB];
+    int32_t* p[BB];
     for (int64_t j = 0; j < ab; ++j) {
       sh[j] = shifts + (a0 + j) * W;
       p[j] = proj + (a0 + j) * H;
@@ -694,12 +698,12 @@ void ta_shear_projections_runs32(const int32_t* runs, int64_t n,
         nbj[x] = (sh[j][x + 1] == sh[j][x]) ? nbj[x + 1] : (int32_t)(x + 1);
     }
     for (int64_t x = 0; x < W; ++x)
-      for (int64_t j = 0; j < ab; ++j) shT[4 * x + j] = sh[j][x];
+      for (int64_t j = 0; j < ab; ++j) shT[BB * x + j] = sh[j][x];
     for (int64_t k = 0; k < n; ++k) {
       const int32_t y = runs[3 * k], xs = runs[3 * k + 1],
                     xe = runs[3 * k + 2];
-      const int32_t* s1v = shT.data() + 4 * xs;
-      const int32_t* s2v = shT.data() + 4 * (xe - 1);
+      const int32_t* s1v = shT.data() + BB * xs;
+      const int32_t* s2v = shT.data() + BB * (xe - 1);
       for (int64_t j = 0; j < ab; ++j) {
         const int32_t s1 = s1v[j], s2 = s2v[j];
         if (s1 == s2) {
@@ -718,6 +722,17 @@ void ta_shear_projections_runs32(const int32_t* runs, int64_t n,
       }
     }
   }
+}
+}  // extern "C++"
+
+void ta_shear_projections_runs32(const int32_t* runs, int64_t n,
+                                 const int32_t* shifts, int64_t A,
+                                 int64_t H, int64_t W, int32_t* proj) {
+  std::memset(proj, 0, sizeof(int32_t) * (size_t)(A * H));
+  if (A >= 8)
+    shear_proj_runs_block<8>(runs, n, shifts, A, H, W, proj);
+  else
+    shear_proj_runs_block<4>(runs, n, shifts, A, H, W, proj);
 }
 
 // Fused k=2 erosion: filter_short_runs(2,'black') then

@@ -169,6 +169,41 @@ def test_rotate_bbox_roundtrip():
     assert abs(back.ulx - cb.ulx) < 40 and abs(back.uly - cb.uly) < 40
 
 
+def test_rotate_bboxes_matches_scalar():
+    """The vectorized batch rotate must be bit-identical to the scalar
+    reference port across random boxes, angles, and padding offsets."""
+    from text_alignment_tpu.pipeline.assemble import rotate_bboxes
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        H, W = int(rng.integers(200, 3000)), int(rng.integers(200, 3000))
+        dH, dW = int(rng.integers(0, 60)), int(rng.integers(0, 60))
+        angle = float(rng.uniform(-6, 6))
+        boxes = []
+        for _ in range(int(rng.integers(1, 40))):
+            x0, y0 = int(rng.integers(0, W)), int(rng.integers(0, H))
+            boxes.append(CharBox("s", (x0, y0),
+                                 (x0 + int(rng.integers(1, 80)),
+                                  y0 + int(rng.integers(1, 80)))))
+        vec = rotate_bboxes(boxes, angle, (H + dH, W + dW), (H, W))
+        ref = [rotate_bbox(b, angle, (H + dH, W + dW), (H, W))
+               for b in boxes]
+        assert [(v.char, v.ul, v.lr) for v in vec] == \
+               [(r.char, r.ul, r.lr) for r in ref]
+    assert rotate_bboxes([], 1.0, (100, 100), (100, 100)) == []
+
+
+def test_syllabify_memo_returns_fresh_lists():
+    """syllabify_word is memoized; callers may mutate the returned list
+    without corrupting the cache."""
+    from text_alignment_tpu.lang.syllabify import syllabify_word
+
+    a = syllabify_word("dominus")
+    a.append("CORRUPT")
+    b = syllabify_word("dominus")
+    assert "CORRUPT" not in b and b == ["do", "mi", "nus"]
+
+
 def test_expand_abbreviations():
     def boxes(s):
         return [CharBox(c, (i * 10, 0), (i * 10 + 10, 20)) for i, c in enumerate(s)]

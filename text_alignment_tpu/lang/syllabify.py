@@ -12,6 +12,8 @@ reproduced.
 
 from __future__ import annotations
 
+import functools
+
 consonant_groups = [
     "qu", "ch", "ph", "fl", "fr", "st", "br", "cr", "cl", "pr", "tr", "ct", "th",
 ]
@@ -33,7 +35,20 @@ abbreviations = {
 
 
 def syllabify_word(inp: str) -> list[str]:
-    """Split a single Latin word into syllables (latinSyllabification.py:22-109)."""
+    """Split a single Latin word into syllables (latinSyllabification.py:22-109).
+
+    Memoized: chant transcripts repeat words heavily, and this runs per word
+    per folio on the host (a pure function of the string). Returns a fresh
+    list each call; the cached value is an immutable tuple."""
+    return list(_syllabify_word_cached(inp))
+
+
+@functools.lru_cache(maxsize=65536)
+def _syllabify_word_cached(inp: str) -> tuple[str, ...]:
+    return tuple(_syllabify_word_uncached(inp))
+
+
+def _syllabify_word_uncached(inp: str) -> list[str]:
     if inp == "euouae":
         return "e-u-o-u-ae".split("-")
     if inp == "cuius":

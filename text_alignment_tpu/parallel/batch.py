@@ -26,7 +26,7 @@ from ..pipeline.assemble import (
     llocs_to_charboxes,
     expand_abbreviations,
     group_syllables,
-    rotate_bbox,
+    rotate_bboxes,
 )
 from ..pipeline.process import to_JSON_dict
 from ..utils.timing import StageTimer
@@ -190,11 +190,10 @@ def process_batch(folios, recognizer, seq_align_params=None,
             syl_boxes = group_syllables(
                 syls, "".join(tra_align), "".join(ocr_align), chars
             )
-            syl_boxes = [
-                rotate_bbox(sb, -1 * angle, image.shape,
-                            np.asarray(raw_image).shape)
-                for sb in syl_boxes
-            ]
+            syl_boxes = rotate_bboxes(
+                syl_boxes, -1 * angle, image.shape,
+                np.asarray(raw_image).shape,
+            )
             results[i] = FolioResult(
                 syl_boxes, peaks, to_JSON_dict(syl_boxes, peaks)
             )

@@ -58,6 +58,41 @@ def rotate_bbox(cbox: CharBox, angle: float, orig_shape, target_shape,
     return CharBox(cbox.char, new_ul, new_lr)
 
 
+def rotate_bboxes(cboxes, angle: float, orig_shape, target_shape,
+                  radians: bool = False) -> list:
+    """Vectorized :func:`rotate_bbox` over a list of boxes: one float64
+    numpy pass over a (N, 4) corner array instead of N scalar sin/cos/round
+    calls (the per-box version costs ~17 µs of numpy scalar overhead each —
+    this is the per-folio assembly hot spot). Bit-identical results: same
+    float64 arithmetic, same np.round semantics, elementwise."""
+    if not cboxes:
+        return []
+    orig_nrows, orig_ncols = orig_shape[:2]
+    target_nrows, target_ncols = target_shape[:2]
+    pivot_x = orig_ncols // 2
+    pivot_y = orig_nrows // 2
+    dx = (orig_ncols - target_ncols) // 2
+    dy = (orig_nrows - target_nrows) // 2
+    if not radians:
+        angle = angle * np.pi / 180
+    s = np.sin(angle)
+    c = np.cos(angle)
+
+    corners = np.array(
+        [[cb.ulx, cb.uly, cb.lrx, cb.lry] for cb in cboxes], np.float64
+    )
+    old_x = corners[:, [0, 2]] - pivot_x
+    old_y = corners[:, [1, 3]] - pivot_y
+    new_x = old_x * c - old_y * s + (pivot_x - dx)
+    new_y = old_x * s + old_y * c + (pivot_y - dy)
+    xi = np.round(new_x).astype("int16")
+    yi = np.round(new_y).astype("int16")
+    return [
+        CharBox(cb.char, (xi[i, 0], yi[i, 0]), (xi[i, 1], yi[i, 1]))
+        for i, cb in enumerate(cboxes)
+    ]
+
+
 def to_processed_frame(cbox: CharBox, angle: float, orig_shape,
                        target_shape) -> CharBox:
     """Exact inverse of :func:`rotate_bbox`'s back-mapping: lift a box from

@@ -31,7 +31,7 @@ from .assemble import (
     llocs_to_charboxes,
     expand_abbreviations,
     group_syllables,
-    rotate_bbox,
+    rotate_bboxes,
 )
 
 MEDIAN_LINE_MULT = 2  # threaded but unused, as in the reference (alignToOCR.py:25,193)
@@ -272,10 +272,9 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
     with timer("assemble"):
         syls = syllabify_text(transcript)
         syl_boxes = group_syllables(syls, tra_align, ocr_align, all_chars)
-        syl_boxes = [
-            rotate_bbox(sb, -1 * angle, image.shape, raw_image.shape)
-            for sb in syl_boxes
-        ]
+        syl_boxes = rotate_bboxes(
+            syl_boxes, -1 * angle, image.shape, raw_image.shape
+        )
 
     return syl_boxes, image, lines_peak_locs, all_chars_copy
 
