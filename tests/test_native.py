@@ -366,3 +366,27 @@ def test_run_extraction_word_boundary_widths(rng):
             lab_o, n_o = oracle.label_ccs(img)
             assert n_n == n_o
             np.testing.assert_array_equal(lab_n, lab_o)
+
+
+def test_nearest_higher_matches_python_stacks(rng=np.random.default_rng(3)):
+    """Native monotonic-stack neighbor search ≡ the Python fallback in
+    ops/projections (exact float64 comparisons, tie semantics included)."""
+    for trial in range(100):
+        n = int(rng.integers(1, 80))
+        vals = rng.choice([0.0, 1.0, 2.5, 3.0, 7.25, 7.25], size=n).tolist()
+        hl, hr = host_native.nearest_higher(np.array(vals))
+        HL = [0] * n
+        st = []
+        for i in range(n):
+            while st and vals[st[-1]] <= vals[i]:
+                st.pop()
+            HL[i] = st[-1] if st else -1
+            st.append(i)
+        HR = [0] * n
+        st = []
+        for i in range(n - 1, -1, -1):
+            while st and vals[st[-1]] <= vals[i]:
+                st.pop()
+            HR[i] = st[-1] if st else n
+            st.append(i)
+        assert hl.tolist() == HL and hr.tolist() == HR

@@ -91,7 +91,9 @@ def _build_and_load():
                                                     i64]
         lib.ta_nw_fill.argtypes = [i32p, i64, i32p, i64, i64, i64, i64,
                                    i64, i64, i64, i64, i8p, i8p, i8p]
-        assert lib.ta_abi_version() == 11
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.ta_nearest_higher.argtypes = [f64p, i64, i32p, i32p]
+        assert lib.ta_abi_version() == 12
         _lib = lib
     except Exception as e:  # no toolchain / build failure -> oracle fallback
         _load_error = repr(e)
@@ -350,6 +352,24 @@ def rotation_angle_projections(img: np.ndarray, minangle: float = -6.0,
         lo, hi = best - step * 0.9, best + step * 0.9
         step /= 10.0
     return float(best)
+
+
+def nearest_higher(data: np.ndarray):
+    """(left, right) nearest strictly-higher neighbor indices of a float64
+    series (left: largest j < i with data[j] > data[i], else -1; right:
+    smallest j > i, else n). Exact float64 comparisons; the native twin of
+    the Python monotonic stacks in ops/projections."""
+    _build_and_load()
+    a = np.ascontiguousarray(data, np.float64)
+    n = len(a)
+    left = np.empty(n, np.int32)
+    right = np.empty(n, np.int32)
+    _lib.ta_nearest_higher(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+        left.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        right.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return left, right
 
 
 def cc_stats_masked(img: np.ndarray, row_mask: np.ndarray,

@@ -98,26 +98,34 @@ def _prominences_vectorized(data: np.ndarray) -> np.ndarray:
 
     dmax = data.max()
 
-    # nearest strictly-higher index on each side, via monotonic stacks.
-    # Plain-python lists: float-list indexing is ~20x faster than numpy
-    # scalar indexing in this branchy per-element loop.
+    # nearest strictly-higher index on each side, via monotonic stacks —
+    # native C++ when available (exact float64 comparisons, ~0.5 ms/page
+    # saved), else plain-python lists (float-list indexing is ~20x faster
+    # than numpy scalar indexing in this branchy per-element loop).
     vals = data.tolist()
-    higher_left = [0] * n
-    stack: list[int] = []
-    for i in range(n):
-        v = vals[i]
-        while stack and vals[stack[-1]] <= v:
-            stack.pop()
-        higher_left[i] = stack[-1] if stack else -1
-        stack.append(i)
-    higher_right = [0] * n
-    stack = []
-    for i in range(n - 1, -1, -1):
-        v = vals[i]
-        while stack and vals[stack[-1]] <= v:
-            stack.pop()
-        higher_right[i] = stack[-1] if stack else n
-        stack.append(i)
+    from . import host_native
+
+    if host_native.available():
+        hl, hr = host_native.nearest_higher(data)
+        higher_left = hl.tolist()
+        higher_right = hr.tolist()
+    else:
+        higher_left = [0] * n
+        stack: list[int] = []
+        for i in range(n):
+            v = vals[i]
+            while stack and vals[stack[-1]] <= v:
+                stack.pop()
+            higher_left[i] = stack[-1] if stack else -1
+            stack.append(i)
+        higher_right = [0] * n
+        stack = []
+        for i in range(n - 1, -1, -1):
+            v = vals[i]
+            while stack and vals[stack[-1]] <= v:
+                stack.pop()
+            higher_right[i] = stack[-1] if stack else n
+            stack.append(i)
 
     # sparse-table range-minimum for key cols (floor(log2(i)) via frexp:
     # exact for any float64-representable integer)
