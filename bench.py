@@ -339,7 +339,9 @@ def main():
     def batched_flow():
         pre = []
         handles = []
-        for p in pages[1:]:
+        first_join = None
+        split = len(pages[1:]) // 2
+        for i, p in enumerate(pages[1:]):
             image, eroded, angle = preprocess_images(
                 p.image, backend=DEVICE_BACKEND
             )
@@ -349,14 +351,19 @@ def main():
             pre.append((image, angle, strips, peaks))
             if dev_rec.normalize_on_device:
                 # async dispatch: the chip recognizes this folio's lines
-                # while the host rasters the next one
+                # while the host rasters the next one; the first half's
+                # combined download overlaps the second half's raster
                 handles.append(
                     dev_rec.dispatch_async([s.img for s in strips])
                 )
+                if i + 1 == split:
+                    first_join = dev_rec.collect_async_bg(handles[:split])
             else:
                 dev_rec.recognize_batch([s.img for s in strips])
         if handles:
-            dev_rec.collect_async(handles)  # one combined download
+            if first_join is not None:
+                first_join()
+            dev_rec.collect_async(handles[split:] if first_join else handles)
         return process_batch(folios, None, backend=DEVICE_BACKEND,
                              existing_ocr=inj, existing_pre=pre)
 

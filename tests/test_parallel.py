@@ -199,3 +199,69 @@ def test_sharded_folio_pipeline_byte_identical():
             continue
         assert json.dumps(s.json_dict, sort_keys=True) == \
             json.dumps(m.json_dict, sort_keys=True)
+
+
+def test_chunked_bg_collect_matches_single_collect():
+    """collect_async_bg (the download-overlap thread) + a second collect
+    must decode identically to one combined collect of all handles."""
+    import jax
+    from text_alignment_tpu.models.lstm_jax import init_bilstm
+    from text_alignment_tpu.models.recognizer import SeqRecognizer
+    from text_alignment_tpu.models.codec import Codec
+    from text_alignment_tpu.synth import make_page
+    from text_alignment_tpu.pipeline.preprocess import (
+        preprocess_images,
+        identify_text_lines,
+    )
+
+    codec = Codec()
+    params = init_bilstm(jax.random.PRNGKey(7), 48, 100, len(codec))
+    rec = SeqRecognizer(params, codec, normalize_on_device=True)
+    handles = []
+    for i in range(6):
+        p = make_page(np.random.default_rng(40 + i), n_lines=2,
+                      words_per_line=2, H=500, W=460, char_h=40, char_w=26,
+                      gap=5, space_w=30, line_spacing=140, speckles=10,
+                      margin_x=25)
+        image, eroded, _ = preprocess_images(p.image, backend="host")
+        strips, _, _ = identify_text_lines(image, eroded, backend="host",
+                                           verbose=False)
+        handles.append(rec.dispatch_async([s.img for s in strips]))
+    join = rec.collect_async_bg(handles[:3])
+    chunked = join() + rec.collect_async(handles[3:])
+    combined = rec.collect_async(handles)
+    assert chunked == combined
+
+
+def test_process_batch_pipelined_chunked_matches_process():
+    """6-folio process_batch (pipelined + chunked bg collect engaged)
+    produces JSON byte-identical to per-folio pipeline.process with the
+    same recognizer."""
+    import json
+    import jax
+    from text_alignment_tpu.models.lstm_jax import init_bilstm
+    from text_alignment_tpu.models.recognizer import SeqRecognizer
+    from text_alignment_tpu.models.codec import Codec
+    from text_alignment_tpu.synth import make_page
+    from text_alignment_tpu.pipeline import process, to_JSON_dict
+
+    codec = Codec()
+    params = init_bilstm(jax.random.PRNGKey(7), 48, 100, len(codec))
+    rec = SeqRecognizer(params, codec, normalize_on_device=True)
+    pages = [
+        make_page(np.random.default_rng(50 + i), n_lines=2, words_per_line=2,
+                  H=500, W=460, char_h=40, char_w=26, gap=5, space_w=30,
+                  line_spacing=140, speckles=10, margin_x=25)
+        for i in range(6)
+    ]
+    folios = [(p.image, p.transcript) for p in pages]
+    batch = process_batch(folios, rec, backend="host")
+    for (img, tr), r in zip(folios, batch):
+        seq = process(img, tr, ocropus_model=rec, verbose=False,
+                      backend="host")
+        if seq is None or r is None:
+            assert seq is None and r is None
+            continue
+        syl_boxes, _, peaks, _ = seq
+        assert json.dumps(r.json_dict, sort_keys=True) == \
+               json.dumps(to_JSON_dict(syl_boxes, peaks), sort_keys=True)

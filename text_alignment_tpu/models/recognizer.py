@@ -326,6 +326,38 @@ class SeqRecognizer:
             results.append(self._decode_packed(inks, packed))
         return results
 
+    def collect_async_bg(self, handles):
+        """Start :meth:`collect_async` on a background thread and return a
+        zero-arg join callable yielding its rows. The device->host download
+        is network I/O on the remote tunnel (GIL released), so it overlaps
+        host compute — the batched pipeline collects the first folios'
+        dispatches while it still rasters the rest. Thread-safety: JAX
+        dispatch/transfer is thread-safe, and an escalation re-dispatch
+        from this thread serializes server-side with the main thread's
+        dispatches; the _fpp_hint race only affects bucket sizing of later
+        dispatches (output-identical either way — the escalation net pins
+        decode values)."""
+        import threading
+
+        out: dict = {}
+
+        def _run():
+            try:
+                out["rows"] = self.collect_async(handles)
+            except BaseException as e:  # re-raised at join
+                out["err"] = e
+
+        th = threading.Thread(target=_run, daemon=True)
+        th.start()
+
+        def _join():
+            th.join()
+            if "err" in out:
+                raise out["err"]
+            return out["rows"]
+
+        return _join
+
     def _initial_t_max(self, Wp: int, ws=None) -> int:
         """First-dispatch frame bucket. The zoom scale 48 / 2r depends on
         each strip's ink-band spread r, which only the device normalizer

@@ -108,14 +108,25 @@ def process_batch(folios, recognizer, seq_align_params=None,
                 pre = list(ex.map(lambda f: _raster_one(f[0]), folios))
     else:
         pre = []
+        # chunked background collect: once half the folios are dispatched,
+        # their combined download (network-bound through the tunnel, ~30 ms
+        # floor) starts on a background thread and hides under the raster
+        # of the remaining folios; only the second half's collect stays on
+        # the critical path
+        first_join = None
+        split = n // 2 if (pipelined and n >= 6) else None
         with timer("preprocess"):
-            for raw_image, _ in folios:
+            for i, (raw_image, _) in enumerate(folios):
                 image, angle, strips, peaks = _raster_one(raw_image)
                 pre.append((image, angle, strips, peaks))
                 if pipelined:
                     ocr_handles.append(
                         recognizer.dispatch_async([s.img for s in strips])
                     )
+                    if split is not None and i + 1 == split:
+                        first_join = recognizer.collect_async_bg(
+                            ocr_handles[:split]
+                        )
 
     # stage 2: OCR — collect the pipelined dispatches (one combined
     # download), or run one cross-folio batch
@@ -123,7 +134,12 @@ def process_batch(folios, recognizer, seq_align_params=None,
         all_chars_per_folio = [list(x) for x in existing_ocr]
     elif pipelined:
         with timer("ocr"):
-            rows_per_folio = recognizer.collect_async(ocr_handles)
+            if first_join is not None:
+                rows_per_folio = first_join() + recognizer.collect_async(
+                    ocr_handles[split:]
+                )
+            else:
+                rows_per_folio = recognizer.collect_async(ocr_handles)
         all_chars_per_folio = []
         for rows, (_, _, strips, _) in zip(rows_per_folio, pre):
             chars, _ = llocs_to_charboxes(strips, rows)
