@@ -83,7 +83,6 @@ def process_batch(folios, recognizer, seq_align_params=None,
         and getattr(recognizer, "normalize_on_device", False)
         and getattr(recognizer, "mesh", None) is None
     )
-    ocr_handles = []
     def _raster_one(raw_image):
         image, eroded, angle = preprocess_images(
             np.asarray(raw_image), backend=backend, params=preproc_params
@@ -108,38 +107,62 @@ def process_batch(folios, recognizer, seq_align_params=None,
                 pre = list(ex.map(lambda f: _raster_one(f[0]), folios))
     else:
         pre = []
-        # chunked background collect: once half the folios are dispatched,
-        # their combined download (network-bound through the tunnel, ~30 ms
-        # floor) starts on a background thread and hides under the raster
-        # of the remaining folios; only the second half's collect stays on
-        # the critical path
-        first_join = None
-        split = n // 2 if (pipelined and n >= 6) else None
+        # background OCR worker: dispatch (a bit-packed UPLOAD, network I/O
+        # through the tunnel — GIL released) and the chunked combined
+        # collects both run off the critical path. The worker dispatches
+        # each folio's strips as the raster loop enqueues them; once half
+        # the folios are dispatched, their combined download starts on a
+        # second thread and hides under the raster of the remaining folios.
+        # Only the second half's collect remains exposed after the raster
+        # loop ends.
+        ocr_worker = None
+        ocr_out: dict = {}
+        if pipelined:
+            import queue as _queue
+            import threading
+
+            strip_q: _queue.Queue = _queue.Queue()
+            split = n // 2 if n >= 6 else None
+
+            def _ocr_worker():
+                try:
+                    handles = []
+                    first_join = None
+                    for _ in range(n):
+                        handles.append(
+                            recognizer.dispatch_async(strip_q.get())
+                        )
+                        if split is not None and len(handles) == split:
+                            first_join = recognizer.collect_async_bg(
+                                handles[:split]
+                            )
+                    if first_join is not None:
+                        ocr_out["rows"] = first_join() + \
+                            recognizer.collect_async(handles[split:])
+                    else:
+                        ocr_out["rows"] = recognizer.collect_async(handles)
+                except BaseException as e:  # re-raised at join
+                    ocr_out["err"] = e
+
+            ocr_worker = threading.Thread(target=_ocr_worker, daemon=True)
+            ocr_worker.start()
         with timer("preprocess"):
-            for i, (raw_image, _) in enumerate(folios):
+            for raw_image, _ in folios:
                 image, angle, strips, peaks = _raster_one(raw_image)
                 pre.append((image, angle, strips, peaks))
                 if pipelined:
-                    ocr_handles.append(
-                        recognizer.dispatch_async([s.img for s in strips])
-                    )
-                    if split is not None and i + 1 == split:
-                        first_join = recognizer.collect_async_bg(
-                            ocr_handles[:split]
-                        )
+                    strip_q.put([s.img for s in strips])
 
-    # stage 2: OCR — collect the pipelined dispatches (one combined
-    # download), or run one cross-folio batch
+    # stage 2: OCR — join the pipelined worker (dispatches + chunked
+    # combined downloads), or run one cross-folio batch
     if existing_ocr is not None:
         all_chars_per_folio = [list(x) for x in existing_ocr]
     elif pipelined:
         with timer("ocr"):
-            if first_join is not None:
-                rows_per_folio = first_join() + recognizer.collect_async(
-                    ocr_handles[split:]
-                )
-            else:
-                rows_per_folio = recognizer.collect_async(ocr_handles)
+            ocr_worker.join()
+            if "err" in ocr_out:
+                raise ocr_out["err"]
+            rows_per_folio = ocr_out["rows"]
         all_chars_per_folio = []
         for rows, (_, _, strips, _) in zip(rows_per_folio, pre):
             chars, _ = llocs_to_charboxes(strips, rows)
