@@ -39,6 +39,19 @@ def shear_shifts(angle_deg: float, width: int) -> np.ndarray:
     return ((t * x + (SCALE // 2)) >> SCALE_BITS).astype(np.int32)
 
 
+def shear_shifts_batch(angles, width: int) -> np.ndarray:
+    """:func:`shear_shifts` for a whole candidate grid in one (A, W) outer
+    product. The per-angle Q16 tangent stays the scalar ``int(round(...))``
+    (python round, not np.round's fast-path) so every row is bit-identical
+    to the per-angle call."""
+    ts = np.array(
+        [int(round(-math.tan(math.radians(a)) * SCALE)) for a in angles],
+        np.int64,
+    )
+    x = np.arange(width, dtype=np.int64) - width // 2
+    return ((ts[:, None] * x + (SCALE // 2)) >> SCALE_BITS).astype(np.int32)
+
+
 CANVAS_QUANTUM = 32
 
 

@@ -334,7 +334,7 @@ def rotation_angle_projections(img: np.ndarray, minangle: float = -6.0,
     for _ in range(3):
         cands = fxp.angle_grid(lo, hi, step)
         shifts = np.ascontiguousarray(
-            np.stack([fxp.shear_shifts(ang, W) for ang in cands]), np.int32
+            fxp.shear_shifts_batch(cands, W), np.int32
         )
         uniq, inv = _adjacent_unique(shifts)
         uniq = np.ascontiguousarray(uniq, np.int32)
