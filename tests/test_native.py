@@ -390,3 +390,19 @@ def test_nearest_higher_matches_python_stacks(rng=np.random.default_rng(3)):
             HR[i] = st[-1] if st else n
             st.append(i)
         assert hl.tolist() == HL and hr.tolist() == HR
+
+
+def test_simd_greyscale_matches_scalar_formula(rng=np.random.default_rng(9)):
+    """The VBMI RGB->grey path (16-px blocks + exact two-step /1000 magic)
+    must equal the scalar reference formula at every tail length and at
+    saturated channel values."""
+    for n in (1, 15, 16, 17, 31, 32, 48, 63, 64, 100, 1000):
+        img = rng.integers(0, 256, (1, n, 3), np.uint8)
+        img[0, rng.random(n) < 0.25] = 255
+        img[0, rng.random(n) < 0.25] = 0
+        grey, hist = host_native._greyscale_hist(img)
+        r, g, b = (img[0, :, c].astype(np.int64) for c in range(3))
+        ref = ((299 * r + 587 * g + 114 * b + 500) // 1000).astype(np.uint8)
+        np.testing.assert_array_equal(grey.reshape(-1), ref)
+        counts = np.bincount(ref, minlength=256)
+        np.testing.assert_array_equal(hist, counts)
