@@ -399,12 +399,17 @@ def main():
         print(f"# batched-path extra compiles "
               f"({time.perf_counter()-t0:.1f}s wall): {cold_b.report()}",
               file=sys.stderr)
-    t0 = time.perf_counter()
-    results = batched_flow()
+    # best of 3: the single host vCPU is bursty (same lap swings ±15%
+    # run-to-run — see docs/DESIGN.md "Hardware facts"), so one sample is a
+    # lottery; best-of is the convention for every other metric here
+    dev_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        results = batched_flow()
+        dev_dt = min(dev_dt, (time.perf_counter() - t0) / N_DEVICE_FOLIOS)
     assert sum(r is not None for r in results) == len(folios)
-    dev_dt = (time.perf_counter() - t0) / N_DEVICE_FOLIOS
-    print(f"# device[{DEVICE_BACKEND}] batched: {dev_dt*1e3:.0f} ms/folio",
-          file=sys.stderr)
+    print(f"# device[{DEVICE_BACKEND}] batched: {dev_dt*1e3:.0f} ms/folio "
+          f"(best of 3)", file=sys.stderr)
 
     # CPU baseline: host oracle pipeline + reference NW + numpy LSTM
     base_rec = baseline_recognizer()

@@ -264,7 +264,18 @@ class SeqRecognizer:
         # upload is the tunnel-facing cost, ~13 ms/MB)
         max_w = max(g.shape[1] for g in inks)
         Wp = max(256, -(-max_w // 256) * 256)
-        B = max(8, 1 << (len(inks) - 1).bit_length())
+        # batch ladder: multiple-of-4 up to 16 (manuscript pages cluster at
+        # 9-12 lines; the old power-of-two ladder padded a 10-strip folio
+        # to 16 — 25% wasted upload bytes), multiple-of-32 above (large
+        # cross-folio sweeps want the sublane/lane-aligned batch: a 121-
+        # strip sweep at B=124 measured ~35% slower raw compute than at
+        # 128). Sharded meshes re-pad to the data-axis size inside
+        # recognize_sharded, so divisibility is not a constraint here.
+        n_inks = len(inks)
+        if n_inks <= 16:
+            B = max(8, -(-n_inks // 4) * 4)
+        else:
+            B = -(-n_inks // 32) * 32
 
         bits = np.zeros((B, Hp, Wp // 8), np.uint8)
         hs = np.zeros(B, np.int32)
