@@ -88,6 +88,36 @@ def test_shear_projections_and_skew(rng):
     ) == oracle.rotation_angle_projections(img, -6, 6)
 
 
+def test_shear_projections_runs_block_edges(rng):
+    """Direct fuzz of the runs-based shear projection entry point across
+    angle-row counts that exercise every dispatch branch: the AVX-512
+    8-lane blocks (full + partial A%8), the A<4 scalar fallback, and the
+    empty-runs edge. Counters must be bit-identical to the per-pixel
+    oracle replay for each shift row."""
+    import ctypes
+
+    from text_alignment_tpu.ops import fixedpoint as fxp
+    from text_alignment_tpu.ops.host_native import _black_runs, _lib
+
+    for W, density in ((160, 0.2), (80, 0.0)):
+        img = _page(rng, h=120, w=W, density=density)
+        runs, n = _black_runs(img.astype(np.uint8))
+        for A in (1, 2, 3, 4, 5, 7, 8, 9, 13, 19):
+            angles = np.linspace(-6, 6, A)
+            shifts = np.ascontiguousarray(
+                np.stack([fxp.shear_shifts(a, W) for a in angles]), np.int32
+            )
+            proj = np.empty((A, img.shape[0]), np.int32)
+            _lib.ta_shear_projections_runs32(
+                runs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+                shifts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                A, img.shape[0], W,
+                proj.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            ref = np.stack([oracle.shear_projection(img, s) for s in shifts])
+            np.testing.assert_array_equal(proj.astype(np.int64), ref)
+
+
 def test_greyscale_onebit(rng):
     rgb = (rng.random((40, 50, 3)) * 255).astype(np.uint8)
     rgba = (rng.random((40, 50, 4)) * 255).astype(np.uint8)
