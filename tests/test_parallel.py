@@ -265,3 +265,36 @@ def test_process_batch_pipelined_chunked_matches_process():
         syl_boxes, _, peaks, _ = seq
         assert json.dumps(r.json_dict, sort_keys=True) == \
                json.dumps(to_JSON_dict(syl_boxes, peaks), sort_keys=True)
+
+
+def test_raster_failure_does_not_strand_ocr_worker():
+    """A raster exception mid-batch must propagate AND terminate the
+    background OCR worker (it loops exactly n times on the strip queue;
+    without the sentinel feed a long-lived serve process would leak one
+    blocked thread per failed batch)."""
+    import threading
+    import time
+
+    import jax
+    import pytest
+    from text_alignment_tpu.models.codec import Codec
+    from text_alignment_tpu.models.lstm_jax import init_bilstm
+    from text_alignment_tpu.models.recognizer import SeqRecognizer
+    from text_alignment_tpu.parallel.batch import process_batch
+
+    codec = Codec()
+    rec = SeqRecognizer(init_bilstm(jax.random.PRNGKey(0), 48, 8, len(codec)),
+                        codec, normalize_on_device=True)
+    before = set(threading.enumerate())
+    bad = np.zeros((40, 30, 2), np.uint8)  # 2 channels: raster rejects it
+    with pytest.raises(ValueError):
+        process_batch([(bad, "a"), (bad, "b"), (bad, "c")], rec,
+                      backend="host")
+    deadline = time.time() + 30.0
+    while time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t not in before and t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"OCR worker thread(s) leaked: {leaked}"

@@ -38,6 +38,10 @@ def to_greyscale(rgb: np.ndarray) -> np.ndarray:
     rgb = np.asarray(rgb)
     if rgb.ndim == 2:
         return rgb.astype(np.uint8)
+    if rgb.shape[2] not in (3, 4):  # same contract as the native engine
+        raise ValueError(
+            f"expected RGB/RGBA/grey image, got {rgb.shape[2]} channels"
+        )
     rgb = rgb.astype(np.int32)
     if rgb.shape[2] == 4:
         a = rgb[..., 3]

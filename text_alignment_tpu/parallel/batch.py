@@ -147,11 +147,22 @@ def process_batch(folios, recognizer, seq_align_params=None,
             ocr_worker = threading.Thread(target=_ocr_worker, daemon=True)
             ocr_worker.start()
         with timer("preprocess"):
-            for raw_image, _ in folios:
-                image, angle, strips, peaks = _raster_one(raw_image)
-                pre.append((image, angle, strips, peaks))
-                if pipelined:
-                    strip_q.put([s.img for s in strips])
+            try:
+                for raw_image, _ in folios:
+                    image, angle, strips, peaks = _raster_one(raw_image)
+                    pre.append((image, angle, strips, peaks))
+                    if pipelined:
+                        strip_q.put([s.img for s in strips])
+            finally:
+                # a raster failure must not strand the worker on
+                # strip_q.get() (it loops exactly n times): feed empty
+                # sentinels for the folios that never rastered so the
+                # thread terminates — a long-lived serve process would
+                # otherwise leak one blocked thread (plus its in-flight
+                # device handles) per failed batch
+                if pipelined and len(pre) < n:
+                    for _ in range(n - len(pre)):
+                        strip_q.put([])
 
     # stage 2: OCR — join the pipelined worker (dispatches + chunked
     # combined downloads), or run one cross-folio batch
