@@ -361,6 +361,14 @@ def test_greyscale_rejects_unsupported_channels(rng):
         host_native.to_greyscale(la)
     with pytest.raises(ValueError):
         host_native._greyscale_hist(la)
+    # all three engines share the contract (the oracle used to raise a
+    # bare IndexError; the device path traced through to a gather error)
+    with pytest.raises(ValueError):
+        oracle.to_greyscale(la)
+    from text_alignment_tpu.ops import device
+
+    with pytest.raises(ValueError):
+        device.to_greyscale(la)
 
 
 def test_run_extraction_word_boundary_widths(rng):

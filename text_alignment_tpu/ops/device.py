@@ -227,6 +227,10 @@ def to_greyscale(rgb):
     rgb = rgb.astype(jnp.int32)
     if rgb.ndim == 2:
         return rgb.astype(jnp.uint8)
+    if rgb.shape[2] not in (3, 4):  # same contract as oracle/native
+        raise ValueError(
+            f"expected RGB/RGBA/grey image, got {rgb.shape[2]} channels"
+        )
     if rgb.shape[2] == 4:
         a = rgb[..., 3]
         rgb = (rgb[..., :3] * a[..., None] + 255 * (255 - a)[..., None] + 127) // 255
