@@ -76,9 +76,11 @@ def _first_max3(a, b, c, enc=(0, 1, 2)):
 
 
 def _unroll_for(chunk: int) -> int:
-    """Largest power-of-two diagonal-retirement factor <= 8 dividing
-    ``chunk`` (production chunks are multiples of 32; tests use odd ones)."""
-    u = 8
+    """Largest power-of-two diagonal-retirement factor <= 32 dividing
+    ``chunk`` (production chunks are multiples of 32; tests use odd ones).
+    Measured raw fill @16k^2: 25.4 GCUPS at 8, 26.3 at 16, 26.9 at 32,
+    27.1 at 64 — 32 is the knee before kernel code size doubles again."""
+    u = 32
     while chunk % u:
         u //= 2
     return max(u, 1)
@@ -177,7 +179,8 @@ def _nw_kernel_body(params_ref, o_ref, t_ref, out_ref, state, CHUNK):
 
         return m1s, x1s, y1s, m_v, x_v, y_v, o_lane
 
-    # manual 8x unroll (Mosaic's fori_loop only supports unroll=1|all):
+    # manual diagonal-retirement unroll (Mosaic's fori_loop only supports
+    # unroll=1|all):
     # the per-diagonal body is issue/latency-bound (measured ~400 ns per
     # diagonal whether the tile is 8 or 16 vregs wide; 8k raw fill
     # 19.3 -> 24.7 GCUPS at 16k^2 from the unroll alone), so retiring
