@@ -337,58 +337,36 @@ def main():
     inj = ocrs[1 : N_DEVICE_FOLIOS + 1]
 
     def batched_flow():
-        # mirrors process_batch's pipelined branch: a background OCR worker
-        # dispatches each folio's strips (upload hidden under raster) and
-        # runs the chunked combined downloads; alignment then runs on the
-        # injected realistic OCR streams (weights are untrained)
-        import queue as _queue
-        import threading
+        # the SAME background OCR worker process_batch's pipelined branch
+        # uses (parallel.batch.PipelinedOCRWorker — shared so the bench can
+        # never drift from the production pipeline): each folio's strips
+        # dispatch as they raster (upload hidden under raster) with chunked
+        # combined downloads; alignment then runs on the injected realistic
+        # OCR streams (weights are untrained)
+        from text_alignment_tpu.parallel.batch import PipelinedOCRWorker
 
         nb = len(pages) - 1
         pre = []
-        worker = None
-        out: dict = {}
-        if dev_rec.normalize_on_device:
-            strip_q: _queue.Queue = _queue.Queue()
-            split = nb // 2 if nb >= 6 else None
-
-            def _ocr_worker():
-                try:
-                    handles = []
-                    first_join = None
-                    for _ in range(nb):
-                        handles.append(dev_rec.dispatch_async(strip_q.get()))
-                        if split is not None and len(handles) == split:
-                            first_join = dev_rec.collect_async_bg(
-                                handles[:split]
-                            )
-                    if first_join is not None:
-                        out["rows"] = first_join() + dev_rec.collect_async(
-                            handles[split:]
-                        )
-                    else:
-                        out["rows"] = dev_rec.collect_async(handles)
-                except BaseException as e:
-                    out["err"] = e
-
-            worker = threading.Thread(target=_ocr_worker, daemon=True)
-            worker.start()
-        for p in pages[1:]:
-            image, eroded, angle = preprocess_images(
-                p.image, backend=DEVICE_BACKEND
-            )
-            strips, peaks, _ = identify_text_lines(
-                image, eroded, backend=DEVICE_BACKEND, verbose=False
-            )
-            pre.append((image, angle, strips, peaks))
+        worker = (PipelinedOCRWorker(dev_rec, nb)
+                  if dev_rec.normalize_on_device else None)
+        try:
+            for p in pages[1:]:
+                image, eroded, angle = preprocess_images(
+                    p.image, backend=DEVICE_BACKEND
+                )
+                strips, peaks, _ = identify_text_lines(
+                    image, eroded, backend=DEVICE_BACKEND, verbose=False
+                )
+                pre.append((image, angle, strips, peaks))
+                if worker is not None:
+                    worker.put([s.img for s in strips])
+                else:
+                    dev_rec.recognize_batch([s.img for s in strips])
+        finally:
             if worker is not None:
-                strip_q.put([s.img for s in strips])
-            else:
-                dev_rec.recognize_batch([s.img for s in strips])
+                worker.abandon()
         if worker is not None:
-            worker.join()
-            if "err" in out:
-                raise out["err"]
+            worker.rows()
         return process_batch(folios, None, backend=DEVICE_BACKEND,
                              existing_ocr=inj, existing_pre=pre)
 

@@ -197,6 +197,22 @@ def test_serve_batched_isolates_bad_job(spool):
     assert receipt["job"]["image"] == "missing.png"  # requeueable spec
 
 
+def test_serve_batched_isolates_malformed_scoring(spool):
+    """A job whose seq_align_params is not a valid scoring list (here a
+    bare int, which tuple() rejects) fails alone in --batch mode instead
+    of crashing the sweep at group-key construction and stranding every
+    claimed job as .job.running."""
+    _make_job(spool, "good_c", 720)
+    _make_job(spool, "bad_scoring", 730, seq_align_params=5)
+
+    stats = serve(spool, model=None, backend="hybrid", once=True, batch=8)
+    assert (stats.processed, stats.failed) == (1, 1)
+    names = sorted(os.listdir(spool))
+    assert "good_c.job.done" in names
+    assert "bad_scoring.job.failed" in names
+    assert not any(x.endswith(".job.running") for x in names)
+
+
 def test_serve_batched_respects_max_jobs(spool):
     for i in range(4):
         _make_job(spool, f"folio_{i}", 800 + 10 * i)

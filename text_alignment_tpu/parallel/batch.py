@@ -39,6 +39,71 @@ class FolioResult:
     json_dict: dict
 
 
+class PipelinedOCRWorker:
+    """Background OCR worker for the stage-major pipeline: dispatches each
+    folio's strips as the raster loop enqueues them (the bit-packed upload
+    is network I/O through the tunnel — GIL released) and runs the chunked
+    combined collects off the critical path. Once half the folios are
+    dispatched, their combined download starts on a second thread and hides
+    under the raster of the remaining folios; only the second half's
+    collect remains exposed after the raster loop ends.
+
+    Protocol: construct with the folio count, call :meth:`put` once per
+    folio (in order), then :meth:`rows` to join. On a raster failure call
+    :meth:`abandon` (idempotent; also safe after full enqueue) so the
+    worker — which loops exactly ``n`` times on the queue — terminates
+    instead of leaking a blocked thread. Shared by ``process_batch`` and
+    the repo benchmark so the two can never drift."""
+
+    def __init__(self, recognizer, n: int):
+        import queue
+        import threading
+
+        self._rec = recognizer
+        self._n = n
+        self._enqueued = 0
+        self._q: queue.Queue = queue.Queue()
+        self._out: dict = {}
+        self._split = n // 2 if n >= 6 else None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            handles = []
+            first_join = None
+            for _ in range(self._n):
+                handles.append(self._rec.dispatch_async(self._q.get()))
+                if self._split is not None and len(handles) == self._split:
+                    first_join = self._rec.collect_async_bg(
+                        handles[: self._split]
+                    )
+            if first_join is not None:
+                self._out["rows"] = first_join() + self._rec.collect_async(
+                    handles[self._split:]
+                )
+            else:
+                self._out["rows"] = self._rec.collect_async(handles)
+        except BaseException as e:  # re-raised at rows()
+            self._out["err"] = e
+
+    def put(self, strips) -> None:
+        self._q.put(strips)
+        self._enqueued += 1
+
+    def abandon(self) -> None:
+        """Feed empty sentinels for folios that never rastered so the
+        worker's fixed-count loop terminates (no-op after full enqueue)."""
+        while self._enqueued < self._n:
+            self.put([])
+
+    def rows(self) -> list:
+        self._thread.join()
+        if "err" in self._out:
+            raise self._out["err"]
+        return self._out["rows"]
+
+
 def process_batch(folios, recognizer, seq_align_params=None,
                   backend: str = "device", preproc_params=None,
                   timer: StageTimer | None = None,
@@ -107,62 +172,21 @@ def process_batch(folios, recognizer, seq_align_params=None,
                 pre = list(ex.map(lambda f: _raster_one(f[0]), folios))
     else:
         pre = []
-        # background OCR worker: dispatch (a bit-packed UPLOAD, network I/O
-        # through the tunnel — GIL released) and the chunked combined
-        # collects both run off the critical path. The worker dispatches
-        # each folio's strips as the raster loop enqueues them; once half
-        # the folios are dispatched, their combined download starts on a
-        # second thread and hides under the raster of the remaining folios.
-        # Only the second half's collect remains exposed after the raster
-        # loop ends.
-        ocr_worker = None
-        ocr_out: dict = {}
-        if pipelined:
-            import queue as _queue
-            import threading
-
-            strip_q: _queue.Queue = _queue.Queue()
-            split = n // 2 if n >= 6 else None
-
-            def _ocr_worker():
-                try:
-                    handles = []
-                    first_join = None
-                    for _ in range(n):
-                        handles.append(
-                            recognizer.dispatch_async(strip_q.get())
-                        )
-                        if split is not None and len(handles) == split:
-                            first_join = recognizer.collect_async_bg(
-                                handles[:split]
-                            )
-                    if first_join is not None:
-                        ocr_out["rows"] = first_join() + \
-                            recognizer.collect_async(handles[split:])
-                    else:
-                        ocr_out["rows"] = recognizer.collect_async(handles)
-                except BaseException as e:  # re-raised at join
-                    ocr_out["err"] = e
-
-            ocr_worker = threading.Thread(target=_ocr_worker, daemon=True)
-            ocr_worker.start()
+        ocr_worker = PipelinedOCRWorker(recognizer, n) if pipelined else None
         with timer("preprocess"):
             try:
                 for raw_image, _ in folios:
                     image, angle, strips, peaks = _raster_one(raw_image)
                     pre.append((image, angle, strips, peaks))
-                    if pipelined:
-                        strip_q.put([s.img for s in strips])
+                    if ocr_worker is not None:
+                        ocr_worker.put([s.img for s in strips])
             finally:
-                # a raster failure must not strand the worker on
-                # strip_q.get() (it loops exactly n times): feed empty
-                # sentinels for the folios that never rastered so the
-                # thread terminates — a long-lived serve process would
-                # otherwise leak one blocked thread (plus its in-flight
-                # device handles) per failed batch
-                if pipelined and len(pre) < n:
-                    for _ in range(n - len(pre)):
-                        strip_q.put([])
+                # a raster failure must not strand the worker (it loops
+                # exactly n times on the queue) — a long-lived serve
+                # process would otherwise leak one blocked thread (plus
+                # its in-flight device handles) per failed batch
+                if ocr_worker is not None:
+                    ocr_worker.abandon()
 
     # stage 2: OCR — join the pipelined worker (dispatches + chunked
     # combined downloads), or run one cross-folio batch
@@ -170,10 +194,7 @@ def process_batch(folios, recognizer, seq_align_params=None,
         all_chars_per_folio = [list(x) for x in existing_ocr]
     elif pipelined:
         with timer("ocr"):
-            ocr_worker.join()
-            if "err" in ocr_out:
-                raise ocr_out["err"]
-            rows_per_folio = ocr_out["rows"]
+            rows_per_folio = ocr_worker.rows()
         all_chars_per_folio = []
         for rows, (_, _, strips, _) in zip(rows_per_folio, pre):
             chars, _ = llocs_to_charboxes(strips, rows)

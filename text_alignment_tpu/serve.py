@@ -138,7 +138,15 @@ def _process_claims_batched(spool, claims, recognizer, backend, verbose):
     groups: dict = {}
     for i, (job, _img, _tr, ocr, _out) in parsed.items():
         params = job.get("seq_align_params")
-        key = (tuple(params) if params else None, ocr is not None)
+        try:
+            # a malformed override (non-iterable, nested lists) must fail
+            # THIS job, not crash the sweep: singleton serving would have
+            # written a .failed receipt and completed the rest
+            key = (tuple(params) if params else None, ocr is not None)
+            hash(key)
+        except Exception:
+            results[i] = ("fail", traceback.format_exc())
+            continue
         groups.setdefault(key, []).append(i)
 
     for (params, has_ocr), idxs in groups.items():
