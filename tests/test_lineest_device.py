@@ -282,3 +282,55 @@ def test_pack_strips_ladder_rungs():
         h, w = g.shape
         assert np.array_equal(unpacked[b, :h, :w], g)
         assert not unpacked[b, h:].any() and not unpacked[b, :, w:].any()
+
+
+def test_pallas_failure_at_collect_falls_back(monkeypatch):
+    """Async dispatches only FAIL at materialization; a kernel-engaged
+    batch whose combined download blows up must disable the kernel and
+    re-dispatch through the scan instead of taking down collect_async."""
+    import jax
+    from text_alignment_tpu.models import lstm_jax, lstm_pallas
+    from text_alignment_tpu.models import recognizer as rec_mod
+    from text_alignment_tpu.models.lstm_jax import init_bilstm
+    from text_alignment_tpu.models.recognizer import SeqRecognizer
+    from text_alignment_tpu.models.codec import Codec
+
+    rng = np.random.default_rng(13)
+    strip = np.zeros((60, 331), dtype=bool)  # width unique to this test
+    strip[20:40] = rng.random((20, 331)) < 0.4
+
+    # force the pallas ROUTE on, but make the "kernel" the working scan so
+    # the async dispatch itself succeeds; the failure is injected at the
+    # combined-download materialization instead
+    monkeypatch.setattr(lstm_jax, "_pallas_disabled", [False])
+    monkeypatch.setattr(
+        lstm_jax, "_use_pallas_scan",
+        lambda *a: not lstm_jax._pallas_disabled[0],
+    )
+    monkeypatch.setattr(lstm_pallas, "bidir_scan_pallas",
+                        lstm_jax._bidir_scan)
+
+    def make_rec106():
+        codec = Codec()
+        params = init_bilstm(jax.random.PRNGKey(0), 48, 106, len(codec))
+        return SeqRecognizer(params, codec, normalize_on_device=True)
+
+    real_concat = rec_mod.jnp.concatenate
+    boom = {"armed": True}
+
+    def concat_boom(*a, **k):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("runtime boom at download")
+        return real_concat(*a, **k)
+
+    monkeypatch.setattr(rec_mod.jnp, "concatenate", concat_boom)
+    rec = make_rec106()
+    handle = rec.dispatch_async([strip])
+    rows = rec.collect_async([handle])
+    assert lstm_jax._pallas_disabled[0]  # guard flipped at collect time
+    # rows equal the plain scan route's
+    monkeypatch.setattr(rec_mod.jnp, "concatenate", real_concat)
+    monkeypatch.setattr(lstm_jax, "_use_pallas_scan", lambda *a: False)
+    rec2 = make_rec106()
+    assert rows == [rec2.recognize_batch([strip])]

@@ -24,33 +24,51 @@ from .lstm_jax import BiLSTMParams, bilstm_forward_batched, params_from_np
 from .ctc import translate_back_batched, llocs_positions
 from .pyrnn import load_pyrnn
 
-def _with_pallas_fallback(fn):
+def _pallas_engaged(B: int, T: int, ns: int) -> bool:
+    """Would this dispatch shape route through the Mosaic LSTM kernel?
+    Mirrors lstm_jax's trace-time gate so the fallback guard can tell a
+    kernel failure from an unrelated error on the scan route."""
+    from . import lstm_jax
+
+    return lstm_jax._use_pallas_scan(B, T, ns)
+
+
+def _disable_pallas_and_warn():
+    from . import lstm_jax
+
+    lstm_jax._pallas_disabled[0] = True
+    import sys
+
+    print("warning: Pallas LSTM path failed; retrying via the XLA "
+          "scan (set TEXT_ALIGNMENT_TPU_NO_PALLAS_LSTM=1 to skip the "
+          "kernel at startup)", file=sys.stderr)
+    # The failed dispatch left its TRACE in the jit caches (routing is
+    # decided at trace time), so without clearing them the retry would
+    # replay the exact same pallas_call jaxpr and die on the same
+    # lowering error. One-time cost: unrelated live programs re-trace
+    # on their next call (their compiled executables re-load from the
+    # persistent compile cache where enabled).
+    jax.clear_caches()
+
+
+def _with_pallas_fallback(fn, engaged: bool = True):
     """Run a recognizer dispatch; if it fails while the Pallas LSTM route
-    is enabled, disable the kernel (lstm_jax._pallas_disabled) and retry
+    is engaged, disable the kernel (lstm_jax._pallas_disabled) and retry
     once through the XLA scan. Engine resilience: a Mosaic compile
     failure on an unexpected runtime must degrade to the (always-correct)
-    scan path, not take down the OCR stage. If the kernel was already
-    disabled — or the retry fails too — the original error propagates."""
+    scan path, not take down the OCR stage. ``engaged=False`` (the shapes
+    routed to the scan anyway, or the kernel is already off) propagates
+    the error directly — an unrelated/transient failure must not cost the
+    fast path for the rest of the process plus a global cache clear plus
+    a doomed identical retry."""
     from . import lstm_jax
 
     try:
         return fn()
     except Exception:
-        if lstm_jax._pallas_disabled[0]:
+        if not engaged or lstm_jax._pallas_disabled[0]:
             raise
-        lstm_jax._pallas_disabled[0] = True
-        import sys
-
-        print("warning: Pallas LSTM path failed; retrying via the XLA "
-              "scan (set TEXT_ALIGNMENT_TPU_NO_PALLAS_LSTM=1 to skip the "
-              "kernel at startup)", file=sys.stderr)
-        # The failed dispatch left its TRACE in the jit caches (routing is
-        # decided at trace time), so without clearing them the retry would
-        # replay the exact same pallas_call jaxpr and die on the same
-        # lowering error. One-time cost: unrelated live programs re-trace
-        # on their next call (their compiled executables re-load from the
-        # persistent compile cache where enabled).
-        jax.clear_caches()
+        _disable_pallas_and_warn()
         return fn()
 
 
@@ -136,6 +154,7 @@ class SeqRecognizer:
 
         ensure_compile_cache()  # idempotent; accelerator backends only
         self.params = params
+        self._ns = int(params.fwd.WGI.shape[0])  # LSTM state size
         self.codec = codec
         self.target_height = target_height
         self.pad = pad
@@ -204,16 +223,21 @@ class SeqRecognizer:
                 xs[bi, :T] = frames
                 lengths[bi] = T
 
-            outputs = _with_pallas_fallback(
-                lambda: bilstm_forward_batched(
+            def run_bucket():
+                # materialize INSIDE the guard: async execution failures
+                # (incl. Mosaic runtime errors) only surface at download
+                outputs = bilstm_forward_batched(
                     self.params, jnp.asarray(xs), jnp.asarray(lengths)
                 )
+                fr, cl, cnt = translate_back_batched(
+                    outputs, jnp.asarray(lengths), max_regions=_MAX_REGIONS,
+                    mode=self.decode
+                )
+                return np.asarray(fr), np.asarray(cl), np.asarray(cnt)
+
+            fr, cl, cnt = _with_pallas_fallback(
+                run_bucket, engaged=_pallas_engaged(B, Tb, self._ns)
             )
-            fr, cl, cnt = translate_back_batched(
-                outputs, jnp.asarray(lengths), max_regions=_MAX_REGIONS,
-                mode=self.decode
-            )
-            fr, cl, cnt = np.asarray(fr), np.asarray(cl), np.asarray(cnt)
 
             for bi, k in enumerate(members):
                 orig_i, frames, raw_w = prepared[k]
@@ -242,12 +266,15 @@ class SeqRecognizer:
                 max_regions=max_regions, decode=self.decode,
             ))
         return _unpack_wire_rows(_with_pallas_fallback(
-            lambda: _recognize_device(
+            # np.asarray inside the guard: async failures surface at
+            # materialization, not dispatch
+            lambda: np.asarray(_recognize_device(
                 self.params, jnp.asarray(packed_bits), jnp.asarray(hs),
                 jnp.asarray(ws), t_max=t_max,
                 target_height=self.target_height, pad=self.pad,
                 max_regions=max_regions, decode=self.decode,
-            )
+            )),
+            engaged=_pallas_engaged(packed_bits.shape[0], t_max, self._ns),
         ))
 
     def _pack_strips(self, inks):
@@ -302,13 +329,46 @@ class SeqRecognizer:
             return ("rows", self.recognize_batch(strips), None)
         packed_bits, hs, ws, Wp = self._pack_strips(inks)
         t_max = self._initial_t_max(Wp, ws[: len(inks)])
+        engaged = _pallas_engaged(packed_bits.shape[0], t_max, self._ns)
         out = _with_pallas_fallback(lambda: _recognize_device(
             self.params, jnp.asarray(packed_bits), jnp.asarray(hs),
             jnp.asarray(ws), t_max=t_max,
             target_height=self.target_height, pad=self.pad,
             max_regions=_WIRE_REGIONS, decode=self.decode,
-        ))  # async jax dispatch: not materialized here
-        return (inks, out, (t_max, packed_bits, hs, ws))
+        ), engaged=engaged)  # async jax dispatch: not materialized here
+        return (inks, out, (t_max, packed_bits, hs, ws, engaged))
+
+    def _materialize_live(self, live):
+        """One combined download for the live handles' async results. An
+        async dispatch only FAILS at materialization (dispatch_async
+        returns unexecuted futures — including this platform's deferred
+        first-execution program build), so the Pallas degrade-to-scan
+        guard must live here too: on a failure whose dispatches engaged
+        the kernel, disable it and re-dispatch each handle synchronously
+        through the XLA scan."""
+        from . import lstm_jax
+
+        try:
+            return np.asarray(jnp.concatenate([h[1] for h in live], axis=0))
+        except Exception:
+            if lstm_jax._pallas_disabled[0] or not any(
+                h[2][4] for h in live
+            ):
+                raise
+            _disable_pallas_and_warn()
+            redone = []
+            for _inks, _out, (t_max, packed_bits, hs, ws, _eng) in live:
+                redone.append(_with_pallas_fallback(
+                    lambda pb=packed_bits, h=hs, w=ws, t=t_max:
+                    _recognize_device(
+                        self.params, jnp.asarray(pb), jnp.asarray(h),
+                        jnp.asarray(w), t_max=t,
+                        target_height=self.target_height, pad=self.pad,
+                        max_regions=_WIRE_REGIONS, decode=self.decode,
+                    ),
+                    engaged=False,  # kernel just disabled: scan route
+                ))
+            return np.concatenate([np.asarray(r) for r in redone], axis=0)
 
     def collect_async(self, handles):
         """Materialize a batch of dispatch_async handles (one combined
@@ -318,9 +378,7 @@ class SeqRecognizer:
             # concat on device -> ONE download for all handles (downloads
             # have a ~30 ms floor each on the remote tunnel), then widen
             # the uint16 wire rows back to int32 on host
-            cat = _unpack_wire_rows(
-                np.asarray(jnp.concatenate([h[1] for h in live], axis=0))
-            )
+            cat = _unpack_wire_rows(self._materialize_live(live))
             splits = np.cumsum([h[1].shape[0] for h in live])[:-1]
             parts = iter(np.split(cat, splits, axis=0))
         results = []
@@ -328,7 +386,7 @@ class SeqRecognizer:
             if handle[0] == "rows":
                 results.append(handle[1])
                 continue
-            inks, _, (t_max, packed_bits, hs, ws) = handle
+            inks, _, (t_max, packed_bits, hs, ws, _engaged) = handle
             packed = next(parts)
             packed = self._escalate_if_clipped(
                 inks, packed, t_max, packed_bits, hs, ws
