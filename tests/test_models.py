@@ -337,13 +337,17 @@ def test_trainer_full_state_resume_exact(tmp_path, rng):
     tr = Trainer(codec=codec, ns=20, lr=3e-3, seed=5)
     for _ in range(3):
         tr.step(xs, xlens, labels, llens)
-    path = tr.save_state(str(tmp_path / "t.state"))
+    path = tr.save_state(str(tmp_path / "t.state"),
+                         extra={"batch_size": 16})
 
     loss_direct = [tr.step(xs, xlens, labels, llens) for _ in range(2)]
 
     tr2 = Trainer.load_state(path)
     assert tr2.iteration == 3
     assert tr2.codec.charset == codec.charset
+    # caller-side settings round-trip (the CLI replays the original run's
+    # RNG draw stream at the SAVED batch size on resume)
+    assert tr2.loaded_extra == {"batch_size": 16}
     loss_resumed = [tr2.step(xs, xlens, labels, llens) for _ in range(2)]
     assert loss_direct == loss_resumed
 

@@ -278,10 +278,19 @@ def cmd_train(args):
         # fast-forward the batch-sampling RNG past the draws the original
         # run already consumed, so the resumed run continues the exact
         # trajectory (assuming the same --lines-dir contents) instead of
-        # replaying the batch sequence from iteration 0
+        # replaying the batch sequence from iteration 0. The replay must
+        # use the ORIGINAL run's batch size (stored in the checkpoint) —
+        # each draw consumes a batch-size-dependent amount of the
+        # Generator stream, so replaying with a different size would
+        # silently diverge from both the continuation and a fresh run.
+        saved_bs = getattr(trainer, "loaded_extra", {}).get(
+            "batch_size", args.batch_size)
+        if saved_bs != args.batch_size:
+            print(f"note: checkpoint was trained with --batch-size "
+                  f"{saved_bs}; replaying its draw stream at that size "
+                  f"(new iterations use --batch-size {args.batch_size})")
         for _ in range(trainer.iteration):
-            rng.choice(idx, size=min(args.batch_size, len(idx)),
-                       replace=False)
+            rng.choice(idx, size=min(saved_bs, len(idx)), replace=False)
     for it in range(args.iterations):
         batch = rng.choice(idx, size=min(args.batch_size, len(idx)),
                            replace=False)
@@ -294,10 +303,10 @@ def cmd_train(args):
             print(f"iter {it}: ctc loss {loss:.4f}")
         if args.save_every and it > 0 and it % args.save_every == 0:
             print("saved", trainer.save(args.output_prefix))
-            print("saved", trainer.save_state(args.output_prefix + ".state"))
+            print("saved", trainer.save_state(args.output_prefix + ".state", extra={"batch_size": args.batch_size}))
 
     print("saved", trainer.save(args.output_prefix))
-    print("saved", trainer.save_state(args.output_prefix + ".state"))
+    print("saved", trainer.save_state(args.output_prefix + ".state", extra={"batch_size": args.batch_size}))
     return 0
 
 

@@ -155,9 +155,12 @@ class Trainer:
     # cold. save_state/load_state round-trip the whole training state
     # (params, opt_state, iteration) for exact resume.
 
-    def save_state(self, path: str) -> str:
+    def save_state(self, path: str, extra: dict | None = None) -> str:
         """Write the full training state; resuming from it continues the
-        trajectory bit-exactly (tested)."""
+        trajectory bit-exactly (tested). ``extra`` stores caller-side
+        settings the trainer itself doesn't own but exact resume needs
+        (e.g. the CLI's batch size, which shapes its RNG draw stream);
+        it round-trips into ``load_state``'s ``loaded_extra``."""
         import pickle
 
         flat, treedef = jax.tree_util.tree_flatten(
@@ -169,7 +172,8 @@ class Trainer:
                        "seed": self.seed, "clip_norm": self.clip_norm,
                        "ground_weight": self.ground_weight,
                        "charset": self.codec.charset,
-                       "iteration": self.iteration},
+                       "iteration": self.iteration,
+                       "extra": dict(extra or {})},
         }
         with open(path, "wb") as f:
             pickle.dump(payload, f, -1)
@@ -200,6 +204,7 @@ class Trainer:
         tr.params = state["params"]
         tr.opt_state = state["opt_state"]
         tr.iteration = cfg["iteration"]
+        tr.loaded_extra = cfg.get("extra", {})
         return tr
 
 
