@@ -173,7 +173,12 @@ def main():
     else:
         tr = Trainer(codec=codec, lr=args.lr, seed=1, clip_norm=None)
         stop_loss = 0.12
-    B = min(32, len(frames_list))
+    # fast: 32-line minibatches keep the step cost constant as the pool
+    # grows; gradual: ALWAYS the whole pool — it exists to reproduce the
+    # original full-batch crawl, so it must not silently switch to
+    # minibatch sampling when --train-pages makes the pool exceed 32
+    B = min(32, len(frames_list)) if args.recipe == "fast" \
+        else len(frames_list)
     rng = np.random.default_rng(0)
     idx = np.arange(len(frames_list))
     # whole-pool batch only when the pool fits one minibatch (built lazily:
