@@ -334,3 +334,30 @@ def test_pallas_failure_at_collect_falls_back(monkeypatch):
     monkeypatch.setattr(lstm_jax, "_use_pallas_scan", lambda *a: False)
     rec2 = make_rec106()
     assert rows == [rec2.recognize_batch([strip])]
+
+
+def test_onebit_front_matches_general_path():
+    """normalize_batch_device(onebit=True) must equal the general path on
+    binary inputs, including the blank and degenerate all-ink strips (the
+    general path's max-grey contrast normalization makes all-ink blank)."""
+    import jax.numpy as jnp
+    from text_alignment_tpu.models.lineest_jax import normalize_batch_device
+
+    rng = np.random.default_rng(5)
+    B, Hp, Wp = 4, 32, 96
+    grey = np.ones((B, Hp, Wp), np.float32)
+    ink = rng.random((Hp, Wp)) < 0.3
+    grey[0, ink] = 0.0          # normal strip
+    # grey[1] stays all background -> blank
+    grey[2, :, :] = 0.0         # all ink within valid -> blank (general path)
+    grey[3, 10:20, 5:60] = 0.0  # band of ink
+    hs = np.array([30, 28, 32, 25], np.int32)
+    ws = np.array([90, 80, 96, 64], np.int32)
+    a = normalize_batch_device(jnp.asarray(grey), jnp.asarray(hs),
+                               jnp.asarray(ws), t_max=256)
+    b = normalize_batch_device(jnp.asarray(grey), jnp.asarray(hs),
+                               jnp.asarray(ws), t_max=256, onebit=True)
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert int(a[1][1]) == 0 and int(a[1][2]) == 0  # blank + all-ink

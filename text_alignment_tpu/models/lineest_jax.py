@@ -182,16 +182,24 @@ def _windowed_mean_w(x, size):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("target_height", "pad", "t_max"),
+    static_argnames=("target_height", "pad", "t_max", "onebit"),
 )
 def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
-                           pad=DEFAULT_PAD, t_max=4096):
+                           pad=DEFAULT_PAD, t_max=4096, onebit=False):
     """Batched CenterNormalizer.measure + normalize + prepare_line.
 
     grey: (B, Hp, Wp) float32, ink-dark (1.0 background), garbage outside
           each strip's (hs[b], ws[b]) region (masked here).
     Returns (frames (B, t_max, target_height) f32, lengths (B,) i32,
     t_raws (B,) i32). lengths = t_raw + 2*pad, 0 for blank strips.
+
+    ``onebit=True`` asserts every valid pixel is exactly 0.0 or 1.0 (the
+    recognizer's bit-unpacked production input): the contrast
+    normalization collapses to boolean reductions — temp IS the ink mask
+    (zeroed, like the general path, for the degenerate all-ink strip
+    whose max grey is 0) — replacing two full-image f32 max reductions
+    and a division pass. Values identical to the general path on such
+    inputs (tested).
     """
     B, Hp, Wp = grey.shape
     i_idx = jnp.arange(Hp, dtype=jnp.int32)
@@ -202,12 +210,20 @@ def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
     grey = jnp.where(valid, grey, 1.0)
 
     NEG = jnp.float32(-1e30)
-    mx = jnp.max(jnp.where(valid, grey, NEG), axis=(1, 2))  # (B,)
-    temp = mx[:, None, None] - grey
-    temp = jnp.where(valid, temp, 0.0)
-    tmax = jnp.max(temp, axis=(1, 2))
-    blank = tmax <= 0.0
-    temp = temp / jnp.where(blank, 1.0, tmax)[:, None, None]
+    if onebit:
+        ink_b = valid & (grey == 0.0)
+        any_ink = jnp.any(ink_b, axis=(1, 2))
+        any_bg = jnp.any(valid & (grey != 0.0), axis=(1, 2))
+        blank = ~(any_ink & any_bg)
+        mx = jnp.where(any_bg, 1.0, 0.0).astype(jnp.float32)  # max grey
+        temp = jnp.where(ink_b & any_bg[:, None, None], 1.0, 0.0)
+    else:
+        mx = jnp.max(jnp.where(valid, grey, NEG), axis=(1, 2))  # (B,)
+        temp = mx[:, None, None] - grey
+        temp = jnp.where(valid, temp, 0.0)
+        tmax = jnp.max(temp, axis=(1, 2))
+        blank = tmax <= 0.0
+        temp = temp / jnp.where(blank, 1.0, tmax)[:, None, None]
 
     hf = hs.astype(jnp.float32)
 
@@ -359,7 +375,7 @@ def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
         return jnp.einsum("bux,bxt->but", o1, Cx.astype(jnp.float32),
                           precision=_HI)
 
-    CH = min(8, B)
+    CH = min(128, B)
     nch = (B + CH - 1) // CH
     Bp = nch * CH
     pad_b = Bp - B

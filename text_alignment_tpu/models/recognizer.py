@@ -116,7 +116,8 @@ def _recognize_device(params, packed_bits, hs, ws, t_max, target_height,
     ink = bits.reshape(B, Hp, Wq * 32)
     grey = 1.0 - ink.astype(jnp.float32)  # ink -> 0.0, background -> 1.0
     frames, lengths, t_raws = normalize_batch_device(
-        grey, hs, ws, target_height=target_height, pad=pad, t_max=t_max
+        grey, hs, ws, target_height=target_height, pad=pad, t_max=t_max,
+        onebit=True,  # grey comes from unpacked bits: exactly {0.0, 1.0}
     )
     outputs = bilstm_forward_batched(params, frames, lengths)
     fr, cl, cnt = translate_back_batched(outputs, lengths,
