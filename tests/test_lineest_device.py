@@ -361,3 +361,28 @@ def test_onebit_front_matches_general_path():
     np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     assert int(a[1][1]) == 0 and int(a[1][2]) == 0  # blank + all-ink
+
+
+def test_banded_conv_route_matches_legacy_routes():
+    """The accelerator-default banded-Toeplitz matmul filter
+    (lineest_jax._conv_rows_banded) must match both legacy routes (FFT
+    below B=128, grouped conv at B>=128) to float32 summation-order
+    tolerance — it is the production route on TPU but CPU tests default
+    away from it, so pin it here explicitly."""
+    import jax.numpy as jnp
+    from text_alignment_tpu.models import lineest_jax as lj
+
+    rng = np.random.default_rng(7)
+    for B, R, W, Hp in [(4, 16, 512, 48), (6, 24, 700, 96)]:
+        hf = jnp.asarray(rng.uniform(20, Hp, B), np.float32)
+        K = 2 * int(4.0 * Hp + 0.5) + 1
+        k = lj._gauss_kernel_bank(1.0 * hf, K)
+        x = jnp.asarray(rng.standard_normal((B, R, W)), jnp.float32)
+        got = np.asarray(lj._conv_rows_banded(x, k))
+        want = np.asarray(lj._conv_rows(x, k))  # CPU default: FFT route
+        np.testing.assert_allclose(got, want, atol=5e-6)
+        # direct float64 correlate oracle on one row
+        kb = np.asarray(k, np.float64)
+        xp = np.pad(np.asarray(x, np.float64), ((0, 0), (0, 0), (K // 2, K // 2)))
+        ref = np.correlate(xp[0, 0], kb[0], mode="valid")
+        np.testing.assert_allclose(got[0, 0], ref, atol=5e-6)
