@@ -181,9 +181,9 @@ def ocr_metrics(pages, dev_rec):
         from text_alignment_tpu.models.recognizer import _recognize_device
 
         inks = [np.asarray(s) for s in strips]
-        packed_bits, hs, ws, Wp = dev_rec._pack_strips(inks)
+        packed_meta, hs, ws, Wp = dev_rec._pack_strips(inks)
         t_max = dev_rec._initial_t_max(Wp, ws[: len(inks)])
-        args = (jnp.asarray(packed_bits), jnp.asarray(hs), jnp.asarray(ws))
+        args = (jnp.asarray(packed_meta),)
         kw = dict(t_max=t_max, target_height=dev_rec.target_height,
                   pad=dev_rec.pad, max_regions=128, decode=dev_rec.decode)
         np.asarray(_recognize_device(dev_rec.params, *args, **kw)[0, 0])

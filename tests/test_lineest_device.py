@@ -114,9 +114,9 @@ def test_thin_ink_line_escalates_frame_bucket():
     seen = []
     orig = rec._dispatch_device
 
-    def spy(packed_bits, hs, ws, t_max, **kw):
+    def spy(packed_meta, t_max, **kw):
         seen.append(t_max)
-        return orig(packed_bits, hs, ws, t_max, **kw)
+        return orig(packed_meta, t_max, **kw)
 
     rec._dispatch_device = spy
     rows = rec.recognize_batch([strip])
@@ -128,8 +128,8 @@ def test_thin_ink_line_escalates_frame_bucket():
     # smoothed center exactly on an int-truncation cliff, where even scipy
     # is summation-order-chaotic; realistic strips are covered by
     # test_lengths_and_frames_match_scipy.)
-    unclipped = int(orig(*_pack_one(strip), 2048)[0, 1])
-    final = int(orig(*_pack_one(strip), seen[-1])[0, 1])
+    unclipped = int(orig(_pack_one(strip), 2048)[0, 1])
+    final = int(orig(_pack_one(strip), seen[-1])[0, 1])
     assert final == unclipped and final > seen[0] - 2 * rec.pad, (
         final, unclipped, seen
     )
@@ -164,9 +164,9 @@ def test_region_wire_cap_escalates(monkeypatch):
     seen = []
     orig = rec2._dispatch_device
 
-    def spy(packed_bits, hs, ws, t_max, **kw):
+    def spy(packed_meta, t_max, **kw):
         seen.append(kw.get("max_regions", rmod._MAX_REGIONS))
-        return orig(packed_bits, hs, ws, t_max, **kw)
+        return orig(packed_meta, t_max, **kw)
 
     rec2._dispatch_device = spy
     rows = rec2.recognize_batch([strip])
@@ -184,9 +184,9 @@ def test_frame_bucket_hint_learned():
     seen = []
     orig = rec._dispatch_device
 
-    def spy(packed_bits, hs, ws, t_max, **kw):
+    def spy(packed_meta, t_max, **kw):
         seen.append(t_max)
-        return orig(packed_bits, hs, ws, t_max, **kw)
+        return orig(packed_meta, t_max, **kw)
 
     rec._dispatch_device = spy
     first = rec.recognize_batch([strip])
@@ -202,14 +202,13 @@ def test_frame_bucket_hint_learned():
 
 def _pack_one(strip):
     B, Hp, Wp = 8, 128, 256
-    bits = np.zeros((B, Hp, Wp // 8), np.uint8)
-    hs = np.zeros(B, np.int32)
-    ws = np.zeros(B, np.int32)
+    bits = np.zeros((B, Hp + 1, Wp // 8), np.uint8)
     h, w = strip.shape
     bits[0, :h, : (w + 7) // 8] = np.packbits(strip, axis=1,
                                               bitorder="little")
-    hs[0], ws[0] = h, w
-    return bits.view(np.int32).reshape(B, Hp, Wp // 32), hs, ws
+    meta = bits.view(np.int32).reshape(B, Hp + 1, Wp // 32)
+    meta[0, Hp, 0], meta[0, Hp, 1] = h, w
+    return meta
 
 
 def test_json_dict_single_line_page():
@@ -270,12 +269,15 @@ def test_pack_strips_ladder_rungs():
     rec = _make_rec()
     rng = np.random.default_rng(3)
     inks = [rng.random((70, 900)) < 0.3, rng.random((61, 1401)) < 0.3]
-    bits, hs, ws, Wp = rec._pack_strips(inks)
-    B, Hp, Wq = bits.shape
+    meta, hs, ws, Wp = rec._pack_strips(inks)
+    B, Hp1, Wq = meta.shape
+    Hp = Hp1 - 1  # trailing row carries each strip's (h, w) metadata
     assert (Hp, Wp, Wq) == (96, 1536, 1536 // 32)
     assert list(hs[:2]) == [70, 61] and list(ws[:2]) == [900, 1401]
+    assert list(meta[:2, Hp, 0]) == [70, 61]
+    assert list(meta[:2, Hp, 1]) == [900, 1401]
     unpacked = np.unpackbits(
-        bits.view(np.uint8).reshape(B, Hp, Wp // 8), axis=2,
+        meta[:, :Hp].view(np.uint8).reshape(B, Hp, Wp // 8), axis=2,
         bitorder="little",
     ).astype(bool)
     for b, g in enumerate(inks):

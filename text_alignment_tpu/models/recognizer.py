@@ -94,14 +94,19 @@ def _bucket_T(t: int) -> int:
     static_argnames=("t_max", "target_height", "pad", "max_regions",
                      "decode"),
 )
-def _recognize_device(params, packed_bits, hs, ws, t_max, target_height,
+def _recognize_device(params, packed_meta, t_max, target_height,
                       pad, max_regions, decode="region"):
     """Fully-fused device OCR: unpack -> normalize -> BiLSTM -> CTC decode
     in ONE dispatch. Strips cross the interconnect as bit-packed int32
     (32x smaller than f32 frames) and every result is packed into a single
     int32 array so only one (small) download comes back.
 
-    packed_bits: (B, Hp, Wp // 32) int32, little-endian bits, 1 = ink.
+    packed_meta: (B, Hp + 1, Wp // 32) int32 — rows [0, Hp) are
+    little-endian strip bits (1 = ink) and the LAST row carries each
+    strip's raw (h, w) in its first two lanes, so the whole dispatch is
+    ONE host->device transfer (three small device_puts per folio measured
+    ~2 ms of the async worker's host share on the single-vCPU host; the
+    extra row is ~1% more upload bytes).
     Returns (B, 6 + 2*max_regions) uint16 rows — the download is the
     latency wall on a remote tunnel, so the result crosses the wire at
     half the int32 width: [count_lo, count_hi, length_lo, length_hi,
@@ -110,6 +115,9 @@ def _recognize_device(params, packed_bits, hs, ws, t_max, target_height,
     both fit uint16 exactly; the three int32 header fields are split into
     lo/hi halves (reassembled by ``_unpack_wire_rows``).
     """
+    hs = packed_meta[:, -1, 0]
+    ws = packed_meta[:, -1, 1]
+    packed_bits = packed_meta[:, :-1]
     B, Hp, Wq = packed_bits.shape
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = (packed_bits.astype(jnp.uint32)[..., None] >> shifts) & 1
@@ -256,13 +264,13 @@ class SeqRecognizer:
 
         return results
 
-    def _dispatch_device(self, packed_bits, hs, ws, t_max,
+    def _dispatch_device(self, packed_meta, t_max,
                          max_regions=_MAX_REGIONS):
         if self.mesh is not None:
-            from ..parallel.infer_dp import recognize_sharded
+            from ..parallel.infer_dp import recognize_sharded_meta
 
-            return _unpack_wire_rows(recognize_sharded(
-                self.params, packed_bits, hs, ws, self.mesh, t_max=t_max,
+            return _unpack_wire_rows(recognize_sharded_meta(
+                self.params, packed_meta, self.mesh, t_max=t_max,
                 target_height=self.target_height, pad=self.pad,
                 max_regions=max_regions, decode=self.decode,
             ))
@@ -270,12 +278,11 @@ class SeqRecognizer:
             # np.asarray inside the guard: async failures surface at
             # materialization, not dispatch
             lambda: np.asarray(_recognize_device(
-                self.params, jnp.asarray(packed_bits), jnp.asarray(hs),
-                jnp.asarray(ws), t_max=t_max,
+                self.params, jnp.asarray(packed_meta), t_max=t_max,
                 target_height=self.target_height, pad=self.pad,
                 max_regions=max_regions, decode=self.decode,
             )),
-            engaged=_pallas_engaged(packed_bits.shape[0], t_max, self._ns),
+            engaged=_pallas_engaged(packed_meta.shape[0], t_max, self._ns),
         ))
 
     def _pack_strips(self, inks):
@@ -305,7 +312,10 @@ class SeqRecognizer:
         else:
             B = -(-n_inks // 32) * 32
 
-        bits = np.zeros((B, Hp, Wp // 8), np.uint8)
+        # +1 metadata row: each strip's raw (h, w) ride in the last row's
+        # first two int32 lanes so the dispatch uploads ONE array (see
+        # _recognize_device's contract)
+        bits = np.zeros((B, Hp + 1, Wp // 8), np.uint8)
         hs = np.zeros(B, np.int32)
         ws = np.zeros(B, np.int32)
         for b, g in enumerate(inks):
@@ -314,7 +324,10 @@ class SeqRecognizer:
                 g, axis=1, bitorder="little"
             )
             hs[b], ws[b] = h, w
-        return bits.view(np.int32).reshape(B, Hp, Wp // 32), hs, ws, Wp
+        meta = bits.view(np.int32).reshape(B, Hp + 1, Wp // 32)
+        meta[:, Hp, 0] = hs
+        meta[:, Hp, 1] = ws
+        return meta, hs, ws, Wp
 
     def dispatch_async(self, strips):
         """Start device OCR for onebit ``strips`` WITHOUT blocking: returns
@@ -328,16 +341,15 @@ class SeqRecognizer:
         inks = [np.asarray(s) for s in strips]
         if self.mesh is not None or not all(g.dtype == bool for g in inks):
             return ("rows", self.recognize_batch(strips), None)
-        packed_bits, hs, ws, Wp = self._pack_strips(inks)
+        packed_meta, hs, ws, Wp = self._pack_strips(inks)
         t_max = self._initial_t_max(Wp, ws[: len(inks)])
-        engaged = _pallas_engaged(packed_bits.shape[0], t_max, self._ns)
+        engaged = _pallas_engaged(packed_meta.shape[0], t_max, self._ns)
         out = _with_pallas_fallback(lambda: _recognize_device(
-            self.params, jnp.asarray(packed_bits), jnp.asarray(hs),
-            jnp.asarray(ws), t_max=t_max,
+            self.params, jnp.asarray(packed_meta), t_max=t_max,
             target_height=self.target_height, pad=self.pad,
             max_regions=_WIRE_REGIONS, decode=self.decode,
         ), engaged=engaged)  # async jax dispatch: not materialized here
-        return (inks, out, (t_max, packed_bits, hs, ws, engaged))
+        return (inks, out, (t_max, packed_meta, ws, engaged))
 
     def _materialize_live(self, live):
         """One combined download for the live handles' async results. An
@@ -353,17 +365,16 @@ class SeqRecognizer:
             return np.asarray(jnp.concatenate([h[1] for h in live], axis=0))
         except Exception:
             if lstm_jax._pallas_disabled[0] or not any(
-                h[2][4] for h in live
+                h[2][3] for h in live
             ):
                 raise
             _disable_pallas_and_warn()
             redone = []
-            for _inks, _out, (t_max, packed_bits, hs, ws, _eng) in live:
+            for _inks, _out, (t_max, packed_meta, _ws, _eng) in live:
                 redone.append(_with_pallas_fallback(
-                    lambda pb=packed_bits, h=hs, w=ws, t=t_max:
+                    lambda pm=packed_meta, t=t_max:
                     _recognize_device(
-                        self.params, jnp.asarray(pb), jnp.asarray(h),
-                        jnp.asarray(w), t_max=t,
+                        self.params, jnp.asarray(pm), t_max=t,
                         target_height=self.target_height, pad=self.pad,
                         max_regions=_WIRE_REGIONS, decode=self.decode,
                     ),
@@ -387,10 +398,10 @@ class SeqRecognizer:
             if handle[0] == "rows":
                 results.append(handle[1])
                 continue
-            inks, _, (t_max, packed_bits, hs, ws, _engaged) = handle
+            inks, _, (t_max, packed_meta, ws, _engaged) = handle
             packed = next(parts)
             packed = self._escalate_if_clipped(
-                inks, packed, t_max, packed_bits, hs, ws
+                inks, packed, t_max, packed_meta
             )
             self._update_fpp_hint(packed, ws, len(inks))
             results.append(self._decode_packed(inks, packed))
@@ -454,14 +465,14 @@ class SeqRecognizer:
             t = Wp
         return min(_MAX_BUCKET, max(_MIN_BUCKET, t))
 
-    def _escalate_if_clipped(self, inks, packed, t_max, packed_bits, hs, ws):
+    def _escalate_if_clipped(self, inks, packed, t_max, packed_meta):
         """Thin-ink lines zoom to MORE frames than the strip is wide
         (scale = 48/2r > 1); if any line hit the frame cap, escalate the
         bucket and rerun so the device path matches the host normalizer's
         un-clipped output (host cap: _MAX_BUCKET). Likewise a line whose
         decode filled the wire's region block (count == R) escalates the
         region cap toward _MAX_REGIONS so no region is dropped.
-        packed_bits is independent of both caps, so no re-packing."""
+        packed_meta is independent of both caps, so no re-packing."""
         R = (packed.shape[1] - 3) // 2
         n = len(inks)
         while True:
@@ -475,7 +486,7 @@ class SeqRecognizer:
                 t_max = min(_MAX_BUCKET, t_max * 2)
             if r_clip:
                 R = min(_MAX_REGIONS, R * 4)
-            packed = self._dispatch_device(packed_bits, hs, ws, t_max,
+            packed = self._dispatch_device(packed_meta, t_max,
                                            max_regions=R)
 
     def _update_fpp_hint(self, packed, ws, n):
@@ -517,12 +528,12 @@ class SeqRecognizer:
         if not strips:
             return []
         inks = [np.asarray(s) for s in strips]
-        packed_bits, hs, ws, Wp = self._pack_strips(inks)
+        packed_meta, hs, ws, Wp = self._pack_strips(inks)
         t_max = self._initial_t_max(Wp, ws[: len(inks)])
-        packed = self._dispatch_device(packed_bits, hs, ws, t_max,
+        packed = self._dispatch_device(packed_meta, t_max,
                                        max_regions=_WIRE_REGIONS)
         packed = self._escalate_if_clipped(
-            inks, packed, t_max, packed_bits, hs, ws
+            inks, packed, t_max, packed_meta
         )
         self._update_fpp_hint(packed, ws, len(inks))
         return self._decode_packed(inks, packed)

@@ -26,37 +26,52 @@ def _sharded_fn(mesh: Mesh, t_max: int, target_height: int, pad: int,
     data = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 
-    def fn(params, packed_bits, hs, ws):
+    def fn(params, packed_meta):
         return _recognize_device(
-            params, packed_bits, hs, ws, t_max=t_max,
+            params, packed_meta, t_max=t_max,
             target_height=target_height, pad=pad, max_regions=max_regions,
             decode=decode,
         )
 
     return jax.jit(
         fn,
-        in_shardings=(repl, data, data, data),
+        in_shardings=(repl, data),
         out_shardings=data,
     )
+
+
+def recognize_sharded_meta(params, packed_meta: np.ndarray, mesh: Mesh,
+                           t_max: int, target_height: int, pad: int,
+                           max_regions: int, decode: str = "region"):
+    """Run the fused recognizer with the batch sharded over ``mesh``.
+
+    ``packed_meta`` is the recognizer's one-upload wire format
+    ((B, Hp + 1, Wp/32) int32 — bits plus a trailing (h, w) metadata row,
+    see models.recognizer._recognize_device). Batch rows padded for
+    data-axis divisibility carry h = w = 0 and decode to zero regions.
+    """
+    n = mesh.shape["data"]
+    B = packed_meta.shape[0]
+    if B % n:
+        pad_b = n - (B % n)
+        packed_meta = np.pad(packed_meta, ((0, pad_b), (0, 0), (0, 0)))
+    fn = _sharded_fn(mesh, t_max, target_height, pad, max_regions,
+                     decode)
+    return np.asarray(fn(params, packed_meta))[:B]
 
 
 def recognize_sharded(params, packed_bits: np.ndarray, hs: np.ndarray,
                       ws: np.ndarray, mesh: Mesh, t_max: int,
                       target_height: int, pad: int, max_regions: int,
                       decode: str = "region"):
-    """Run the fused recognizer with the batch sharded over ``mesh``.
-
-    The batch dim must be divisible by the mesh's data-axis size (the
-    recognizer's power-of-two batch padding guarantees this for meshes of
-    power-of-two size).
-    """
-    n = mesh.shape["data"]
-    B = packed_bits.shape[0]
-    if B % n:
-        pad_b = n - (B % n)
-        packed_bits = np.pad(packed_bits, ((0, pad_b), (0, 0), (0, 0)))
-        hs = np.pad(hs, (0, pad_b))
-        ws = np.pad(ws, (0, pad_b))
-    fn = _sharded_fn(mesh, t_max, target_height, pad, max_regions,
-                     decode)
-    return np.asarray(fn(params, packed_bits, hs, ws))[:B]
+    """Convenience wrapper over :func:`recognize_sharded_meta` for callers
+    holding separate bits/hs/ws arrays (e.g. the driver dry run)."""
+    B, _, Wq = packed_bits.shape
+    meta = np.zeros((B, 1, Wq), packed_bits.dtype)
+    meta[:, 0, 0] = hs
+    meta[:, 0, 1] = ws
+    return recognize_sharded_meta(
+        params, np.concatenate([packed_bits, meta], axis=1), mesh,
+        t_max=t_max, target_height=target_height, pad=pad,
+        max_regions=max_regions, decode=decode,
+    )
