@@ -82,6 +82,61 @@ def test_scoring_grid_size():
     assert list(g[0]) == [5, -4, -2, -2, 0, 0]
 
 
+def test_grid_search_device_alignment_parity():
+    """The batched device grid fill (SURVEY.md §7 step 7: all scoring
+    combinations as vmapped lock-step wavefronts, align_grid_jax via
+    process(existing_alignment=...)) must produce the exact same grid log
+    as the per-combination host NW loop."""
+    from text_alignment_tpu.evaluate import grid_search
+    from text_alignment_tpu.pipeline import process
+    from text_alignment_tpu.synth import corrupt_ocr, ocr_with_spaces
+
+    rng = np.random.default_rng(21)
+    page = make_page(rng, n_lines=3, words_per_line=2)
+    inj = ocr_with_spaces(corrupt_ocr(np.random.default_rng(4),
+                                      page.char_boxes))
+
+    # ground truth = a host run's own boxes under the default scoring,
+    # slightly inflated so non-default combinations score < 1
+    res = process(page.image, page.transcript, existing_ocr=inj,
+                  verbose=False, backend="host",
+                  preproc_params=SYNTH_PARAMS)
+    assert res is not None
+    gt = [
+        {"syl": b["syl"], "difficult": 0,
+         "ul": (b["ul"][0] - 2, b["ul"][1] - 2),
+         "lr": (b["lr"][0] + 2, b["lr"][1] + 2)}
+        for b in ({"syl": s.char, "ul": s.ul, "lr": s.lr}
+                  for s in res[0][:6])
+    ]
+    fixtures = [{
+        "raw_image": page.image,
+        "transcript": page.transcript,
+        "gt_boxes": gt,
+        "existing_ocr": inj,
+        "preproc_params": SYNTH_PARAMS,
+    }]
+    # a small sub-grid keeps the CPU scan compile bounded; includes the
+    # default-adjacent combo and gap-heavy ones that change the alignment
+    params = [
+        [5, -4, -2, -2, 0, 0],
+        [8, -4, -7, -7, -3, 0],
+        [11, -10, -7, -2, -5, 0],
+        [5, -7, -2, -7, 0, -5],
+    ]
+    host_logs, host_ranked = grid_search(
+        fixtures, shuffle=False, backend="host", verbose=False,
+        params_list=params, grid_align="host",
+    )
+    dev_logs, dev_ranked = grid_search(
+        fixtures, shuffle=False, backend="host", verbose=False,
+        params_list=params, grid_align="device",
+    )
+    assert dev_logs == host_logs
+    assert dev_ranked == host_ranked
+    assert len(dev_logs) == 4
+
+
 def _mini_mei():
     NSM = "http://www.music-encoding.org/ns/mei"
     NSI = "http://www.w3.org/XML/1998/namespace"

@@ -128,8 +128,24 @@ def scoring_grid(grid=DEFAULT_GRID) -> np.ndarray:
     return np.array(list(product(*grid)))
 
 
+def _grid_align_on_device() -> bool:
+    """True when an accelerator is available for the batched grid fill
+    (same platform pin logic as pipeline.process's NW routing: never force
+    backend initialization on a pure-host run)."""
+    import os
+
+    plat = (os.environ.get("JAX_PLATFORMS") or "").split(",")[0]
+    if plat == "cpu":
+        return False
+    if plat:
+        return True
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
 def grid_search(fixtures, shuffle=True, seed=None, backend="host",
-                verbose=True):
+                verbose=True, params_list=None, grid_align="auto"):
     """Grid-search scoring parameters over evaluation fixtures.
 
     ``fixtures`` is a list of dicts with keys:
@@ -137,16 +153,30 @@ def grid_search(fixtures, shuffle=True, seed=None, backend="host",
       existing_ocr (list[CharBox] — the stage-injection stream so only
       NW + assembly rerun per combination).
 
+    ``grid_align`` selects how the 729 alignments are computed:
+    "device" batches ALL combinations per fixture into chunked vmapped
+    device dispatches (SURVEY.md §7 step 7: the grid search becomes a
+    vmapped batch of wavefronts — align.nw_jax.align_grid_jax; results
+    bit-identical to the host loop, tests/test_nw.py and
+    tests/test_aux.py); "host" keeps the per-combination host fill;
+    "auto" (default) picks the device batch iff an accelerator platform
+    is active AND the fixture's pair is large enough to beat 729 native
+    host fills (per-fixture decision).
+
     Returns the log dict {params tuple: mean ink-IoU} sorted ascending, like
     the reference's __main__ (:191-198).
     """
     from .pipeline import process, to_JSON_dict
     from .pipeline.preprocess import preprocess_images, identify_text_lines
 
-    params_list = scoring_grid()
+    if params_list is None:
+        params_list = scoring_grid()
+    params_list = np.asarray(params_list)
     if shuffle:
         rng = np.random.default_rng(seed)
         rng.shuffle(params_list)
+    if grid_align == "auto" and not _grid_align_on_device():
+        grid_align = "host"
 
     # preprocess each fixture once (correct_rotation=False for eval images,
     # matching evaluate_text_alignment.py:107), and once more for the
@@ -169,12 +199,37 @@ def grid_search(fixtures, shuffle=True, seed=None, backend="host",
             image, eroded, backend=backend, verbose=False,
             params=fx.get("preproc_params"),
         )
-        prepared.append((fx, eval_img, (strips, peaks)))
+
+        # device grid fill: ALL combinations' alignments for this fixture
+        # in chunked lock-step device dispatches; the per-combination loop
+        # below then injects its combo's (tra_align, ocr_align). The OCR
+        # string must match what process computes internally: the
+        # abbreviation-EXPANDED char stream (pipeline order, reference
+        # alignToOCR.py:251-273).
+        grid_aligns = None
+        if grid_align in ("device", "auto"):
+            from .align.nw_jax import align_grid_jax
+            from .pipeline.assemble import expand_abbreviations
+
+            chars = expand_abbreviations(list(fx["existing_ocr"]))
+            ocr = "".join(c.char for c in chars)
+            # auto: a chant-page pair costs ~1 ms in the native host fill,
+            # so the device batch only pays off once the pair is large
+            # enough that 729 host fills dominate the chunked dispatches
+            # (measured crossover ~500^2 warm; prev-folio-prepended
+            # transcripts clear it easily)
+            if grid_align == "device" or (
+                len(fx["transcript"]) * len(ocr) >= 250_000
+            ):
+                grid_aligns = align_grid_jax(
+                    list(fx["transcript"]), list(ocr), params_list
+                )
+        prepared.append((fx, eval_img, (strips, peaks), grid_aligns))
 
     logs = {}
-    for p in params_list:
+    for pi, p in enumerate(params_list):
         results = []
-        for fx, eval_img, lines in prepared:
+        for fx, eval_img, lines, grid_aligns in prepared:
             result = process(
                 fx["raw_image"],
                 fx["transcript"],
@@ -185,6 +240,9 @@ def grid_search(fixtures, shuffle=True, seed=None, backend="host",
                 preproc_params=fx.get("preproc_params"),
                 verbose=False,
                 backend=backend,
+                existing_alignment=(
+                    None if grid_aligns is None else grid_aligns[pi]
+                ),
             )
             syl_boxes, _, peaks, _ = result
             json_dict = to_JSON_dict(syl_boxes, peaks)

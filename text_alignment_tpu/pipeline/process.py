@@ -108,7 +108,8 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
             wkdir_name=None, parallel=None, median_line_mult=MEDIAN_LINE_MULT,
             existing_ocr_pickle=None, existing_preproc_images=None,
             verbose=True, backend="host", existing_ocr=None, timer=None,
-            preproc_params=None, stage_cache=None, existing_lines=None):
+            preproc_params=None, stage_cache=None, existing_lines=None,
+            existing_alignment=None):
     """Align ``transcript`` to the text-layer ``raw_image``.
 
     raw_image: (H, W[, C]) uint8/bool numpy array (or anything np.asarray
@@ -237,35 +238,46 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
     all_chars_copy = list(all_chars)
 
     # -- ALIGNMENT + ASSEMBLY --
-    with timer("align"):
-        # hybrid routes by pair size ("auto"): a chant-page alignment is
-        # ~1 ms in the native host fill but a device dispatch pays the
-        # ~35 ms tunnel round trip — only pairs past the cells threshold
-        # (align.api.auto_device_min_cells) go to the device wavefront.
-        # Results are bit-identical either way (tested).
-        nw_backend = {"host": "host", "device": "jax", "hybrid": "auto"}.get(
-            backend, "auto"
-        )
-        if nw_backend == "auto" and backend == "hybrid":
-            # hybrid on a CPU-only runtime: the numpy fill beats paying an
-            # XLA scan compile for every new size bucket. Decided from the
-            # pinned platform config, NOT jax.default_backend() — backend
-            # initialization can block for tens of seconds on this runtime
-            # and must not be forced on a pure-host code path.
-            import os as _os
+    # existing_alignment: a precomputed (tra_align, ocr_align) pair — the
+    # NW-stage analog of the other existing_* hooks, for callers that
+    # batch MANY alignments of one char stream in a single device dispatch
+    # (the 729-combination grid search via align.nw_jax.align_grid_jax).
+    # It MUST have been computed from this exact transcript and the
+    # abbreviation-expanded OCR stream; group_syllables' length assert
+    # (reference alignToOCR.py:291-292) still guards the contract.
+    if existing_alignment is not None:
+        tra_align, ocr_align = existing_alignment
+    else:
+        with timer("align"):
+            # hybrid routes by pair size ("auto"): a chant-page alignment
+            # is ~1 ms in the native host fill but a device dispatch pays
+            # the ~35 ms tunnel round trip — only pairs past the cells
+            # threshold (align.api.auto_device_min_cells) go to the device
+            # wavefront. Results are bit-identical either way (tested).
+            nw_backend = {
+                "host": "host", "device": "jax", "hybrid": "auto",
+            }.get(backend, "auto")
+            if nw_backend == "auto" and backend == "hybrid":
+                # hybrid on a CPU-only runtime: the numpy fill beats paying
+                # an XLA scan compile for every new size bucket. Decided
+                # from the pinned platform config, NOT
+                # jax.default_backend() — backend initialization can block
+                # for tens of seconds on this runtime and must not be
+                # forced on a pure-host code path.
+                import os as _os
 
-            _plat = (_os.environ.get("JAX_PLATFORMS") or "").split(",")[0]
-            if _plat == "cpu":
-                nw_backend = "host"
-            elif not _plat:
-                import jax as _jax
-
-                if _jax.default_backend() == "cpu":
+                _plat = (_os.environ.get("JAX_PLATFORMS") or "").split(",")[0]
+                if _plat == "cpu":
                     nw_backend = "host"
-        tra_align, ocr_align = perform_alignment(
-            list(transcript), list(ocr), scoring_system=seq_align_params,
-            verbose=False, backend=nw_backend,
-        )
+                elif not _plat:
+                    import jax as _jax
+
+                    if _jax.default_backend() == "cpu":
+                        nw_backend = "host"
+            tra_align, ocr_align = perform_alignment(
+                list(transcript), list(ocr), scoring_system=seq_align_params,
+                verbose=False, backend=nw_backend,
+            )
     tra_align = "".join(tra_align)
     ocr_align = "".join(ocr_align)
 
