@@ -261,6 +261,35 @@ def nw_gcups_stress(n=8191):
     return lat, thr, raw
 
 
+def grid_sweep_metric(pages, ocrs):
+    """Secondary metric: the reference's 729-combination scoring grid
+    search (evaluate_text_alignment.py:181-189) — NW stage only — as
+    batched lock-step wavefront dispatches (align.api.align_grid), on the bench
+    folio's chant-sized pair and on a prev-folio-prepended-sized pair
+    (parse_cantus_csv.py:109-117 doubles transcripts in production)."""
+    import random
+    from text_alignment_tpu.align.api import align_grid
+    from text_alignment_tpu.evaluate import scoring_grid
+    from text_alignment_tpu.pipeline.assemble import expand_abbreviations
+
+    params = scoring_grid()
+    chars = expand_abbreviations(list(ocrs[1]))
+    ocr = "".join(c.char for c in chars)
+    tra = list(pages[1].transcript)
+    rng = random.Random(0)
+    big_t = [rng.choice("abcdefgh ") for _ in range(2400)]
+    big_o = [rng.choice("abcdefgh ") for _ in range(2400)]
+    for label, t, o in (("chant page", tra, list(ocr)),
+                        ("2400^2 stress", big_t, big_o)):
+        align_grid(t, o, params[:128])  # warm the chunk program
+        t0 = time.perf_counter()
+        align_grid(t, o, params)
+        dt = time.perf_counter() - t0
+        print(f"# scoring grid sweep ({label}, {len(t)}x{len(o)}): "
+              f"729 alignments in {dt:.2f}s = {729/dt:.0f} combos/s",
+              file=sys.stderr)
+
+
 def _probe_backend() -> bool:
     """Return True when the accelerator is unusable and the bench must
     degrade to CPU. The driver scores this file's one JSON line; a wedged
@@ -473,6 +502,12 @@ def main():
             ocr_metrics(pages, dev_rec)
     except Exception as e:  # secondary metric must not sink the headline
         print(f"# ocr metric failed: {e}", file=sys.stderr)
+
+    try:
+        if not degraded:
+            grid_sweep_metric(pages, ocrs)
+    except Exception as e:  # secondary metric must not sink the headline
+        print(f"# grid sweep metric failed: {e}", file=sys.stderr)
 
     try:
         if degraded:

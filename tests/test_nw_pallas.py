@@ -63,6 +63,33 @@ def test_pallas_batched_kernel_interpret():
         assert got == ref, f"pair {i} diverged"
 
 
+def test_pallas_grid_per_pair_scoring_interpret():
+    """Per-pair scoring params in the pair-packed kernel (the grid-search
+    path): one pair under several scoring systems, each packed pair
+    reading its OWN params row — every alignment must equal the host fill
+    under that scoring. Includes a small-chunk override (G > 1 carry) and
+    a non-multiple-of-P row count (tail padding discarded)."""
+    from text_alignment_tpu.align.nw_pallas import align_grid_pallas
+    from text_alignment_tpu.align import perform_alignment
+
+    rng = random.Random(3)
+    t = [rng.choice("abcde ") for _ in range(60)]
+    o = [rng.choice("abcde ") for _ in range(85)]
+    params = [
+        [5, -4, -2, -2, 0, 0],
+        [8, -4, -7, -7, -3, 0],
+        [11, -10, -7, -2, -5, 0],
+        [5, -7, -2, -7, 0, -5],
+        [8, -10, -5, -5, 0, -3],
+    ]
+    got = align_grid_pallas(t, o, params, interpret=not _on_tpu, chunk=13)
+    assert len(got) == len(params)
+    for i, p in enumerate(params):
+        ref = perform_alignment(t, o, scoring_system=list(p),
+                                backend="host")
+        assert got[i] == ref, f"scoring row {i} diverged"
+
+
 def test_pallas_singleton_multichunk_interpret():
     """G > 1 carry for the non-batched kernel via the chunk override."""
     from text_alignment_tpu.align.scoring import resolve_scoring

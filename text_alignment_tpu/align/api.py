@@ -53,6 +53,28 @@ def _device_align_ops(sc):
     return lambda t, o, s: align_jax_ops(t, o, s)
 
 
+def align_grid(transcript, ocr, params_list):
+    """One (transcript, ocr) pair aligned under MANY integer scoring rows
+    [match, mismatch, gox, goy, gex, gey] — the 729-combination grid
+    search (evaluate_text_alignment.py:181-189) as batched lock-step
+    wavefronts. Routes to the pair-packed Pallas kernel with per-pair
+    scoring on real TPU (TEXT_ALIGNMENT_TPU_NO_PALLAS=1 opts out), the
+    vmapped XLA scan otherwise; both are bit-identical to the host loop.
+    Returns a list of (tra_align, ocr_align) per row."""
+    import os
+
+    if not os.environ.get("TEXT_ALIGNMENT_TPU_NO_PALLAS"):
+        import jax
+
+        from . import nw_pallas
+
+        if jax.default_backend() == "tpu":
+            return nw_pallas.align_grid_pallas(transcript, ocr, params_list)
+    from .nw_jax import align_grid_jax
+
+    return align_grid_jax(transcript, ocr, params_list)
+
+
 def perform_alignment(transcript, ocr, scoring_system=None, verbose=False,
                       backend="auto"):
     """Globally align ``transcript`` against ``ocr``.

@@ -232,7 +232,8 @@ def _fill_pallas(t_ext2d, o_feed, params, L, NoP, interpret=False,
     return out if keep_padding else out[:D]
 
 
-def _make_nw_kernel_batched(chunk: int, R: int, P: int):
+def _make_nw_kernel_batched(chunk: int, R: int, P: int,
+                            per_pair: bool = False):
     """Pair-PACKED variant: P pairs share one (P*R, 128) tile, filling in
     sublane-axis lockstep (small buckets have R = L/128 < 8 rows, so a
     lone pair wastes most of every (8, 128) vreg — packing restores full
@@ -241,7 +242,17 @@ def _make_nw_kernel_batched(chunk: int, R: int, P: int):
     at g == 0 for every new pair group. Per-pair semantics are identical
     to the singleton kernel: shifts and the OCR feed respect pair
     boundaries (head row per R-row block), and lane indices/boundary
-    conditions are computed per pair."""
+    conditions are computed per pair.
+
+    ``per_pair=True`` gives every packed pair its OWN scoring parameters
+    (params_ref becomes SMEM (BG, P, 8)): the six scalars turn into
+    (P*R, 1) per-sublane-block columns built once per grid row, so the
+    recurrence's scalar adds become broadcast vector adds (same VPU op
+    count). This is the 729-combination grid-search path — one pair
+    replicated under many scorings (SURVEY.md §7 step 7). The boundary
+    rows keep the scoring-INDEPENDENT module-global gap_extend = -1
+    (reference textSeqCompare.py:53-60 quirk), so they need no per-pair
+    form."""
     PR = P * R
 
     def _nw_kernel_b(params_ref, o_ref, t_ref, out_ref, state):
@@ -261,12 +272,27 @@ def _make_nw_kernel_batched(chunk: int, R: int, P: int):
             state[...] = jnp.full((7, PR, LANE), NEG, jnp.int32)
             state[6] = jnp.zeros((PR, LANE), jnp.int32)
 
-        match = params_ref[0]
-        mismatch = params_ref[1]
-        gox_gex = params_ref[2]
-        goy_gey = params_ref[3]
-        gex = params_ref[4]
-        gey = params_ref[5]
+        if per_pair:
+            def _pp(idx):
+                v = jnp.full((PR, 1), params_ref[bp, 0, idx], jnp.int32)
+                for p in range(1, P):  # static cascade over packed pairs
+                    v = jnp.where(row_ids[:, :1] >= p * R,
+                                  params_ref[bp, p, idx], v)
+                return v
+
+            match = _pp(0)
+            mismatch = _pp(1)
+            gox_gex = _pp(2)
+            goy_gey = _pp(3)
+            gex = _pp(4)
+            gey = _pp(5)
+        else:
+            match = params_ref[0]
+            mismatch = params_ref[1]
+            gox_gex = params_ref[2]
+            goy_gey = params_ref[3]
+            gex = params_ref[4]
+            gey = params_ref[5]
 
         t_ext = t_ref[0]
         carry0 = (state[0], state[1], state[2], state[3], state[4],
@@ -337,12 +363,16 @@ def _make_nw_kernel_batched(chunk: int, R: int, P: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("L", "NoP", "interpret", "chunk"))
+                   static_argnames=("L", "NoP", "interpret", "chunk",
+                                    "per_pair"))
 def _fill_pallas_batched(t_ext3d, o_feed3d, params, L, NoP,
-                         interpret=False, chunk=None):
+                         interpret=False, chunk=None, per_pair=False):
     """Fill B same-bucket pairs in ONE kernel invocation, P = 8 // R pairs
     packed per tile. t_ext3d: (B, R, LANE) int32; o_feed3d: (B, G, CHUNK)
-    int32. Returns packed pointers (B, D, L) uint8."""
+    int32. Returns packed pointers (B, D, L) uint8.
+
+    ``per_pair=True``: params is (B, 8) int32 — one scoring row per pair
+    (the grid-search path); otherwise params is the shared (8,) row."""
     B = t_ext3d.shape[0]
     R = L // LANE
     D = L + NoP - 1
@@ -361,11 +391,15 @@ def _fill_pallas_batched(t_ext3d, o_feed3d, params, L, NoP,
             [t_ext3d, jnp.repeat(t_ext3d[:1], pad, axis=0)], axis=0)
         o_feed3d = jnp.concatenate(
             [o_feed3d, jnp.repeat(o_feed3d[:1], pad, axis=0)], axis=0)
+        if per_pair:
+            params = jnp.concatenate(
+                [params, jnp.repeat(params[:1], pad, axis=0)], axis=0)
     BG = Bp // P
     t4 = t_ext3d.reshape(BG, P * R, LANE)
     o4 = o_feed3d.reshape(BG, P, G, CHUNK)
+    p_arg = params.reshape(BG, P, 8) if per_pair else params
     out = pl.pallas_call(
-        _make_nw_kernel_batched(CHUNK, R, P),
+        _make_nw_kernel_batched(CHUNK, R, P, per_pair=per_pair),
         grid=(BG, G),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -380,7 +414,7 @@ def _fill_pallas_batched(t_ext3d, o_feed3d, params, L, NoP,
                                        jnp.uint8),
         scratch_shapes=[pltpu.VMEM((7, P * R, LANE), jnp.int32)],
         interpret=interpret,
-    )(params, o4, t4)
+    )(p_arg, o4, t4)
     # (BG, GC, P, R, LANE) -> (Bp, GC, L): pair-major rows back to a
     # per-pair diagonal layout identical to the singleton kernel's
     out = (out.reshape(BG, G * CHUNK, P, R * LANE)
@@ -390,13 +424,15 @@ def _fill_pallas_batched(t_ext3d, o_feed3d, params, L, NoP,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("L", "NoP", "interpret", "chunk"))
+                   static_argnames=("L", "NoP", "interpret", "chunk",
+                                    "per_pair"))
 def _align_fused_pairs_pallas(t_ext3d, o_feed3d, params, Nts, Nos, L, NoP,
-                              interpret=False, chunk=None):
+                              interpret=False, chunk=None, per_pair=False):
     from .nw_jax import _traceback_ops
 
     packed = _fill_pallas_batched(t_ext3d, o_feed3d, params, L=L, NoP=NoP,
-                                  interpret=interpret, chunk=chunk)
+                                  interpret=interpret, chunk=chunk,
+                                  per_pair=per_pair)
 
     # vmapped XLA traceback: all pairs walk in lock-step, one vectorized
     # gather per path step — at B >= 8 this amortizes better than B
@@ -728,3 +764,100 @@ def align_pallas_ops(transcript, ocr, sc: Scoring, interpret=False):
     ))
     ops = (wire[3:, None] >> (2 * np.arange(16, dtype=np.int32))) & 3
     return ops.reshape(-1), int(wire[0]), int(wire[1]), int(wire[2])
+
+
+# pointer-tensor HBM budget for one grid-fill dispatch: each pair's packed
+# pointers occupy G*CHUNK * L bytes on device until its traceback runs
+_GRID_PTR_BUDGET = 768 << 20
+
+
+def align_grid_pallas(transcript, ocr, params_list, interpret=False,
+                      chunk=None):
+    """Batched alignment of ONE (transcript, ocr) pair under MANY integer
+    scoring systems on the pair-packed Pallas kernel (per-pair scoring
+    params — the 729-combination grid search as lock-step wavefronts,
+    SURVEY.md §7 step 7). Same contract as nw_jax.align_grid_jax: returns
+    a list of (tra_align, ocr_align) per params row; sentinel appended
+    here. Bit-identical to the host loop (tie-breaking shared with the
+    singleton kernel; parity pinned in tests)."""
+    from .nw_jax import replay_ops
+
+    transcript = list(transcript) + [" "]
+    ocr = list(ocr) + [" "]
+    Nt, No = len(transcript), len(ocr)
+    t_ids, o_ids = _token_ids(transcript, ocr)
+
+    L = _bucket(Nt)
+    NoP = _bucket(No)
+    D = L + NoP - 1
+    CHUNK = chunk or _chunk_for(L)
+    G = (D + CHUNK - 1) // CHUNK
+
+    t_ext = np.zeros(L, np.int32)
+    t_ext[1:Nt] = t_ids[: Nt - 1]
+    o_feed = np.zeros(G * CHUNK, np.int32)
+    o_feed[1:No] = o_ids[: No - 1]
+
+    p6 = np.asarray(params_list, np.int32)
+    assert p6.shape[1] == 6
+    B = len(p6)
+    # 6-form [match, mismatch, gox, goy, gex, gey] -> kernel rows
+    # [match, mismatch, gox+gex, goy+gey, gex, gey, NoP, D]
+    rows = np.empty((B, 8), np.int32)
+    rows[:, 0] = p6[:, 0]
+    rows[:, 1] = p6[:, 1]
+    rows[:, 2] = p6[:, 2] + p6[:, 4]
+    rows[:, 3] = p6[:, 3] + p6[:, 5]
+    rows[:, 4] = p6[:, 4]
+    rows[:, 5] = p6[:, 5]
+    rows[:, 6] = NoP
+    rows[:, 7] = D
+
+    # chunk the combination axis: the resident pointer tensors must stay
+    # within the HBM budget AND the kernel's whole-array SMEM operands
+    # (o_feed is (BG, P, G, CHUNK) in SMEM) within the scoped-memory cap
+    # that the shared-params folio path is known to fit (256 KB of feed —
+    # 16 pairs of a 2048 bucket). P-pair groups inside _fill_pallas_batched
+    # pad the tail chunk with copies of its first row (discarded).
+    per_pair_bytes = G * CHUNK * L
+    bc = max(1, min(128, _GRID_PTR_BUDGET // max(1, per_pair_bytes)))
+    bc = min(bc, max(1, (256 << 10) // (G * CHUNK * 4)))
+    P = max(1, 32 // (L // LANE))
+    bc = max(P, (bc // P) * P)
+    bc = min(bc, ((B + P - 1) // P) * P)  # don't pad past the grid size
+
+    t3_c = np.broadcast_to(t_ext.reshape(1, L // LANE, LANE),
+                           (bc, L // LANE, LANE))
+    o3_c = np.broadcast_to(o_feed.reshape(1, G, CHUNK), (bc, G, CHUNK))
+    Nts = np.full(bc, Nt, np.int32)
+    Nos = np.full(bc, No, np.int32)
+
+    # dispatch every chunk before materializing any (async jax dispatch):
+    # the per-dispatch round trip rides the tunnel while earlier chunks'
+    # wires download / replay on host
+    t3_j, o3_j = jnp.asarray(t3_c), jnp.asarray(o3_c)
+    Nts_j, Nos_j = jnp.asarray(Nts), jnp.asarray(Nos)
+    wires = []
+    counts = []
+    for c0 in range(0, B, bc):
+        pr = rows[c0 : c0 + bc]
+        n = len(pr)
+        if n < bc:  # keep one compiled shape: pad the tail chunk
+            pr = np.concatenate([pr, np.repeat(pr[:1], bc - n, axis=0)])
+        wires.append(_align_fused_pairs_pallas(
+            t3_j, o3_j, jnp.asarray(pr), Nts_j, Nos_j,
+            L=L, NoP=NoP, interpret=interpret, chunk=chunk, per_pair=True,
+        ))
+        counts.append(n)
+    results = []
+    for wire_j, n in zip(wires, counts):
+        wire = np.asarray(wire_j)
+        k, xpt, ypt = wire[:, 0], wire[:, 1], wire[:, 2]
+        ops = (wire[:, 3:, None] >> (2 * np.arange(16, dtype=np.int32))) & 3
+        ops = ops.reshape(bc, -1)
+        for b in range(n):
+            results.append(
+                replay_ops(transcript, ocr, ops[b], int(k[b]), int(xpt[b]),
+                           int(ypt[b]))
+            )
+    return results

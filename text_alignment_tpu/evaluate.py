@@ -208,20 +208,24 @@ def grid_search(fixtures, shuffle=True, seed=None, backend="host",
         # alignToOCR.py:251-273).
         grid_aligns = None
         if grid_align in ("device", "auto"):
-            from .align.nw_jax import align_grid_jax
+            from .align.api import align_grid as _align_grid
             from .pipeline.assemble import expand_abbreviations
 
             chars = expand_abbreviations(list(fx["existing_ocr"]))
             ocr = "".join(c.char for c in chars)
             # auto: a chant-page pair costs ~1 ms in the native host fill,
             # so the device batch only pays off once the pair is large
-            # enough that 729 host fills dominate the chunked dispatches
-            # (measured crossover ~500^2 warm; prev-folio-prepended
-            # transcripts clear it easily)
+            # enough that 729 host fills dominate the chunked dispatches.
+            # On TPU the per-pair-scoring Pallas kernel wins from ~200^2
+            # (measured 0.24 s vs 0.5 s of host fills at 244^2); other
+            # accelerators run the vmapped scan, crossover ~500^2 warm.
+            import jax
+
+            thr = 40_000 if jax.default_backend() == "tpu" else 250_000
             if grid_align == "device" or (
-                len(fx["transcript"]) * len(ocr) >= 250_000
+                len(fx["transcript"]) * len(ocr) >= thr
             ):
-                grid_aligns = align_grid_jax(
+                grid_aligns = _align_grid(
                     list(fx["transcript"]), list(ocr), params_list
                 )
         prepared.append((fx, eval_img, (strips, peaks), grid_aligns))
