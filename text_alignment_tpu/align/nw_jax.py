@@ -238,36 +238,45 @@ def replay_ops(transcript, ocr, ops, count, xpt_tail, ypt_tail):
     """Host replay of the device op sequence into aligned element lists —
     byte-identical to the reference traceback's output
     (textSeqCompare.py:96-170), including the forced sentinel pair and the
-    [-1:0:-1] reversal."""
-    tra_align = [transcript[len(transcript) - 1]]
-    ocr_align = [ocr[len(ocr) - 1]]
+    [-1:0:-1] reversal.
+
+    Vectorized: the op stream decodes to exclusive prefix sums of the two
+    cursor decrements, so every emitted element is one fancy-indexed
+    lookup instead of a Python loop step (the 729-combination grid replays
+    ~3.5M steps per sweep — the loop form was a measurable slice of the
+    grid wall)."""
     xpt = len(transcript) - 1
     ypt = len(ocr) - 1
-    for idx in range(count):
-        op = int(ops[idx])
-        if op == 0:
-            tra_align.append(transcript[xpt - 1])
-            ocr_align.append(ocr[ypt - 1])
-            xpt -= 1
-            ypt -= 1
-        elif op == 1:
-            tra_align.append(transcript[xpt - 1])
-            ocr_align.append("_")
-            xpt -= 1
-        else:
-            tra_align.append("_")
-            ocr_align.append(ocr[ypt - 1])
-            ypt -= 1
+    if count > 0:
+        o = np.asarray(ops[:count], np.int64)
+        dx = o != 2  # op 0 (diag) and 1 (x-gap) consume a transcript char
+        dy = o != 1  # op 0 (diag) and 2 (y-gap) consume an OCR char
+        cx = np.cumsum(dx)
+        cy = np.cumsum(dy)
+        xpt_i = xpt - cx + dx  # cursor value BEFORE each step
+        ypt_i = ypt - cy + dy
+        t_arr = np.array(transcript, dtype=object)
+        o_arr = np.array(ocr, dtype=object)
+        gap = np.array(["_"], dtype=object)[0]
+        tra_mid = np.where(dx, t_arr[xpt_i - 1], gap)
+        ocr_mid = np.where(dy, o_arr[ypt_i - 1], gap)
+        tra_align = [transcript[xpt]] + list(tra_mid)
+        ocr_align = [ocr[ypt]] + list(ocr_mid)
+        xpt -= int(cx[-1])
+        ypt -= int(cy[-1])
+    else:
+        tra_align = [transcript[xpt]]
+        ocr_align = [ocr[ypt]]
     assert xpt == xpt_tail and ypt == ypt_tail
 
-    while ypt > 0:
-        tra_align.append("_")
-        ocr_align.append(ocr[ypt - 1])
-        ypt -= 1
-    while xpt > 0:
-        ocr_align.append("_")
-        tra_align.append(transcript[xpt - 1])
-        xpt -= 1
+    if ypt > 0:
+        tra_align.extend(["_"] * ypt)
+        ocr_align.extend(ocr[ypt - 1 :: -1])
+        ypt = 0
+    if xpt > 0:
+        ocr_align.extend(["_"] * xpt)
+        tra_align.extend(transcript[xpt - 1 :: -1])
+        xpt = 0
 
     return tra_align[-1:0:-1], ocr_align[-1:0:-1]
 
