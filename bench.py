@@ -402,6 +402,7 @@ def main():
     from text_alignment_tpu.parallel.batch import process_batch
     from text_alignment_tpu.pipeline.preprocess import (
         preprocess_images,
+        preprocess_stream,
         identify_text_lines,
     )
 
@@ -423,10 +424,13 @@ def main():
                   if getattr(dev_rec, "normalize_on_device", False)
                   else None)
         try:
-            for p in pages[1:]:
-                image, eroded, angle = preprocess_images(
-                    p.image, backend=DEVICE_BACKEND
-                )
+            # preprocess_stream = the production raster: on accelerators
+            # each folio's skew search runs as a grouped async device
+            # dispatch hidden under the next folios' host raster
+            stream = preprocess_stream(
+                [p.image for p in pages[1:]], backend=DEVICE_BACKEND
+            )
+            for image, eroded, angle in stream:
                 strips, peaks, _ = identify_text_lines(
                     image, eroded, backend=DEVICE_BACKEND, verbose=False
                 )

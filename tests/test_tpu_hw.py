@@ -217,3 +217,29 @@ sys.stdout.buffer.write(pickle.dumps(rows))
 
         outs.append(pickle.loads(proc.stdout))
     assert outs[0] == outs[1]
+
+
+def test_device_skew_matches_host_on_tpu(on_tpu):
+    """The grouped device skew search (ops.skew_device) must be
+    bit-identical to the host search on the real chip — the f32 one-hot
+    matmul projections and two-limb int32 criterion are integer-exact by
+    construction, but this re-checks the claim on actual MXU passes."""
+    from text_alignment_tpu.ops import oracle, skew_device
+
+    rng = np.random.default_rng(99)
+    pages = []
+    for _ in range(3):
+        H, W = int(rng.integers(300, 900)), int(rng.integers(300, 900))
+        page = np.zeros((H, W), bool)
+        t = np.tan(np.radians(float(rng.uniform(-5, 5))))
+        for y0 in range(10, H - 5, max(8, H // 10)):
+            xs = rng.integers(0, W, size=W // 2)
+            ys = (y0 + t * (xs - W // 2)).astype(int)
+            ok = (ys >= 0) & (ys < H)
+            page[ys[ok], xs[ok]] = True
+        pages.append(page)
+    w = skew_device.GroupedSkewWorker(group=2)
+    slots = [w.put(p.astype(np.uint8)) for p in pages]
+    w.finish()
+    for p, s in zip(pages, slots):
+        assert w.angle(s) == oracle.rotation_angle_projections(p, -6, 6)

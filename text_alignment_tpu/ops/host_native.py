@@ -475,26 +475,19 @@ def nw_fill(t_ids: np.ndarray, o_ids: np.ndarray, match: int, mismatch: int,
     return mat_ptr, x_ptr, y_ptr
 
 
-def preprocess_page(input_image: np.ndarray, despeckle_amt: int,
-                    sat_area_thresh: int, filter_runs: int,
-                    filter_runs_amt: int, correct_rotation: bool):
-    """Whole preprocess_images raster chain (binarize -> stage1 -> skew ->
-    rotate -> erode) on uint8 buffers end to end: one bool conversion per
-    returned page instead of two 3 MB bool<->u8 copies around every native
-    call. Stage semantics identical to the staged calls (tested).
-
-    Returns (image_bin bool, image_eroded bool, angle).
-    """
+def preprocess_page_phase1(input_image: np.ndarray, despeckle_amt: int,
+                           sat_area_thresh: int):
+    """Stage 1 of the preprocess raster chain (binarize -> despeckle x2 ->
+    tall-CC removal), fused on uint8 buffers. Returns (img uint8 0/1,
+    runs int32[3n], n_runs) — the run list feeds the skew search and the
+    run-domain rotate, so no later stage pays a page-extraction scan."""
     from . import oracle
-    from . import fixedpoint as fxp
 
     _build_and_load()
     grey, hist = _greyscale_hist(input_image)
     t = oracle.otsu_from_hist(hist)
     # fused binarize + stage 1: runs come straight off the greyscale page
-    # (the binarized intermediate is never materialized) and the skew
-    # search and rotate consume them directly, so no stage pays a
-    # full-page extraction scan
+    # (the binarized intermediate is never materialized)
     img = np.empty_like(grey)
     H, W = grey.shape
     max_n = max(1024, (H * W) // 8)
@@ -505,7 +498,18 @@ def preprocess_page(input_image: np.ndarray, despeckle_amt: int,
         runs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_n))
     if n_runs > max_n:  # image is final; only the run export overflowed
         runs, n_runs = _black_runs(img)
-    angle = rotation_angle_projections(img, -6, 6, runs_n=(runs, n_runs))
+    return img, runs, n_runs
+
+
+def preprocess_page_phase2(img: np.ndarray, runs: np.ndarray, n_runs: int,
+                           angle: float, filter_runs: int,
+                           filter_runs_amt: int, correct_rotation: bool):
+    """Rotate + erode tail of the preprocess chain, given the detected
+    ``angle`` (from the host search or ops.skew_device's accelerator
+    search — bit-identical either way). Consumes phase 1's (img, runs).
+    Returns (image_bin bool, image_eroded bool)."""
+    from . import fixedpoint as fxp
+
     if correct_rotation:
         cfix, _ = fxp.rotation_coeffs(angle)
         if cfix > 0:
@@ -528,4 +532,23 @@ def preprocess_page(input_image: np.ndarray, despeckle_amt: int,
     # every buffer here is freshly allocated and strictly 0/1 (binarize
     # output propagated through despeckle/rotate/erode), so reinterpreting
     # as bool is free and canonical
-    return img.view(bool), eroded.view(bool), float(angle)
+    return img.view(bool), eroded.view(bool)
+
+
+def preprocess_page(input_image: np.ndarray, despeckle_amt: int,
+                    sat_area_thresh: int, filter_runs: int,
+                    filter_runs_amt: int, correct_rotation: bool):
+    """Whole preprocess_images raster chain (binarize -> stage1 -> skew ->
+    rotate -> erode) on uint8 buffers end to end: one bool conversion per
+    returned page instead of two 3 MB bool<->u8 copies around every native
+    call. Stage semantics identical to the staged calls (tested).
+
+    Returns (image_bin bool, image_eroded bool, angle).
+    """
+    img, runs, n_runs = preprocess_page_phase1(input_image, despeckle_amt,
+                                               sat_area_thresh)
+    angle = rotation_angle_projections(img, -6, 6, runs_n=(runs, n_runs))
+    image_bin, image_eroded = preprocess_page_phase2(
+        img, runs, n_runs, angle, filter_runs, filter_runs_amt,
+        correct_rotation)
+    return image_bin, image_eroded, float(angle)

@@ -21,7 +21,11 @@ from ..align.scoring import resolve_scoring
 from ..align.nw_jax import align_pairs_jax
 from ..align import perform_alignment
 from ..lang.syllabify import syllabify_text
-from ..pipeline.preprocess import preprocess_images, identify_text_lines
+from ..pipeline.preprocess import (
+    preprocess_images,
+    preprocess_stream,
+    identify_text_lines,
+)
 from ..pipeline.assemble import (
     llocs_to_charboxes,
     expand_abbreviations,
@@ -175,8 +179,19 @@ def process_batch(folios, recognizer, seq_align_params=None,
         ocr_worker = PipelinedOCRWorker(recognizer, n) if pipelined else None
         with timer("preprocess"):
             try:
-                for raw_image, _ in folios:
-                    image, angle, strips, peaks = _raster_one(raw_image)
+                # preprocess_stream overlaps each folio's skew search
+                # (device dispatch) with the next folios' host raster when
+                # an accelerator is available; identical results otherwise
+                stream = preprocess_stream(
+                    [np.asarray(f[0]) for f in folios], backend=backend,
+                    params=preproc_params,
+                )
+                for (image, eroded, angle), (raw_image, _) in zip(
+                        stream, folios):
+                    strips, peaks, _ = identify_text_lines(
+                        image, eroded, backend=backend,
+                        params=preproc_params, verbose=False,
+                    )
                     pre.append((image, angle, strips, peaks))
                     if ocr_worker is not None:
                         ocr_worker.put([s.img for s in strips])

@@ -171,6 +171,89 @@ def preprocess_images(input_image, despeckle_amt: int = DESPECKLE_AMT,
     return img, eroded, angle
 
 
+def preprocess_stream(images, backend: str = "host",
+                      despeckle_amt: int = DESPECKLE_AMT,
+                      filter_runs: int = 1, filter_runs_amt: int = 2,
+                      correct_rotation: bool = True,
+                      params: PreprocParams | None = None,
+                      skew: str = "auto", depth: int = 8):
+    """Yield ``preprocess_images(...)`` results for a stream of pages,
+    overlapping each page's skew search with the next pages' host raster
+    when an accelerator is available.
+
+    On the hybrid backend with the native engine and a live accelerator
+    (``skew="auto"``; force with "device"/"host"), each page runs as:
+    native stage 1 (host) -> :mod:`..ops.skew_device` search (ONE async
+    accelerator dispatch, ~1.4 ms of host pack+upload instead of ~6 ms of
+    host shear rounds) -> native rotate+erode (host). Up to ``depth``
+    skew searches stay in flight, so the accelerator latency hides under
+    the following folios' host work — which is why this is a *stream* API:
+    the sequential ``preprocess_images`` path would expose the full
+    dispatch round trip per page. Results are bit-identical to
+    ``preprocess_images`` on every path (the device search replays the
+    same Q16 grids and exact integer criterion; tested).
+    """
+    images = list(images)
+    use_device_skew = False
+    if backend == "hybrid" and correct_rotation and len(images) > 1:
+        from ..ops import host_native, skew_device
+
+        if skew == "device" or (skew == "auto" and skew_device.enabled()):
+            use_device_skew = host_native.available()
+    if not use_device_skew:
+        for raw in images:
+            yield preprocess_images(
+                raw, despeckle_amt=despeckle_amt, filter_runs=filter_runs,
+                filter_runs_amt=filter_runs_amt,
+                correct_rotation=correct_rotation, backend=backend,
+                params=params,
+            )
+        return
+
+    from collections import deque
+
+    from ..ops import host_native as hn
+    from ..ops.skew_device import GroupedSkewWorker
+
+    p = params or PreprocParams()
+    pend: deque = deque()
+    n = len(images)
+    worker = GroupedSkewWorker()
+
+    def _enqueue(i):
+        img, runs, n_runs = hn.preprocess_page_phase1(
+            np.asarray(images[i]), despeckle_amt, p.sat_area_thresh
+        )
+        pend.append((img, runs, n_runs, worker.put(img)))
+
+    try:
+        # lookahead window: a page's angle is only dispatched at its
+        # group boundary and then rides one grouped pull (~25 ms), so the
+        # window must span ~2 groups of host raster for the pull to hide
+        for i in range(min(depth, n)):
+            _enqueue(i)
+        nxt = min(depth, n)
+        if nxt == n:
+            worker.finish()
+        while pend:
+            if nxt < n:  # keep the accelerator fed before blocking
+                _enqueue(nxt)
+                nxt += 1
+                if nxt == n:
+                    worker.finish()
+            img, runs, n_runs, slot = pend.popleft()
+            angle = worker.angle(slot)
+            image_bin, image_eroded = hn.preprocess_page_phase2(
+                img, runs, n_runs, angle, filter_runs, filter_runs_amt,
+                correct_rotation,
+            )
+            yield image_bin, image_eroded, angle
+    finally:
+        # abandoned mid-stream (caller error, generator close): flush so
+        # the collector thread always terminates instead of leaking
+        worker.finish()
+
+
 def _cc_table(img, backend):
     """(uly, lry, ulx, lrx, area) int rows for every CC, scan order."""
     if backend == "device":
