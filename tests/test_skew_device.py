@@ -169,3 +169,12 @@ def test_stream_abandon_terminates_collector():
         assert threading.active_count() <= before
     finally:
         os.environ.pop("TEXT_ALIGNMENT_TPU_SKEW", None)
+
+
+def test_serve_warmup_batch_precompiles_grouped_skew(monkeypatch):
+    """serve --warmup with batch > 1 must pre-run the grouped device-skew
+    program (the batched pipeline's raster path) without error."""
+    monkeypatch.setenv("TEXT_ALIGNMENT_TPU_SKEW", "device")
+    from text_alignment_tpu.serve import warmup
+
+    warmup(None, "hybrid", batch=2)

@@ -218,13 +218,14 @@ def process_job(spool: str, job_path: str, recognizer, backend: str,
     return out_path, job
 
 
-def warmup(recognizer, backend: str) -> None:
+def warmup(recognizer, backend: str, batch: int = 1) -> None:
     """Run one full-size synthetic folio through the pipeline so the
     first real job doesn't pay the XLA compiles (the jit caches are
     keyed by shape bucket, so the warmup page uses production folio
     dimensions). With ``recognizer=None`` this still pre-warms the
     raster/segmentation/NW compiles, which is exactly what jobs that
-    supply ``existing_ocr_pickle`` need."""
+    supply ``existing_ocr_pickle`` need. With ``batch > 1`` the batched
+    pipeline's grouped device-skew program is pre-compiled too."""
     from .synth import make_page, corrupt_ocr, ocr_with_spaces
     from .pipeline import process
 
@@ -250,6 +251,15 @@ def warmup(recognizer, backend: str) -> None:
         # covers it.)
         process(page.image, page.transcript, ocropus_model=recognizer,
                 existing_ocr=existing_ocr, backend=backend, verbose=False)
+    if batch > 1:
+        # the batched pipeline rasters via preprocess_stream, whose grouped
+        # device-skew program is a separate compile — load it now, at the
+        # warmup page's geometry, not on the first backlogged sweep
+        from .pipeline.preprocess import preprocess_stream
+
+        for _ in preprocess_stream([page.image, page.image],
+                                   backend=backend):
+            pass
     print(f"warmup: {time.time() - t0:.1f}s (compiles cached)")
 
 
@@ -272,7 +282,7 @@ def serve(spool: str, model, backend: str = "hybrid", poll_s: float = 0.2,
     ensure_compile_cache()
     recognizer = _resolve_recognizer(model, backend) if model else None
     if do_warmup:
-        warmup(recognizer, backend)
+        warmup(recognizer, backend, batch=batch)
     # reclaim orphans: a worker killed mid-job leaves X.job.running behind,
     # which the pending filter would otherwise never pick up again. Only
     # claims older than stale_after_s are requeued — a younger one may be
