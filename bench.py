@@ -290,6 +290,44 @@ def grid_sweep_metric(pages, ocrs):
               file=sys.stderr)
 
 
+def train_metric():
+    """Secondary metric: CTC training throughput — the ocropus-rtrain
+    equivalent (reference README.md:52-56). The reference's only published
+    training number is ~12 h of CPU for the Salzinnes model's 54,500
+    single-line iterations (.MISSING_LARGE_BLOBS:1-2) ~= 1.26
+    line-updates/s. Measures the jitted batched train step (BiLSTM forward
+    + CTC loss + backward + clipped Adam update) at a realistic line shape,
+    params/opt-state threaded on device so K steps fence once."""
+    import jax.numpy as jnp
+    from text_alignment_tpu.models.codec import Codec
+    from text_alignment_tpu.models.train import Trainer
+
+    codec = Codec()
+    tr = Trainer(codec=codec)
+    rng = np.random.default_rng(3)
+    B, T, S = 128, 512, 48
+    xs = (rng.random((B, T, 48)) < 0.1).astype(np.float32)
+    args = (jnp.asarray(xs), jnp.full(B, T, jnp.int32),
+            jnp.asarray(rng.integers(1, len(codec), (B, S)), jnp.int32),
+            jnp.full(B, S, jnp.int32), jnp.asarray(0.0, jnp.float32))
+    t0 = time.perf_counter()
+    p, o, loss = tr._step(tr.params, tr.opt_state, *args)
+    float(loss)
+    warm = time.perf_counter() - t0
+    K = 20
+    t0 = time.perf_counter()
+    for _ in range(K):
+        p, o, loss = tr._step(p, o, *args)
+    float(loss)
+    dt = (time.perf_counter() - t0) / K
+    ref_rate = 54500 / (12 * 3600.0)
+    print(f"# train step (B={B}, T={T}, ni=48, ns=100): {dt*1e3:.1f} ms/step "
+          f"= {B/dt:.0f} line-updates/s (warmup {warm:.1f}s; reference "
+          f"ocropus-rtrain ~{ref_rate:.2f} lines/s CPU -> the 54,500-iter "
+          f"Salzinnes workload is ~{54500/(B/dt):.0f}s of step compute)",
+          file=sys.stderr)
+
+
 def _probe_backend() -> bool:
     """Return True when the accelerator is unusable and the bench must
     degrade to CPU. The driver scores this file's one JSON line; a wedged
@@ -512,6 +550,12 @@ def main():
             grid_sweep_metric(pages, ocrs)
     except Exception as e:  # secondary metric must not sink the headline
         print(f"# grid sweep metric failed: {e}", file=sys.stderr)
+
+    try:
+        if not degraded:
+            train_metric()
+    except Exception as e:  # secondary metric must not sink the headline
+        print(f"# train metric failed: {e}", file=sys.stderr)
 
     try:
         if degraded:

@@ -339,6 +339,10 @@ def test_trainer_full_state_resume_exact(tmp_path, rng):
         tr.step(xs, xlens, labels, llens)
     path = tr.save_state(str(tmp_path / "t.state"),
                          extra={"batch_size": 16})
+    # the .state format is a pickle-free npz (zip magic), so loading an
+    # untrusted checkpoint cannot execute code
+    with open(path, "rb") as f:
+        assert f.read(2) == b"PK"
 
     loss_direct = [tr.step(xs, xlens, labels, llens) for _ in range(2)]
 

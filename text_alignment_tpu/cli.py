@@ -225,6 +225,12 @@ def cmd_train(args):
     from .models.train import Trainer, batch_lines
     from .models.lineest import normalize_strip
 
+    # fail on a missing checkpoint dir BEFORE the training run, not at the
+    # first save (which can be many compile-minutes in)
+    out_dir = os.path.dirname(args.output_prefix)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+
     # line images + ground-truth text files, ocropus-rtrain style pairing:
     # X.png with X.gt.txt
     pairs = []
@@ -390,8 +396,8 @@ def main(argv=None):
     t.add_argument("--resume", default=None,
                    help="resume from a .state checkpoint (full optimizer "
                    "state; exact trajectory continuation when --lines-dir "
-                   "holds the same data; TRUSTED input only — .state files "
-                   "are pickles)")
+                   "holds the same data; .state files are pickle-free .npz "
+                   "archives, safe to load)")
     t.set_defaults(func=cmd_train)
 
     s = sub.add_parser(

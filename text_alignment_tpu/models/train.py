@@ -154,6 +154,13 @@ class Trainer:
     # drops the Adam moments — resuming from it restarts the optimizer
     # cold. save_state/load_state round-trip the whole training state
     # (params, opt_state, iteration) for exact resume.
+    #
+    # Format: a .npz archive (leaves as arr_NNN + a JSON config string),
+    # loaded with allow_pickle=False — unlike the reference-mandated
+    # pickle surfaces (.pyrnn.gz, OCR caches), loading a .state file
+    # cannot execute code. The pytree STRUCTURE is never stored: it is
+    # rebuilt from a fresh Trainer with the same config, so only the
+    # array leaves ride the file.
 
     def save_state(self, path: str, extra: dict | None = None) -> str:
         """Write the full training state; resuming from it continues the
@@ -161,37 +168,37 @@ class Trainer:
         settings the trainer itself doesn't own but exact resume needs
         (e.g. the CLI's batch size, which shapes its RNG draw stream);
         it round-trips into ``load_state``'s ``loaded_extra``."""
-        import pickle
+        import io
+        import json
 
-        flat, treedef = jax.tree_util.tree_flatten(
+        flat, _ = jax.tree_util.tree_flatten(
             {"params": self.params, "opt_state": self.opt_state}
         )
-        payload = {
-            "leaves": [np.asarray(x) for x in flat],
-            "config": {"ni": self.ni, "ns": self.ns, "lr": self.lr,
-                       "seed": self.seed, "clip_norm": self.clip_norm,
-                       "ground_weight": self.ground_weight,
-                       "charset": self.codec.charset,
-                       "iteration": self.iteration,
-                       "extra": dict(extra or {})},
-        }
+        config = json.dumps(
+            {"ni": self.ni, "ns": self.ns, "lr": self.lr,
+             "seed": self.seed, "clip_norm": self.clip_norm,
+             "ground_weight": self.ground_weight,
+             "charset": self.codec.charset,
+             "iteration": self.iteration,
+             "extra": dict(extra or {})}
+        )
+        buf = io.BytesIO()
+        np.savez(buf, config=np.asarray(config),
+                 **{f"arr_{i:03d}": np.asarray(x) for i, x in enumerate(flat)})
         with open(path, "wb") as f:
-            pickle.dump(payload, f, -1)
+            f.write(buf.getvalue())
         return path
 
     @classmethod
     def load_state(cls, path: str) -> "Trainer":
-        """Load a save_state checkpoint.
+        """Load a save_state checkpoint (.npz; no pickle — loading an
+        untrusted .state file cannot execute code, unlike the .pyrnn.gz /
+        OCR-pickle surfaces whose format the reference mandates)."""
+        import json
 
-        TRUSTED INPUT ONLY: .state checkpoints are pickles, and unpickling
-        executes arbitrary code — same trust model as the .pyrnn.gz and
-        OCR-pickle surfaces (and ocropy's own model files). Load only
-        checkpoints you produced."""
-        import pickle
-
-        with open(path, "rb") as f:
-            payload = pickle.load(f)
-        cfg = payload["config"]
+        with np.load(path, allow_pickle=False) as z:
+            cfg = json.loads(str(z["config"]))
+            leaves = [z[k] for k in sorted(z.files) if k.startswith("arr_")]
         tr = cls(codec=Codec(cfg["charset"]), ni=cfg["ni"], ns=cfg["ns"],
                  lr=cfg["lr"], seed=cfg["seed"], clip_norm=cfg["clip_norm"],
                  ground_weight=cfg.get("ground_weight", 0.0))
@@ -199,7 +206,7 @@ class Trainer:
             {"params": tr.params, "opt_state": tr.opt_state}
         )
         state = jax.tree_util.tree_unflatten(
-            treedef, [jnp.asarray(x) for x in payload["leaves"]]
+            treedef, [jnp.asarray(x) for x in leaves]
         )
         tr.params = state["params"]
         tr.opt_state = state["opt_state"]
