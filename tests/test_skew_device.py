@@ -43,6 +43,20 @@ def test_device_skew_matches_oracle_fuzz():
         assert a_dev == a_host
 
 
+def test_device_skew_wide_sharp_edge_exact():
+    """Adjacent-row projection diffs beyond 4096 (a near-full-width ink
+    band on a wide page) must still score exactly: the squared term is
+    computed in int32 AFTER the cast — an f32 d*d rounds once |d| > 4096
+    and would silently break bit-parity with the host criterion."""
+    rng = np.random.default_rng(11)
+    page = np.zeros((64, 5000), bool)
+    page[20:33, 100:4900] = True  # |d| = 4800 at the band edges
+    page[rng.integers(0, 64, 200), rng.integers(0, 5000, 200)] = True
+    a_host = oracle.rotation_angle_projections(page, -6, 6)
+    a_dev = skew_device.rotation_angle_projections(page, -6, 6)
+    assert a_dev == a_host
+
+
 def test_device_skew_blank_and_tiny_pages():
     blank = np.zeros((64, 80), bool)
     assert (skew_device.rotation_angle_projections(blank)
@@ -139,6 +153,45 @@ def test_process_batch_device_skew_json_identical(monkeypatch):
         ja = None if x is None else json.dumps(x.json_dict, sort_keys=True)
         jb = None if y is None else json.dumps(y.json_dict, sort_keys=True)
         assert ja == jb
+
+
+def test_preprocess_stream_diverse_geometry_no_deadlock(monkeypatch):
+    """Regression: 12 pages of pairwise-distinct padded geometries. Every
+    (Hp, Wp) bucket holds a partial group, so the stream's lookahead can
+    never fill one — GroupedSkewWorker.angle() must dispatch the blocked
+    slot's partial group itself or the generator deadlocks (angle() blocks
+    before finish() is reachable)."""
+    import threading
+
+    monkeypatch.setenv("TEXT_ALIGNMENT_TPU_SKEW", "device")
+    from text_alignment_tpu.synth import make_page
+    from text_alignment_tpu.pipeline.preprocess import (
+        preprocess_images,
+        preprocess_stream,
+    )
+
+    pages = [
+        make_page(np.random.default_rng(400 + i), n_lines=2,
+                  words_per_line=2, H=220 + 32 * i, W=260 + 130 * i).image
+        for i in range(12)
+    ]
+    got = []
+    t = threading.Thread(
+        target=lambda: got.extend(
+            preprocess_stream(pages, backend="hybrid", skew="device")),
+        daemon=True,
+    )
+    t.start()
+    t.join(timeout=300)
+    assert not t.is_alive(), (
+        "preprocess_stream deadlocked on diverse page geometries "
+        f"(yielded {len(got)}/{len(pages)})"
+    )
+    assert len(got) == len(pages)
+    for p, (ib, ie, a) in zip(pages, got):
+        rb, re_, ra = preprocess_images(p, backend="hybrid")
+        assert a == ra
+        assert np.array_equal(ib, rb) and np.array_equal(ie, re_)
 
 
 def test_stream_abandon_terminates_collector():

@@ -132,16 +132,9 @@ def _grid_align_on_device() -> bool:
     """True when an accelerator is available for the batched grid fill
     (same platform pin logic as pipeline.process's NW routing: never force
     backend initialization on a pure-host run)."""
-    import os
+    from .utils.platform import accel_platform
 
-    plat = (os.environ.get("JAX_PLATFORMS") or "").split(",")[0]
-    if plat == "cpu":
-        return False
-    if plat:
-        return True
-    import jax
-
-    return jax.default_backend() != "cpu"
+    return accel_platform()
 
 
 def grid_search(fixtures, shuffle=True, seed=None, backend="host",

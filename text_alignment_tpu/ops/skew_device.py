@@ -141,7 +141,12 @@ def _make_single(Hp: int, Wp: int, minangle: float, maxangle: float):
         proj = jnp.sum(acc[:Hp], axis=1)                # (Hp,) exact ints
         d = proj[1:] - proj[:-1]
         mask = jnp.arange(Hp - 1, dtype=jnp.int32) < (h - 1)
-        d2 = jnp.where(mask, (d * d).astype(jnp.int32), 0)
+        # square AFTER the int cast: d itself is an exact integer in f32
+        # (|d| <= W <= 2^24), but d*d in f32 rounds once |d| > 4096,
+        # which would break bit-parity with the host's exact criterion
+        # on very wide pages with sharp full-width ink edges
+        di = d.astype(jnp.int32)
+        d2 = jnp.where(mask, di * di, 0)
         # criterion = sum(d^2) <= H*W^2 (~2^34): exact two-limb int32,
         # canonicalized so lexicographic (hi, lo) compare == numeric
         hi = jnp.sum(d2 >> 16)
@@ -212,9 +217,11 @@ def enabled() -> bool:
     if mode == "device":
         return True
     try:
-        import jax
+        # pin-aware check (utils.platform): must not force backend
+        # initialization on a pure-host raster run
+        from ..utils.platform import accel_platform
 
-        return jax.default_backend() != "cpu"
+        return accel_platform()
     except Exception:
         return False
 
@@ -350,6 +357,18 @@ class GroupedSkewWorker:
             self._q.put(None)  # the collector must exit even if a flush died
 
     def angle(self, slot: int) -> float:
+        # If the slot still sits in a partial buffer, dispatch that group
+        # NOW (padded): the caller is about to block and cannot enqueue
+        # the pages that would have completed the group — with diverse
+        # page geometries the group might never fill, which would
+        # deadlock the stream (each (Hp, Wp) bucket buffers separately,
+        # so a lookahead window of mixed sizes can hold only partial
+        # groups). put/angle run on the caller's thread, so _bufs needs
+        # no lock here.
+        for key, (_meta, slots) in list(self._bufs.items()):
+            if slot in slots:
+                self._flush(key)
+                break
         with self._cv:
             while slot not in self._angles:
                 self._cv.wait()

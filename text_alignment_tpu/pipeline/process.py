@@ -37,19 +37,9 @@ from .assemble import (
 MEDIAN_LINE_MULT = 2  # threaded but unused, as in the reference (alignToOCR.py:25,193)
 
 
-def _accel_platform() -> bool:
-    """True when the pinned JAX platform is an accelerator. Read from
-    config/env, NOT jax.default_backend() — backend initialization can
-    block for tens of seconds on this runtime and must not be forced on
-    pure-host code paths."""
-    import os
-
-    plat = (os.environ.get("JAX_PLATFORMS") or "").split(",")[0]
-    if plat:
-        return plat != "cpu"
-    import jax
-
-    return jax.default_backend() != "cpu"
+# True when the pinned JAX platform is an accelerator, WITHOUT forcing
+# backend initialization on pure-host code paths (utils.platform).
+from ..utils.platform import accel_platform as _accel_platform
 
 
 def _resolve_recognizer(ocropus_model, backend="host"):
