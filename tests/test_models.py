@@ -344,6 +344,18 @@ def test_trainer_full_state_resume_exact(tmp_path, rng):
     with open(path, "rb") as f:
         assert f.read(2) == b"PK"
 
+    # the CLI stores the batch-sampling RNG's bit-generator state in extra
+    # (exact continuation across CHAINED resumes at different batch
+    # sizes); it must survive the JSON-in-npz round trip bit-exactly
+    gen = np.random.default_rng(9)
+    gen.integers(0, 10, 5)
+    path_rng = tr.save_state(str(tmp_path / "r.state"),
+                             extra={"rng_state": gen.bit_generator.state})
+    tr_rng = type(tr).load_state(path_rng)
+    gen2 = np.random.default_rng(0)
+    gen2.bit_generator.state = tr_rng.loaded_extra["rng_state"]
+    assert np.array_equal(gen.integers(0, 99, 8), gen2.integers(0, 99, 8))
+
     loss_direct = [tr.step(xs, xlens, labels, llens) for _ in range(2)]
 
     tr2 = Trainer.load_state(path)
@@ -379,7 +391,26 @@ def test_bidir_scan_pallas_interpret_matches_scan(rng):
                                    interpret=True)
         np.testing.assert_allclose(f0, f1, rtol=2e-5, atol=2e-6)
         np.testing.assert_allclose(b0, b1, rtol=2e-5, atol=2e-6)
+    # the pack ladder's mult-of-4 batches below 16 (a 9-12 line folio
+    # packs at B=12) must ENGAGE the kernel — the caller pads to the next
+    # multiple of 8 on device (lstm_jax.bilstm_forward_batched)
+    assert pallas_ok(12, 64, 100)
+    B, T, ns, ni = 12, 64, 100, 48
+    params = init_bilstm(jax.random.PRNGKey(5), ni, ns, 16,
+                         initial_range=0.3)
+    xs = jnp.asarray(rng.normal(0, 1, (B, T, ni)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(T // 2, T + 1, B).astype(np.int32))
+    xs_rev = _reverse_by_length(xs, lens)
+    f0, b0 = _bidir_scan(params.fwd, params.bwd, xs, xs_rev)
+    padw = ((0, 4), (0, 0), (0, 0))
+    f1, b1 = bidir_scan_pallas(params.fwd, params.bwd,
+                               jnp.pad(xs, padw), jnp.pad(xs_rev, padw),
+                               interpret=True)
+    np.testing.assert_allclose(f0, f1[:B], rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(b0, b1[:B], rtol=2e-5, atol=2e-6)
+
     # odd shapes must be rejected toward the scan fallback
     assert not pallas_ok(4, 128, 100)   # B below one sublane tile
+    assert not pallas_ok(10, 128, 100)  # B not a multiple of 4
     assert not pallas_ok(8, 129, 100)   # T not divisible by the block
     assert not pallas_ok(8, 128, 200)   # hidden width beyond one lane tile

@@ -267,6 +267,49 @@ def test_process_batch_pipelined_chunked_matches_process():
                json.dumps(to_JSON_dict(syl_boxes, peaks), sort_keys=True)
 
 
+def test_abandoned_ocr_worker_skips_downloads():
+    """abandon() must CANCEL the doomed batch's device work, not just
+    unblock the loop: no further dispatches, and no result downloads (on
+    the single-tenant tunnel those would serialize against the next
+    batch). rows() raises for the doomed batch."""
+    import pytest
+    from text_alignment_tpu.parallel.batch import PipelinedOCRWorker
+
+    class StubRec:
+        def __init__(self):
+            self.dispatched = 0
+            self.collected = 0
+
+        def dispatch_async(self, strips):
+            self.dispatched += 1
+            return strips
+
+        def collect_async(self, handles):
+            self.collected += 1
+            return [[] for _ in handles]
+
+        def collect_async_bg(self, handles):
+            self.collected += 1
+            return lambda: [[] for _ in handles]
+
+    rec = StubRec()
+    w = PipelinedOCRWorker(rec, 8)
+    w.put([])  # one folio rastered, then the batch dies
+    w.abandon()
+    with pytest.raises(RuntimeError, match="abandoned"):
+        w.rows()
+    assert rec.collected == 0
+    assert rec.dispatched <= 1
+
+    # and a fully-enqueued batch is NOT cancelled by the finally-abandon
+    rec2 = StubRec()
+    w2 = PipelinedOCRWorker(rec2, 3)
+    for _ in range(3):
+        w2.put([])
+    w2.abandon()  # no-op
+    assert w2.rows() == [[], [], []]
+
+
 def test_raster_failure_does_not_strand_ocr_worker():
     """A raster exception mid-batch must propagate AND terminate the
     background OCR worker (it loops exactly n times on the strip queue;

@@ -281,22 +281,26 @@ def cmd_train(args):
     S = max(len(t) for t in texts) + 2
     idx = np.arange(len(frames))
     if args.resume and trainer.iteration:
-        # fast-forward the batch-sampling RNG past the draws the original
-        # run already consumed, so the resumed run continues the exact
-        # trajectory (assuming the same --lines-dir contents) instead of
-        # replaying the batch sequence from iteration 0. The replay must
-        # use the ORIGINAL run's batch size (stored in the checkpoint) —
-        # each draw consumes a batch-size-dependent amount of the
-        # Generator stream, so replaying with a different size would
-        # silently diverge from both the continuation and a fresh run.
-        saved_bs = getattr(trainer, "loaded_extra", {}).get(
-            "batch_size", args.batch_size)
-        if saved_bs != args.batch_size:
-            print(f"note: checkpoint was trained with --batch-size "
-                  f"{saved_bs}; replaying its draw stream at that size "
-                  f"(new iterations use --batch-size {args.batch_size})")
-        for _ in range(trainer.iteration):
-            rng.choice(idx, size=min(saved_bs, len(idx)), replace=False)
+        # continue the batch-sampling RNG exactly where the original run
+        # left off. Checkpoints store the bit-generator state (exact even
+        # across CHAINED resumes at different --batch-size values); old
+        # checkpoints without it fall back to replaying the draw stream
+        # at the ORIGINAL run's batch size — each draw consumes a
+        # batch-size-dependent amount of the Generator stream, so a
+        # single-resume replay must use the saved size (and a chain of
+        # mixed-size resumes is only exact via the stored state).
+        extra = getattr(trainer, "loaded_extra", {})
+        if "rng_state" in extra:
+            rng.bit_generator.state = extra["rng_state"]
+        else:
+            saved_bs = extra.get("batch_size", args.batch_size)
+            if saved_bs != args.batch_size:
+                print(f"note: checkpoint was trained with --batch-size "
+                      f"{saved_bs}; replaying its draw stream at that size "
+                      f"(new iterations use --batch-size "
+                      f"{args.batch_size})")
+            for _ in range(trainer.iteration):
+                rng.choice(idx, size=min(saved_bs, len(idx)), replace=False)
     for it in range(args.iterations):
         batch = rng.choice(idx, size=min(args.batch_size, len(idx)),
                            replace=False)
@@ -309,10 +313,16 @@ def cmd_train(args):
             print(f"iter {it}: ctc loss {loss:.4f}")
         if args.save_every and it > 0 and it % args.save_every == 0:
             print("saved", trainer.save(args.output_prefix))
-            print("saved", trainer.save_state(args.output_prefix + ".state", extra={"batch_size": args.batch_size}))
+            print("saved", trainer.save_state(
+                args.output_prefix + ".state",
+                extra={"batch_size": args.batch_size,
+                       "rng_state": rng.bit_generator.state}))
 
     print("saved", trainer.save(args.output_prefix))
-    print("saved", trainer.save_state(args.output_prefix + ".state", extra={"batch_size": args.batch_size}))
+    print("saved", trainer.save_state(
+                args.output_prefix + ".state",
+                extra={"batch_size": args.batch_size,
+                       "rng_state": rng.bit_generator.state}))
     return 0
 
 
@@ -425,12 +435,19 @@ def main(argv=None):
     s.set_defaults(func=cmd_serve)
 
     args = p.parse_args(argv)
-    # persistent XLA compile cache, iff the backend is a real accelerator
-    # (never on CPU — see utils/compile_cache.py). host-backend evaluate
-    # runs still benefit when the NW device path engages.
-    from .utils.compile_cache import ensure_compile_cache
+    # persistent XLA compile cache, iff an accelerator backend will
+    # actually be used (never on CPU — see utils/compile_cache.py).
+    # Crucially NOT unconditional: ensure_compile_cache() initializes the
+    # JAX backend, and on this runtime the TPU tunnel is single-tenant —
+    # a pure-host subcommand (align/evaluate --backend host, mei) must
+    # never block on a tunnel another process holds. Device-facing paths
+    # that engage from host-backend commands (the evaluate --grid device
+    # fill, the device line normalizer) call it themselves right before
+    # their first jit.
+    if getattr(args, "backend", "host") != "host" or args.cmd == "train":
+        from .utils.compile_cache import ensure_compile_cache
 
-    ensure_compile_cache()
+        ensure_compile_cache()
     return args.func(args)
 
 

@@ -170,6 +170,13 @@ def grid_search(fixtures, shuffle=True, seed=None, backend="host",
         rng.shuffle(params_list)
     if grid_align == "auto" and not _grid_align_on_device():
         grid_align = "host"
+    if grid_align != "host":
+        # device fill engages even from host-backend evaluate runs: warm
+        # the persistent compile cache before its first jit (idempotent;
+        # accelerator backends only)
+        from .utils.compile_cache import ensure_compile_cache
+
+        ensure_compile_cache()
 
     # preprocess each fixture once (correct_rotation=False for eval images,
     # matching evaluate_text_alignment.py:107), and once more for the

@@ -187,7 +187,21 @@ def bilstm_forward_batched(params: BiLSTMParams, xs, lengths):
     if _use_pallas_scan(B, T, ns):
         from .lstm_pallas import bidir_scan_pallas
 
-        f, b_rev = bidir_scan_pallas(params.fwd, params.bwd, xs, xs_rev)
+        # the kernel's sublane tiling needs B % 8 == 0, but the pack
+        # ladder uploads mult-of-4 batches below 16 (a 9-12 line folio —
+        # the most common page shape — packs at B=12 to save upload
+        # bytes): pad to the next multiple of 8 ON DEVICE (free relative
+        # to the tunnel upload) so the kernel still engages
+        Bp = -(-B // 8) * 8
+        if Bp != B:
+            padw = ((0, Bp - B), (0, 0), (0, 0))
+            f, b_rev = bidir_scan_pallas(
+                params.fwd, params.bwd,
+                jnp.pad(xs, padw), jnp.pad(xs_rev, padw))
+            f, b_rev = f[:B], b_rev[:B]
+        else:
+            f, b_rev = bidir_scan_pallas(params.fwd, params.bwd, xs,
+                                         xs_rev)
     else:
         f, b_rev = _bidir_scan(params.fwd, params.bwd, xs, xs_rev)
     b = _reverse_by_length(b_rev, lengths)

@@ -138,9 +138,13 @@ def pallas_ok(B: int, T: int, ns: int) -> bool:
     the scan's loop overhead anyway."""
     if ns > NSP:
         return False
-    if B < 8 or B % 8 != 0 or B > 128:
+    # B % 4 (not 8): the pack ladder ships mult-of-4 batches below 16 to
+    # save upload bytes (B=12 is the typical 9-12 line folio), and the
+    # caller pads to the next multiple of 8 on device before invoking the
+    # kernel — so gate on the PADDED batch's budget
+    if B < 8 or B % 4 != 0 or B > 128:
         return False
-    TB = _block_T(T, B)
+    TB = _block_T(T, -(-B // 8) * 8)
     return T % TB == 0
 
 

@@ -59,27 +59,47 @@ def make_train_step(optimizer, space_index: int | None = None):
     (see examples/end_to_end_synthetic.py). Kept as an experimentation
     knob; default off."""
 
-    @jax.jit
-    def train_step(params, opt_state, xs, xlens, labels, llens, gw):
-        def loss_fn(p):
-            logits = bilstm_logits(p, xs, xlens)
-            loss = ctc_loss(logits, xlens, labels, llens)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            ok = logp[..., 0]  # blank
-            if space_index is not None:
-                ok = jnp.logaddexp(ok, logp[..., space_index])
-            valid = jnp.arange(xs.shape[1])[None, :] < xlens[:, None]
-            # normalized frames are ink=1 background=0; interpolation
-            # bleed stays well under 0.05 column mass
-            empty = (xs.sum(axis=-1) < 0.05) & valid
-            n = jnp.maximum(jnp.sum(empty), 1)
-            aux = jnp.sum(jnp.where(empty, -ok, 0.0)) / n
-            return loss + gw * aux
+    def _build(grounded: bool):
+        @jax.jit
+        def train_step(params, opt_state, xs, xlens, labels, llens, gw):
+            def loss_fn(p):
+                logits = bilstm_logits(p, xs, xlens)
+                loss = ctc_loss(logits, xlens, labels, llens)
+                if not grounded:
+                    return loss
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                ok = logp[..., 0]  # blank
+                if space_index is not None:
+                    ok = jnp.logaddexp(ok, logp[..., space_index])
+                valid = jnp.arange(xs.shape[1])[None, :] < xlens[:, None]
+                # normalized frames are ink=1 background=0; interpolation
+                # bleed stays well under 0.05 column mass
+                empty = (xs.sum(axis=-1) < 0.05) & valid
+                n = jnp.maximum(jnp.sum(empty), 1)
+                aux = jnp.sum(jnp.where(empty, -ok, 0.0)) / n
+                return loss + gw * aux
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return train_step
+
+    # two programs selected host-side: gw is traced WITHIN the grounded
+    # program (phased recipes that vary a nonzero weight never recompile),
+    # but the default gw == 0 path must not pay the aux term at all — XLA
+    # can't dead-code-eliminate a traced-scalar-weighted branch, so a
+    # single program would tax every default step with a full-logits
+    # log_softmax forward AND its backward
+    plain = _build(False)
+    grounded_step = _build(True)
+
+    def train_step(params, opt_state, xs, xlens, labels, llens, gw):
+        if float(gw) == 0.0:
+            return plain(params, opt_state, xs, xlens, labels, llens, gw)
+        return grounded_step(params, opt_state, xs, xlens, labels, llens,
+                             gw)
 
     return train_step
 

@@ -407,7 +407,7 @@ def rotation_angle_projections(img, minangle=-6.0, maxangle=6.0):
     best, step, lo, hi = 0.0, 1.0, minangle, maxangle
     for _ in range(3):
         cands = fxp.angle_grid(lo, hi, step)
-        shifts = np.stack([fxp.shear_shifts(a, W) for a in cands])
+        shifts = fxp.shear_shifts_batch(cands, W)
         projs = np.asarray(shear_projections(img, jnp.asarray(shifts)))
         scores = criterion_from_projections(projs)
         best = cands[int(np.argmax(scores))]

@@ -258,8 +258,9 @@ def rotation_angle_projections(img: np.ndarray, minangle: float = -6.0,
     lo, hi = minangle, maxangle
     for _ in range(3):
         cands = fxp.angle_grid(lo, hi, step)
+        shifts = fxp.shear_shifts_batch(cands, W)
         projs = np.stack(
-            [shear_projection(img, fxp.shear_shifts(a, W)) for a in cands]
+            [shear_projection(img, s) for s in shifts]
         )
         scores = criterion_from_projections(projs)
         best = cands[int(np.argmax(scores))]

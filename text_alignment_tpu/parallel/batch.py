@@ -66,6 +66,7 @@ class PipelinedOCRWorker:
         self._rec = recognizer
         self._n = n
         self._enqueued = 0
+        self._cancelled = False
         self._q: queue.Queue = queue.Queue()
         self._out: dict = {}
         self._split = n // 2 if n >= 6 else None
@@ -77,11 +78,25 @@ class PipelinedOCRWorker:
             handles = []
             first_join = None
             for _ in range(self._n):
-                handles.append(self._rec.dispatch_async(self._q.get()))
+                item = self._q.get()
+                if self._cancelled:
+                    break
+                handles.append(self._rec.dispatch_async(item))
                 if self._split is not None and len(handles) == self._split:
                     first_join = self._rec.collect_async_bg(
                         handles[: self._split]
                     )
+            if self._cancelled:
+                # doomed batch: nobody will read rows(), so skip the
+                # remaining dispatches and BOTH chunked downloads — on the
+                # single-tenant tunnel those ~30 ms-floor collects would
+                # serialize against the NEXT batch's dispatches (an
+                # already-started background first-half download can't be
+                # recalled and is left to drain)
+                self._out["err"] = RuntimeError(
+                    "OCR worker abandoned: the batch's raster failed"
+                )
+                return
             if first_join is not None:
                 self._out["rows"] = first_join() + self._rec.collect_async(
                     handles[self._split:]
@@ -96,8 +111,13 @@ class PipelinedOCRWorker:
         self._enqueued += 1
 
     def abandon(self) -> None:
-        """Feed empty sentinels for folios that never rastered so the
-        worker's fixed-count loop terminates (no-op after full enqueue)."""
+        """Cancel a partially-enqueued batch: feed sentinels so the
+        worker's fixed-count loop terminates, and flag it to skip the
+        not-yet-dispatched folios and the result downloads (the batch is
+        doomed — its rows are never read). No-op after full enqueue."""
+        if self._enqueued >= self._n:
+            return
+        self._cancelled = True
         while self._enqueued < self._n:
             self.put([])
 

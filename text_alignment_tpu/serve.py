@@ -175,9 +175,17 @@ def _process_claims_batched(spool, claims, recognizer, backend, verbose):
             if folio_result is None:
                 results[i] = ("fail", "pipeline produced no alignable OCR")
                 continue
-            os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-            with open(out_path, "w") as f:
-                json.dump(folio_result.json_dict, f)
+            try:
+                # per-job isolation, like singleton serving: an unwritable
+                # output path fails THIS job (a .failed receipt), not the
+                # whole sweep — an escaped OSError here would kill serve()
+                # and strand every claimed job in the sweep as .running
+                os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+                with open(out_path, "w") as f:
+                    json.dump(folio_result.json_dict, f)
+            except Exception:
+                results[i] = ("fail", traceback.format_exc())
+                continue
             results[i] = ("ok", out_path, job)
     return results
 
