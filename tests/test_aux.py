@@ -328,3 +328,79 @@ def test_cli_align_smoke(tmp_path):
     if out.exists():
         data = json.loads(out.read_text())
         assert set(data.keys()) == {"median_line_spacing", "syl_boxes"}
+
+
+def test_cli_align_batched_matches_sequential(tmp_path):
+    """align --batch N is byte-identical to the sequential loop: JSON
+    outputs AND --pickle-dir dumps, across a mixed manuscript (two folios
+    with reusable OCR pickles, one that needs the model)."""
+    import csv as csv_mod
+    import pickle
+    import shutil
+    from PIL import Image
+    import jax
+    from text_alignment_tpu.models.codec import Codec
+    from text_alignment_tpu.models.lstm_jax import init_bilstm, params_to_np
+    from text_alignment_tpu.models.pyrnn import save_pyrnn
+    from text_alignment_tpu.synth import corrupt_ocr, ocr_with_spaces
+    from text_alignment_tpu.cli import main
+
+    png_dir = tmp_path / "png"
+    png_dir.mkdir()
+    pk_master = tmp_path / "pk_master"
+    pk_master.mkdir()
+    folios = ["001r", "002r", "003r"]
+    pages = []
+    for i, folio in enumerate(folios):
+        page = make_page(np.random.default_rng(40 + i), n_lines=4,
+                         words_per_line=2)
+        pages.append(page)
+        Image.fromarray(page.image).save(
+            png_dir / f"synth_{folio}_text.png")
+        if folio != "002r":  # 002r exercises the model group
+            ocr = ocr_with_spaces(
+                corrupt_ocr(np.random.default_rng(90 + i), page.char_boxes))
+            with open(pk_master / f"synth_{folio}_boxes.pickle", "wb") as f:
+                pickle.dump(ocr, f, -1)
+
+    csv_path = tmp_path / "chants.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv_mod.writer(f)
+        w.writerow(["h"] * 15)
+        for i, (folio, page) in enumerate(zip(folios, pages)):
+            row = [""] * 15
+            row[2], row[3], row[10] = folio, str(i + 1), "1"
+            row[13] = row[14] = page.transcript
+            w.writerow(row)
+
+    codec = Codec()
+    model_path = str(tmp_path / "m-00000001.pyrnn.gz")
+    save_pyrnn(model_path,
+               params_to_np(init_bilstm(jax.random.PRNGKey(0), 48, 8,
+                                        len(codec))), codec, 48)
+
+    outs = {}
+    for mode, extra in (("seq", []), ("bat", ["--batch", "3"])):
+        out_json = tmp_path / f"out_{mode}"
+        pk = tmp_path / f"pk_{mode}"
+        shutil.copytree(pk_master, pk)
+        rc = main([
+            "align", "--csv", str(csv_path), "--manuscript", "synth",
+            "--model", model_path, "--png-dir", str(png_dir),
+            "--out-json", str(out_json), "--pickle-dir", str(pk),
+            "--reuse-ocr", "--folios", *folios,
+            "--backend", "host", *extra,
+        ])
+        assert rc == 0
+        outs[mode] = (out_json, pk)
+
+    for folio in folios:
+        a = outs["seq"][0] / f"synth_{folio}.json"
+        b = outs["bat"][0] / f"synth_{folio}.json"
+        assert a.exists() == b.exists(), folio
+        if a.exists():
+            assert a.read_bytes() == b.read_bytes(), folio
+        pa = outs["seq"][1] / f"synth_{folio}_boxes.pickle"
+        pb = outs["bat"][1] / f"synth_{folio}_boxes.pickle"
+        assert pa.exists() and pb.exists(), folio
+        assert pa.read_bytes() == pb.read_bytes(), folio

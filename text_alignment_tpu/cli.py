@@ -52,6 +52,11 @@ def cmd_align(args):
         os.makedirs(args.out_imgs, exist_ok=True)
 
     timer = stage_timer(enabled=args.timing)
+    if args.batch and args.batch > 1:
+        if args.cache_dir:
+            print("note: --cache-dir applies to sequential alignment only; "
+                  "ignoring it under --batch")
+        return _align_batched(args, text_func, timer)
     for ind in _folio_ids(args.folios):
         try:
             fname, transcript = text_func(ind)
@@ -101,6 +106,98 @@ def cmd_align(args):
                 raw_image, syl_boxes, lines_peak_locs,
                 os.path.join(args.out_imgs, fname + "_alignment.png"),
             )
+    if args.timing:
+        print(timer.report())
+    return 0
+
+
+def _align_batched(args, text_func, timer):
+    """align --batch N: drain folios through the stage-major batched
+    pipeline (parallel.batch.process_batch — one cross-folio OCR dispatch,
+    bucket-vmapped NW per chunk) instead of folio-at-a-time process().
+    Outputs (JSON, --pickle-dir dumps, overlays) are byte-identical to the
+    sequential loop; the chunk groups OCR-injected and model folios into
+    separate process_batch calls since the pipeline fixes the OCR mode per
+    call (same grouping serve --batch uses)."""
+    from .parallel.batch import process_batch
+    from .pipeline.process import _resolve_recognizer
+    from .pipeline.render import draw_results_on_page
+
+    items = []  # (fname, transcript, image_path, ocr_pickle, injected)
+    for ind in _folio_ids(args.folios):
+        try:
+            fname, transcript = text_func(ind)
+        except ValueError as e:
+            print(e)
+            print("no chants listed for page {}".format(ind))
+            continue
+        fname = "{}_{}".format(args.manuscript, fname)
+        text_layer_fname = os.path.join(args.png_dir, fname + "_text.png")
+        if not os.path.isfile(text_layer_fname):
+            print("cannot find files for {}.".format(fname))
+            continue
+        ocr_pickle = (
+            os.path.join(args.pickle_dir, fname + "_boxes.pickle")
+            if args.pickle_dir
+            else None
+        )
+        injected = None
+        if args.reuse_ocr and ocr_pickle and os.path.isfile(ocr_pickle):
+            with open(ocr_pickle, "rb") as f:
+                injected = pickle.load(f)
+        items.append((fname, transcript, text_layer_fname, ocr_pickle,
+                      injected))
+
+    needs_model = any(it[4] is None for it in items)
+    recognizer = (
+        _resolve_recognizer(args.model, args.backend)
+        if (args.model and needs_model) else None
+    )
+    for lo in range(0, len(items), args.batch):
+        chunk = items[lo:lo + args.batch]
+        for has_ocr in (True, False):
+            idxs = [k for k, it in enumerate(chunk)
+                    if (it[4] is not None) == has_ocr]
+            if not idxs:
+                continue
+            if not has_ocr and recognizer is None:
+                # sequential process() quietly yields None without a model
+                # or reusable OCR; say why instead
+                for k in idxs:
+                    print("no model and no reusable OCR for {}; "
+                          "skipping.".format(chunk[k][0]))
+                continue
+            folios = []
+            for k in idxs:
+                fname, transcript, img_path, _, _ = chunk[k]
+                print("processing {}...".format(fname))
+                folios.append((_load_image(img_path), transcript))
+            results = process_batch(
+                folios,
+                None if has_ocr else recognizer,
+                backend=args.backend,
+                timer=timer,
+                existing_ocr=(
+                    [chunk[k][4] for k in idxs] if has_ocr else None
+                ),
+            )
+            for k, res in zip(idxs, results):
+                fname, _, img_path, ocr_pickle, _ = chunk[k]
+                if res is None:
+                    continue
+                out_path = os.path.join(args.out_json, fname + ".json")
+                with open(out_path, "w") as f:
+                    json.dump(res.json_dict, f)
+                print("wrote {}".format(out_path))
+                if args.pickle_dir:
+                    with open(ocr_pickle, "wb") as f:
+                        pickle.dump(res.all_chars, f, -1)
+                if args.out_imgs:
+                    draw_results_on_page(
+                        _load_image(img_path), res.syl_boxes, res.peaks,
+                        os.path.join(args.out_imgs,
+                                     fname + "_alignment.png"),
+                    )
     if args.timing:
         print(timer.report())
     return 0
@@ -356,6 +453,10 @@ def main(argv=None):
     a.add_argument("--cache-dir", default=None,
                    help="content-addressed stage cache directory")
     a.add_argument("--reuse-ocr", action="store_true")
+    a.add_argument("--batch", type=int, default=0,
+                   help="process folios through the stage-major batched "
+                        "pipeline, N per chunk (byte-identical outputs; "
+                        "~2x throughput on TPU at 8+)")
     a.add_argument("--timing", action="store_true")
     a.add_argument("--verbose", action="store_true")
     a.set_defaults(func=cmd_align)

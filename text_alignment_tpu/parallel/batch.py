@@ -41,6 +41,10 @@ class FolioResult:
     syl_boxes: list
     peaks: list
     json_dict: dict
+    # the folio's full OCR CharBox stream post-abbreviation-expansion —
+    # the same value process() returns as all_chars (alignToOCR.py's
+    # pickle side-channel), so batched callers can refresh --pickle-dir
+    all_chars: list | None = None
 
 
 class PipelinedOCRWorker:
@@ -301,6 +305,7 @@ def process_batch(folios, recognizer, seq_align_params=None,
                 np.asarray(raw_image).shape,
             )
             results[i] = FolioResult(
-                syl_boxes, peaks, to_JSON_dict(syl_boxes, peaks)
+                syl_boxes, peaks, to_JSON_dict(syl_boxes, peaks),
+                list(chars),
             )
     return results
