@@ -15,11 +15,23 @@ import subprocess
 
 import numpy as np
 
-_SRC = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-    "raster.cpp",
-)
+def _find_src() -> str:
+    """Locate native/raster.cpp: the repo layout (native/ beside the
+    package), or TEXT_ALIGNMENT_TPU_NATIVE_SRC for relocated installs.
+    A missing source is not an error here — _build_and_load degrades to
+    the numpy oracle via available()."""
+    env = os.environ.get("TEXT_ALIGNMENT_TPU_NATIVE_SRC")
+    if env:
+        return env
+    return os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+        "raster.cpp",
+    )
+
+
+_SRC = _find_src()
 _lib = None
 _load_error: str | None = None
 
