@@ -42,7 +42,33 @@ _RANGE = 4
 _SMOOTHNESS = 1.0
 _EXTRA = 0.3
 _TRUNCATE = 4.0
-_HI = jax.lax.Precision.HIGHEST
+
+
+def _precision_knob(name: str, default: str):
+    import os
+
+    v = os.environ.get(name, default).lower()
+    return {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[v]
+
+
+# Matmul precision knobs (diagnostic/experiment escape hatches):
+# _HI guards the center-finding chain (v/h gaussians, uniform means, the
+# center-smoothing conv) whose argmax + int casts are knife edges; _HI_POST
+# guards the dewarp/zoom interp matmuls DOWNSTREAM of the integer
+# center/r — their inputs are exact integers-as-floats and 2-sparse
+# bilinear weights, so precision there only perturbs the output frames at
+# the 1e-7 level, not the geometry.
+#
+# Measured A/B (real TPU, fused OCR sweep B=111/Wp=1536/t_max=640):
+# POST=high keeps bit-identical decode wire + rows but is NOT faster
+# (52.1 ms HIGHEST vs 53.4 ms HIGH — noise); the interp matmuls are not
+# the fused program's bottleneck at engaged shapes. Default stays
+# HIGHEST; the knobs remain for future shape regimes.
+_HI = _precision_knob("TEXT_ALIGNMENT_TPU_LINEEST_PRECISION", "highest")
+_HI_POST = _precision_knob("TEXT_ALIGNMENT_TPU_LINEEST_POST_PRECISION",
+                           "highest")
 
 
 def _gauss_kernel_bank(sigma, kmax: int):
@@ -405,7 +431,7 @@ def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
         j_idx[None, None, :] == (v0 + 1)[..., None]
     ) * fv[..., None]
     out1 = jnp.einsum("buj,bjx->bux", Rv.astype(jnp.float32), masked,
-                      precision=_HI)  # (B, 48, Wp)
+                      precision=_HI_POST)  # (B, 48, Wp)
 
     # column-interp one-hot bank, chunked over the batch
     t_idx = jnp.arange(t_cap, dtype=jnp.float32)
@@ -421,7 +447,7 @@ def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
             xi == (x0c + 1)[:, None, :]
         ) * fxc[:, None, :]
         return jnp.einsum("bux,bxt->but", o1, Cx.astype(jnp.float32),
-                          precision=_HI)
+                          precision=_HI_POST)
 
     CH = min(128, B)
     nch = (B + CH - 1) // CH
