@@ -440,7 +440,7 @@ def main():
     from text_alignment_tpu.parallel.batch import process_batch
     from text_alignment_tpu.pipeline.preprocess import (
         preprocess_images,
-        preprocess_stream,
+        raster_stream,
         identify_text_lines,
     )
 
@@ -462,16 +462,14 @@ def main():
                   if getattr(dev_rec, "normalize_on_device", False)
                   else None)
         try:
-            # preprocess_stream = the production raster: on accelerators
-            # each folio's skew search runs as a grouped async device
-            # dispatch hidden under the next folios' host raster
-            stream = preprocess_stream(
+            # raster_stream = the production raster: run-domain hybrid
+            # fast path, and on accelerators each folio's skew search
+            # runs as a grouped async device dispatch hidden under the
+            # next folios' host raster
+            stream = raster_stream(
                 [p.image for p in pages[1:]], backend=DEVICE_BACKEND
             )
-            for image, eroded, angle in stream:
-                strips, peaks, _ = identify_text_lines(
-                    image, eroded, backend=DEVICE_BACKEND, verbose=False
-                )
+            for image, angle, strips, peaks in stream:
                 pre.append((image, angle, strips, peaks))
                 if worker is not None:
                     worker.put([s.img for s in strips])

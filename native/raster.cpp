@@ -652,9 +652,12 @@ inline int64_t ceildiv(int64_t a, int64_t b) { return -floordiv(-a, b); }
 // O(W2). runs: int32[3n] (y, xs, xe) of the H x W source, row-major.
 // Requires cfix > 0 (always true for the +-6 deg skew range; the caller
 // falls back to ta_rotate_onebit otherwise). out: uint8[H2*W2].
-void ta_rotate_runs(const int32_t* runs, int64_t n, int64_t H, int64_t W,
-                    int64_t H2, int64_t W2, int32_t cfix, int32_t sfix,
-                    int32_t scale_bits, uint8_t* out) {
+extern "C++" {
+template <class Emit>
+static void rotate_runs_core(const int32_t* runs, int64_t n, int64_t H,
+                             int64_t W, int64_t H2, int64_t W2, int32_t cfix,
+                             int32_t sfix, int32_t scale_bits, uint8_t* out,
+                             Emit&& emit) {
   std::memset(out, 0, (size_t)(H2 * W2));
   if (n == 0 || W2 == 0) return;
   std::vector<int64_t> rs(H + 1, 0);
@@ -671,6 +674,10 @@ void ta_rotate_runs(const int32_t* runs, int64_t n, int64_t H, int64_t W,
     const int64_t Q =
         -(int64_t)sfix * (-(W2 - 1)) + (int64_t)cfix * dy2 + by;
     uint8_t* orow = out + y2 * W2;
+    // per-row merged-run tracker: painted intervals arrive with
+    // nondecreasing a2 (spans advance x2; in-span source runs advance
+    // sx), so maximal output runs fall out of an abut/overlap merge
+    int64_t open_s = -1, open_e = -1;
     int64_t x2 = 0;
     while (x2 < W2) {
       const int64_t ys = floordiv(Q + Ay * x2, S1);
@@ -701,12 +708,52 @@ void ta_rotate_runs(const int32_t* runs, int64_t n, int64_t H, int64_t W,
           int64_t b2 = floordiv(xe * S1 - 1 - P, Ax);
           if (a2 < x2) a2 = x2;
           if (b2 >= x2e) b2 = x2e - 1;
-          if (a2 <= b2) std::memset(orow + a2, 1, (size_t)(b2 - a2 + 1));
+          if (a2 <= b2) {
+            std::memset(orow + a2, 1, (size_t)(b2 - a2 + 1));
+            if (open_e == a2) {
+              open_e = b2 + 1;
+            } else {
+              if (open_s >= 0) emit(y2, open_s, open_e);
+              open_s = a2;
+              open_e = b2 + 1;
+            }
+          }
         }
       }
       x2 = x2e;
     }
+    if (open_s >= 0) emit(y2, open_s, open_e);
   }
+}
+}  // extern "C++"
+
+void ta_rotate_runs(const int32_t* runs, int64_t n, int64_t H, int64_t W,
+                    int64_t H2, int64_t W2, int32_t cfix, int32_t sfix,
+                    int32_t scale_bits, uint8_t* out) {
+  rotate_runs_core(runs, n, H, W, H2, W2, cfix, sfix, scale_bits, out,
+                   [](int64_t, int64_t, int64_t) {});
+}
+
+// ta_rotate_runs + export of the rotated page's black runs (maximal,
+// row-major sorted — identical to re-extracting them from `out`, without
+// the page re-scan). Returns the true run count; only max_m rows of
+// out_runs are written (caller retries with a larger buffer on overflow —
+// the pixel page is final either way).
+int64_t ta_rotate_runs2(const int32_t* runs, int64_t n, int64_t H,
+                        int64_t W, int64_t H2, int64_t W2, int32_t cfix,
+                        int32_t sfix, int32_t scale_bits, uint8_t* out,
+                        int32_t* out_runs, int64_t max_m) {
+  int64_t m = 0;
+  rotate_runs_core(runs, n, H, W, H2, W2, cfix, sfix, scale_bits, out,
+                   [&](int64_t y, int64_t s, int64_t e) {
+                     if (m < max_m) {
+                       out_runs[3 * m] = (int32_t)y;
+                       out_runs[3 * m + 1] = (int32_t)s;
+                       out_runs[3 * m + 2] = (int32_t)e;
+                     }
+                     ++m;
+                   });
+  return m;
 }
 
 // Extract black runs once: out_runs int32[3*max_n] rows (y, xs, xe).
@@ -1212,6 +1259,135 @@ void ta_nw_fill(const int32_t* t_ids, int64_t N, const int32_t* o_ids,
   }
 }
 
-int32_t ta_abi_version() { return 12; }
+// OR little-endian run bits into a PRE-ZEROED packed buffer
+// (np.packbits(..., bitorder="little") layout: bit (x & 7) of byte
+// dest[y*stride + (x >> 3)]). Only ink bytes are touched — O(ink/8)
+// instead of the full-page re-read np.packbits costs — so the skew
+// upload pack (ops/skew_device.py) rides the run list stage 1 already
+// exports. Rows are assumed in range (y < rows of dest).
+void ta_pack_runs_into(const int32_t* runs, int64_t n, uint8_t* dest,
+                       int64_t stride) {
+  for (int64_t k = 0; k < n; ++k) {
+    const int64_t y = runs[3 * k], xs = runs[3 * k + 1], xe = runs[3 * k + 2];
+    uint8_t* row = dest + y * stride;
+    const int64_t b0 = xs >> 3, b1 = (xe - 1) >> 3;
+    if (b0 == b1) {
+      row[b0] |= (uint8_t)((((1u << (xe - xs)) - 1u) << (xs & 7)) & 0xFFu);
+    } else {
+      row[b0] |= (uint8_t)(0xFFu << (xs & 7));
+      if (b1 > b0 + 1) std::memset(row + b0 + 1, 0xFF, (size_t)(b1 - b0 - 1));
+      row[b1] |= (uint8_t)(0xFFu >> (7 - ((xe - 1) & 7)));
+    }
+  }
+}
+
+// Run-domain erode2: the same two passes as ta_erode2 — vertical (keep a
+// black px iff a vertical neighbor is black) then horizontal (keep iff a
+// horizontal neighbor is black, i.e. drop length-1 runs) — evaluated as
+// sorted-interval set algebra per row:
+//   pass1[y] = runs[y] ∩ (runs[y-1] ∪ runs[y+1])
+//   out[y]   = { pieces of pass1[y] with length >= 2 }
+// Union intervals are coalesced, and distinct input runs are separated
+// by >= 1 white px, so emitted pieces are maximal runs in row-major
+// sorted order — identical to re-extracting runs from ta_erode2's page.
+// proj (int64[H], zeroed here) receives the eroded per-row black counts
+// (= ta_projection_rows of the eroded page). Returns the true output run
+// count; only max_m rows written (caller retries on overflow).
+int64_t ta_erode_runs(const int32_t* runs, int64_t n, int64_t H,
+                      int32_t* out, int64_t max_m, int64_t* proj) {
+  std::memset(proj, 0, sizeof(int64_t) * (size_t)H);
+  std::vector<int64_t> rs(H + 1, 0);
+  for (int64_t k = 0; k < n; ++k) rs[runs[3 * k] + 1]++;
+  for (int64_t y = 0; y < H; ++y) rs[y + 1] += rs[y];
+  std::vector<int64_t> us, ue;  // per-row union of neighbor rows
+  int64_t m = 0;
+  for (int64_t y = 0; y < H; ++y) {
+    if (rs[y] == rs[y + 1]) continue;
+    // union(runs[y-1], runs[y+1]) — two sorted disjoint lists -> merged
+    us.clear();
+    ue.clear();
+    int64_t i = (y > 0) ? rs[y - 1] : 0;
+    const int64_t iend = (y > 0) ? rs[y] : 0;
+    int64_t j = (y + 1 < H) ? rs[y + 1] : n;
+    const int64_t jend = (y + 1 < H) ? rs[y + 2] : n;
+    while (i < iend || j < jend) {
+      int64_t s, e;
+      if (j >= jend || (i < iend && runs[3 * i + 1] <= runs[3 * j + 1])) {
+        s = runs[3 * i + 1];
+        e = runs[3 * i + 2];
+        ++i;
+      } else {
+        s = runs[3 * j + 1];
+        e = runs[3 * j + 2];
+        ++j;
+      }
+      if (!ue.empty() && s <= ue.back()) {
+        if (e > ue.back()) ue.back() = e;
+      } else {
+        us.push_back(s);
+        ue.push_back(e);
+      }
+    }
+    // intersect each run of row y with the union; keep pieces of len >= 2
+    size_t u = 0;
+    for (int64_t k = rs[y]; k < rs[y + 1]; ++k) {
+      const int64_t xs = runs[3 * k + 1], xe = runs[3 * k + 2];
+      while (u < ue.size() && ue[u] <= xs) ++u;
+      for (size_t q = u; q < us.size() && us[q] < xe; ++q) {
+        const int64_t s = us[q] > xs ? us[q] : xs;
+        const int64_t e = ue[q] < xe ? ue[q] : xe;
+        if (e - s >= 2) {
+          if (m < max_m) {
+            out[3 * m] = (int32_t)y;
+            out[3 * m + 1] = (int32_t)s;
+            out[3 * m + 2] = (int32_t)e;
+          }
+          ++m;
+          proj[y] += e - s;
+        }
+      }
+    }
+  }
+  return m;
+}
+
+// cc stats straight from a (row-major sorted, maximal) run list, with
+// rows where row_mask[y] != 0 dropped — the run-domain twin of
+// ta_cc_stats_masked, consuming ta_erode_runs/ta_rotate_runs2 output so
+// the eroded page never materializes. table rows: uly lry ulx lrx area.
+int32_t ta_cc_stats_from_runs(const int32_t* in_runs, int64_t n, int64_t H,
+                              const uint8_t* row_mask, int64_t* table,
+                              int32_t max_ccs) {
+  std::vector<Run> runs;
+  runs.reserve((size_t)n);
+  for (int64_t k = 0; k < n; ++k) {
+    const int32_t y = in_runs[3 * k];
+    if (row_mask && row_mask[y]) continue;
+    runs.push_back({y, in_runs[3 * k + 1], in_runs[3 * k + 2], -1});
+  }
+  std::vector<int64_t> row_start;
+  UF uf;
+  build_row_start(runs, H, row_start);
+  link_runs(runs, row_start, H, uf);
+  int32_t ncc = renumber_runs(runs, uf);
+  std::vector<int64_t> uly(ncc + 1, INT64_MAX), lry(ncc + 1, -1),
+      ulx(ncc + 1, INT64_MAX), lrx(ncc + 1, -1), area(ncc + 1, 0);
+  for (const auto& r : runs) {
+    int32_t l = r.prov;
+    if (r.y < uly[l]) uly[l] = r.y;
+    if (r.y > lry[l]) lry[l] = r.y;
+    if (r.xs < ulx[l]) ulx[l] = r.xs;
+    if (r.xe - 1 > lrx[l]) lrx[l] = r.xe - 1;
+    area[l] += r.xe - r.xs;
+  }
+  const int32_t rows = ncc < max_ccs ? ncc : max_ccs;
+  for (int32_t k = 1; k <= rows; ++k) {
+    int64_t* r = table + (int64_t)(k - 1) * 5;
+    r[0] = uly[k]; r[1] = lry[k]; r[2] = ulx[k]; r[3] = lrx[k]; r[4] = area[k];
+  }
+  return ncc;
+}
+
+int32_t ta_abi_version() { return 13; }
 
 }  // extern "C"

@@ -444,3 +444,94 @@ def test_simd_greyscale_matches_scalar_formula(rng=np.random.default_rng(9)):
         np.testing.assert_array_equal(grey.reshape(-1), ref)
         counts = np.bincount(ref, minlength=256)
         np.testing.assert_array_equal(hist, counts)
+
+
+def test_rotate_runs2_emits_rotated_runs(rng):
+    """ta_rotate_runs2: same pixels as ta_rotate_runs, plus the rotated
+    page's maximal black runs — identical to re-extracting them."""
+    for ang in (0.0, 0.8, -2.3, 5.5, -5.9):
+        h = int(rng.integers(30, 180))
+        w = int(rng.integers(30, 180))
+        img = (rng.random((h, w)) < 0.2).astype(np.uint8)
+        runs, n = host_native._black_runs(img)
+        out, oruns, m = host_native.rotate_runs2(runs, n, h, w, ang)
+        ref = host_native._rotate_runs_u8(runs, n, h, w, ang)
+        np.testing.assert_array_equal(out, ref)
+        rruns, rm = host_native._black_runs(ref)
+        assert m == rm
+        np.testing.assert_array_equal(oruns[: 3 * m], rruns[: 3 * rm])
+
+
+def test_erode_runs_matches_pixel_erode(rng):
+    """Run-domain erode2 == pixel erode2 (runs + row projection)."""
+    for density in (0.05, 0.3, 0.6):
+        h = int(rng.integers(2, 150))
+        w = int(rng.integers(2, 200))
+        img = (rng.random((h, w)) < density).astype(np.uint8)
+        runs, n = host_native._black_runs(img)
+        eruns, m, proj = host_native.erode_runs(runs, n, h)
+        ref = host_native._erode2_u8(img)
+        ref_runs, ref_m = host_native._black_runs(ref)
+        assert m == ref_m
+        np.testing.assert_array_equal(eruns[: 3 * m], ref_runs[: 3 * ref_m])
+        np.testing.assert_array_equal(proj, host_native.projection_rows(ref))
+    # degenerate single-row / single-col pages
+    for shape in ((1, 7), (7, 1)):
+        img = np.ones(shape, np.uint8)
+        runs, n = host_native._black_runs(img)
+        eruns, m, proj = host_native.erode_runs(runs, n, shape[0])
+        ref = host_native._erode2_u8(img)
+        ref_runs, ref_m = host_native._black_runs(ref)
+        assert m == ref_m
+        np.testing.assert_array_equal(proj, host_native.projection_rows(ref))
+
+
+def test_cc_stats_from_runs_matches_masked(rng):
+    img = _page(rng, h=140, w=180, density=0.25)
+    mask = np.zeros(140, bool)
+    for i in (12, 60, 61, 130):
+        mask[i : i + 2] = True
+    runs, n = host_native._black_runs(img.astype(np.uint8))
+    np.testing.assert_array_equal(
+        host_native.cc_stats_from_runs(runs, n, 140, mask),
+        host_native.cc_stats_masked(img.astype(np.uint8), mask),
+    )
+    # no mask
+    np.testing.assert_array_equal(
+        host_native.cc_stats_from_runs(runs, n, 140, None),
+        host_native.cc_stats(img.astype(np.uint8)),
+    )
+
+
+def test_pack_runs_into_matches_packbits(rng):
+    for trial in range(5):
+        h = int(rng.integers(1, 80))
+        w = int(rng.integers(1, 200))
+        img = (rng.random((h, w)) < 0.4).astype(np.uint8)
+        runs, n = host_native._black_runs(img)
+        stride = (w + 7) // 8 + int(rng.integers(0, 4))
+        dest = np.zeros((h, stride), np.uint8)
+        host_native.pack_runs_into(runs, n, dest)
+        ref = np.zeros((h, stride), np.uint8)
+        ref[:, : (w + 7) // 8] = np.packbits(img, axis=1, bitorder="little")
+        np.testing.assert_array_equal(dest, ref)
+
+
+def test_phase2_runs_matches_phase2(rng):
+    """Fused run-domain phase 2 == pixel phase 2 + projection + cc table."""
+    from text_alignment_tpu.ops import host_native as hn
+
+    img = (_page(rng, h=160, w=220, density=0.12)).astype(np.uint8)
+    hn._lib.ta_preproc_stage1(hn._u8p(img), 160, 220, 10, 150)
+    runs, n = hn._black_runs(img)
+    for angle in (0.37, -1.2, 0.0):
+        ib_ref, ie_ref = hn.preprocess_page_phase2(
+            img.copy(), runs, n, angle, 1, 2, True)
+        ib, eruns, m, proj = hn.preprocess_page_phase2_runs(
+            img.copy(), runs, n, angle, True)
+        np.testing.assert_array_equal(ib, ib_ref)
+        np.testing.assert_array_equal(
+            proj, hn.projection_rows(np.asarray(ie_ref)))
+        ref_runs, ref_m = hn._black_runs(np.asarray(ie_ref).view(np.uint8))
+        assert m == ref_m
+        np.testing.assert_array_equal(eruns[: 3 * m], ref_runs[: 3 * ref_m])

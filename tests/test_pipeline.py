@@ -293,3 +293,35 @@ def test_end_to_end_golden_json():
     with open(golden_path) as f:
         want = json.load(f)
     assert got == want
+
+
+def test_raster_stream_matches_sequential_composition():
+    """raster_stream (the batched pipeline's fused stage-1 loop, incl. the
+    hybrid run-domain fast path) == preprocess_images + identify_text_lines
+    per folio, on every backend."""
+    from text_alignment_tpu.pipeline.preprocess import (
+        identify_text_lines,
+        preprocess_images,
+        raster_stream,
+    )
+
+    pages = [
+        make_page(np.random.default_rng(40 + i), n_lines=3, words_per_line=2,
+                  angle=(0.0, 0.6, -1.1)[i])
+        for i in range(3)
+    ]
+    raws = [np.asarray(p.image) for p in pages]
+    for backend in ("hybrid", "host"):
+        got = list(raster_stream(raws, backend=backend))
+        assert len(got) == len(raws)
+        for raw, (ib2, ang2, strips2, peaks2) in zip(raws, got):
+            ib, ie, ang = preprocess_images(raw, backend=backend)
+            strips, peaks, _ = identify_text_lines(
+                ib, ie, backend=backend, verbose=False)
+            assert ang == ang2
+            np.testing.assert_array_equal(np.asarray(ib), np.asarray(ib2))
+            assert list(peaks) == list(peaks2)
+            assert len(strips) == len(strips2)
+            for a, b in zip(strips, strips2):
+                assert (a.offset_x, a.offset_y) == (b.offset_x, b.offset_y)
+                np.testing.assert_array_equal(a.img, b.img)

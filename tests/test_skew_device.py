@@ -231,3 +231,36 @@ def test_serve_warmup_batch_precompiles_grouped_skew(monkeypatch):
     from text_alignment_tpu.serve import warmup
 
     warmup(None, "hybrid", batch=2)
+
+
+def test_raster_stream_device_skew_bit_identical(monkeypatch):
+    """The fused run-domain raster_stream with the device skew search
+    (GroupedSkewWorker.put_runs packing bits straight from phase-1 runs)
+    matches the sequential hybrid composition exactly."""
+    monkeypatch.setenv("TEXT_ALIGNMENT_TPU_SKEW", "device")
+    from text_alignment_tpu.synth import make_page
+    from text_alignment_tpu.pipeline.preprocess import (
+        identify_text_lines,
+        preprocess_images,
+        raster_stream,
+    )
+
+    pages = [
+        make_page(np.random.default_rng(100 + i), n_lines=3,
+                  words_per_line=2, angle=(0.0, 0.7, -1.3, 0.2, 2.1, -0.4)[i]
+                  ).image
+        for i in range(6)  # one full group of 4 + a padded partial
+    ]
+    got = list(raster_stream(pages, backend="hybrid", skew="device"))
+    assert len(got) == len(pages)
+    for p, (ib2, ang2, strips2, peaks2) in zip(pages, got):
+        ib, ie, ang = preprocess_images(p, backend="hybrid")
+        strips, peaks, _ = identify_text_lines(ib, ie, backend="hybrid",
+                                               verbose=False)
+        assert ang == ang2
+        assert np.array_equal(np.asarray(ib), np.asarray(ib2))
+        assert list(peaks) == list(peaks2)
+        assert len(strips) == len(strips2)
+        for a, b in zip(strips, strips2):
+            assert (a.offset_x, a.offset_y) == (b.offset_x, b.offset_y)
+            assert np.array_equal(a.img, b.img)

@@ -105,7 +105,16 @@ def _build_and_load():
                                    i64, i64, i64, i64, i8p, i8p, i8p]
         f64p = ctypes.POINTER(ctypes.c_double)
         lib.ta_nearest_higher.argtypes = [f64p, i64, i32p, i32p]
-        assert lib.ta_abi_version() == 12
+        lib.ta_rotate_runs2.restype = i64
+        lib.ta_rotate_runs2.argtypes = [i32p, i64, i64, i64, i64, i64, i32,
+                                        i32, i32, u8p, i32p, i64]
+        lib.ta_pack_runs_into.argtypes = [i32p, i64, u8p, i64]
+        lib.ta_erode_runs.restype = i64
+        lib.ta_erode_runs.argtypes = [i32p, i64, i64, i32p, i64, i64p]
+        lib.ta_cc_stats_from_runs.restype = i32
+        lib.ta_cc_stats_from_runs.argtypes = [i32p, i64, i64, u8p, i64p,
+                                              i32]
+        assert lib.ta_abi_version() == 13
         _lib = lib
     except Exception as e:  # no toolchain / build failure -> oracle fallback
         _load_error = repr(e)
@@ -545,6 +554,103 @@ def preprocess_page_phase2(img: np.ndarray, runs: np.ndarray, n_runs: int,
     # output propagated through despeckle/rotate/erode), so reinterpreting
     # as bool is free and canonical
     return img.view(bool), eroded.view(bool)
+
+
+def pack_runs_into(runs: np.ndarray, n: int, dest_u8: np.ndarray) -> None:
+    """OR the run list's ink bits (little-endian np.packbits layout) into a
+    PRE-ZEROED 2-D uint8 buffer — the skew upload pack without re-reading
+    the 0/1 page (ops/skew_device.py rides phase 1's exported runs)."""
+    _build_and_load()
+    assert dest_u8.dtype == np.uint8 and dest_u8.flags.c_contiguous
+    _lib.ta_pack_runs_into(
+        runs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+        _u8p(dest_u8), dest_u8.strides[0])
+
+
+def rotate_runs2(runs: np.ndarray, n: int, H: int, W: int,
+                 angle_deg: float):
+    """Rotate a run-encoded page; returns (img uint8 (H2, W2), out_runs
+    int32[3m], m) where out_runs are the rotated page's maximal black runs
+    (bit-identical to re-extracting them from img, without the scan)."""
+    from . import fixedpoint as fxp
+
+    _build_and_load()
+    H2, W2 = fxp.rotated_canvas(H, W, angle_deg)
+    cfix, sfix = fxp.rotation_coeffs(angle_deg)
+    out = np.empty((H2, W2), np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    max_m = 2 * n + H2 + 1024
+    out_runs = np.empty(3 * max_m, np.int32)
+    m = int(_lib.ta_rotate_runs2(
+        runs.ctypes.data_as(i32p), n, H, W, H2, W2, cfix, sfix,
+        fxp.SCALE_BITS, _u8p(out), out_runs.ctypes.data_as(i32p), max_m))
+    if m > max_m:  # img is final; only the run export overflowed
+        out_runs = np.empty(3 * m, np.int32)
+        _lib.ta_rotate_runs2(
+            runs.ctypes.data_as(i32p), n, H, W, H2, W2, cfix, sfix,
+            fxp.SCALE_BITS, _u8p(out), out_runs.ctypes.data_as(i32p), m)
+    return out, out_runs, m
+
+
+def erode_runs(runs: np.ndarray, n: int, H: int):
+    """Run-domain erode2 (filter short + narrow runs of 2). Returns
+    (eroded_runs int32[3m], m, proj int64[H]) where proj is the eroded
+    page's row projection — both bit-identical to the pixel path."""
+    _build_and_load()
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    proj = np.empty(H, np.int64)
+    max_m = 3 * n + 16
+    out = np.empty(3 * max_m, np.int32)
+    m = int(_lib.ta_erode_runs(runs.ctypes.data_as(i32p), n, H,
+                               out.ctypes.data_as(i32p), max_m,
+                               proj.ctypes.data_as(i64p)))
+    assert m <= max_m, "erode_runs output bound violated"
+    return out, m, proj
+
+
+def cc_stats_from_runs(runs: np.ndarray, n: int, H: int,
+                       row_mask: np.ndarray | None,
+                       max_ccs: int = 1 << 20):
+    """cc_stats over a run-encoded page with masked rows dropped — the
+    run-domain twin of cc_stats_masked (same table, same scan order)."""
+    _build_and_load()
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    mask = (np.ascontiguousarray(row_mask, np.uint8) if row_mask is not None
+            else np.zeros(H, np.uint8))
+    table = np.zeros((max_ccs, 5), np.int64)
+    k = int(_lib.ta_cc_stats_from_runs(
+        runs.ctypes.data_as(i32p), n, H, _u8p(mask),
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), max_ccs))
+    if k > max_ccs:
+        raise RuntimeError(f"page has {k} CCs > max_ccs={max_ccs}")
+    return table[:k].copy()
+
+
+def preprocess_page_phase2_runs(img: np.ndarray, runs: np.ndarray,
+                                n_runs: int, angle: float,
+                                correct_rotation: bool):
+    """Fused run-domain phase 2 for the streamed batched raster: rotate
+    (pixels + runs in one pass), erode in run domain, and emit the eroded
+    row projection — the eroded pixel page is NEVER materialized. Only
+    supports the pipeline's standard erode (filter_runs=1, amt=2; callers
+    needing other shapes use preprocess_page_phase2). Returns
+    (image_bin bool, eroded_runs int32[3m], m, proj int64[H2])."""
+    from . import fixedpoint as fxp
+
+    H, W = img.shape
+    if correct_rotation:
+        cfix, _ = fxp.rotation_coeffs(angle)
+        if cfix > 0:
+            img_u8, rruns, rn = rotate_runs2(runs, n_runs, H, W, angle)
+        else:  # unreachable within the +-6 deg search range
+            img_u8 = _rotate_u8(img, angle)
+            rruns, rn = _black_runs(img_u8)
+    else:
+        img_u8, rruns, rn = img, runs, n_runs
+    eruns, en, proj = erode_runs(rruns, rn, img_u8.shape[0])
+    return img_u8.view(bool) if img_u8.dtype == np.uint8 else img_u8, \
+        eruns, en, proj
 
 
 def preprocess_page(input_image: np.ndarray, despeckle_amt: int,

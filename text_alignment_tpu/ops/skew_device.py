@@ -316,8 +316,10 @@ class GroupedSkewWorker:
                     self._angles[s] = a
                 self._cv.notify_all()
 
-    def put(self, img_u8: np.ndarray) -> int:
-        H, W = img_u8.shape
+    def _reserve(self, H: int, W: int):
+        """Group slot for an H x W page: (bits8 view to pack into, commit
+        thunk). The meta buffer is freshly zeroed, so packers may OR ink
+        bits without clearing."""
         Hp = -(-H // 16) * 16
         Wp = -(-W // 128) * 128
         key = (Hp, Wp)
@@ -328,16 +330,34 @@ class GroupedSkewWorker:
         meta, slots = buf
         b = len(slots)
         bits8 = meta[b, :Hp].view(np.uint8).reshape(Hp, Wp // 8)
-        bits8[:H, : (W + 7) // 8] = np.packbits(img_u8, axis=1,
-                                                bitorder="little")
         meta[b, Hp, 0] = H
         meta[b, Hp, 1] = W
         slot = self._n
         self._n += 1
         slots.append(slot)
-        if len(slots) == self._group:
-            self._flush(key)
-        return slot
+
+        def commit():
+            if len(slots) == self._group and key in self._bufs:
+                self._flush(key)
+            return slot
+
+        return bits8, commit
+
+    def put(self, img_u8: np.ndarray) -> int:
+        H, W = img_u8.shape
+        bits8, commit = self._reserve(H, W)
+        bits8[:H, : (W + 7) // 8] = np.packbits(img_u8, axis=1,
+                                                bitorder="little")
+        return commit()
+
+    def put_runs(self, runs: np.ndarray, n: int, H: int, W: int) -> int:
+        """put() without the page re-read: OR the phase-1 run list's ink
+        bits straight into the zeroed group buffer (native engine only)."""
+        from . import host_native as hn
+
+        bits8, commit = self._reserve(H, W)
+        hn.pack_runs_into(runs, n, bits8)
+        return commit()
 
     def _flush(self, key):
         meta, slots = self._bufs.pop(key)

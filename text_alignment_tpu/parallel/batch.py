@@ -23,7 +23,7 @@ from ..align import perform_alignment
 from ..lang.syllabify import syllabify_text
 from ..pipeline.preprocess import (
     preprocess_images,
-    preprocess_stream,
+    raster_stream,
     identify_text_lines,
 )
 from ..pipeline.assemble import (
@@ -203,19 +203,15 @@ def process_batch(folios, recognizer, seq_align_params=None,
         ocr_worker = PipelinedOCRWorker(recognizer, n) if pipelined else None
         with timer("preprocess"):
             try:
-                # preprocess_stream overlaps each folio's skew search
-                # (device dispatch) with the next folios' host raster when
-                # an accelerator is available; identical results otherwise
-                stream = preprocess_stream(
+                # raster_stream overlaps each folio's skew search (device
+                # dispatch) with the next folios' host raster when an
+                # accelerator is available, and runs the hybrid raster in
+                # the run domain end to end; identical results otherwise
+                stream = raster_stream(
                     [np.asarray(f[0]) for f in folios], backend=backend,
                     params=preproc_params,
                 )
-                for (image, eroded, angle), (raw_image, _) in zip(
-                        stream, folios):
-                    strips, peaks, _ = identify_text_lines(
-                        image, eroded, backend=backend,
-                        params=preproc_params, verbose=False,
-                    )
+                for image, angle, strips, peaks in stream:
                     pre.append((image, angle, strips, peaks))
                     if ocr_worker is not None:
                         ocr_worker.put([s.img for s in strips])

@@ -254,6 +254,97 @@ def preprocess_stream(images, backend: str = "host",
         worker.finish()
 
 
+def raster_stream(images, backend: str = "host",
+                  despeckle_amt: int = DESPECKLE_AMT,
+                  params: PreprocParams | None = None,
+                  skew: str = "auto", depth: int = 8):
+    """Yield the whole per-folio raster — ``(image_bin, angle, strips,
+    peaks)`` — for a stream of pages: the batched pipeline's stage-1 loop
+    (parallel/batch.py).
+
+    On the hybrid backend with the native engine, the page lives in the
+    RUN domain end to end: stage 1 exports runs, the skew upload packs
+    bits straight from them (no page re-read), rotation emits rotated
+    runs alongside the pixel page, the erode + row projection + separator
+    -masked CC stats all run on runs — the eroded pixel page is never
+    materialized, saving ~3 full-page passes on the one-core host. The
+    device skew search engages exactly as in :func:`preprocess_stream`.
+    Results are bit-identical to preprocess_images + identify_text_lines
+    on every path (tested)."""
+    images = list(images)
+    p = params or PreprocParams()
+    fused = False
+    if backend == "hybrid":
+        from ..ops import host_native as hn
+
+        fused = hn.available()
+    if not fused:
+        stream = preprocess_stream(images, backend=backend,
+                                   despeckle_amt=despeckle_amt, params=p,
+                                   skew=skew, depth=depth)
+        for image_bin, image_eroded, angle in stream:
+            strips, peaks, _ = identify_text_lines(
+                image_bin, image_eroded, backend=backend, params=p,
+                verbose=False)
+            yield image_bin, angle, strips, peaks
+        return
+
+    from ..ops import host_native as hn
+    from ..ops import skew_device
+
+    use_device_skew = len(images) > 1 and (
+        skew == "device" or (skew == "auto" and skew_device.enabled()))
+
+    def _finish(img, runs, n_runs, angle):
+        image_bin, eruns, en, proj = hn.preprocess_page_phase2_runs(
+            img, runs, n_runs, angle, correct_rotation=True)
+        strips, peaks, _ = identify_text_lines_runs(
+            image_bin, eruns, en, proj, params=p, verbose=False)
+        return image_bin, float(angle), strips, peaks
+
+    if not use_device_skew:
+        for raw in images:
+            img, runs, n_runs = hn.preprocess_page_phase1(
+                np.asarray(raw), despeckle_amt, p.sat_area_thresh)
+            angle = hn.rotation_angle_projections(
+                img, -6, 6, runs_n=(runs, n_runs))
+            yield _finish(img, runs, n_runs, angle)
+        return
+
+    from collections import deque
+
+    from ..ops.skew_device import GroupedSkewWorker
+
+    pend: deque = deque()
+    n = len(images)
+    worker = GroupedSkewWorker()
+
+    def _enqueue(i):
+        img, runs, n_runs = hn.preprocess_page_phase1(
+            np.asarray(images[i]), despeckle_amt, p.sat_area_thresh)
+        slot = worker.put_runs(runs, n_runs, img.shape[0], img.shape[1])
+        pend.append((img, runs, n_runs, slot))
+
+    try:
+        # same 2-group lookahead window as preprocess_stream
+        for i in range(min(depth, n)):
+            _enqueue(i)
+        nxt = min(depth, n)
+        if nxt == n:
+            worker.finish()
+        while pend:
+            if nxt < n:  # keep the accelerator fed before blocking
+                _enqueue(nxt)
+                nxt += 1
+                if nxt == n:
+                    worker.finish()
+            img, runs, n_runs, slot = pend.popleft()
+            angle = worker.angle(slot)
+            yield _finish(img, runs, n_runs, angle)
+    finally:
+        worker.finish()
+
+
 def _cc_table(img, backend):
     """(uly, lry, ulx, lrx, area) int rows for every CC, scan order."""
     if backend == "device":
@@ -293,6 +384,77 @@ def identify_text_lines(image_bin, image_eroded, backend: str = "host",
             np.asarray(image_eroded)
         )
 
+    def table_fn(sep_rows):
+        return _sep_masked_cc_table(image_eroded, sep_rows, backend)
+
+    return _lines_from_projection(image_bin, project, table_fn, p, verbose)
+
+
+def identify_text_lines_runs(image_bin, eroded_runs, n_eruns, proj,
+                             params: PreprocParams | None = None,
+                             verbose: bool = False):
+    """identify_text_lines over a run-encoded eroded page (native engine's
+    fused phase-2 output, host_native.preprocess_page_phase2_runs): the
+    row projection arrives precomputed and the separator-masked CC stats
+    come straight off the run list, so the eroded pixel page never exists.
+    Bit-identical results (tested)."""
+    from ..ops import host_native as hn
+
+    p = params or PreprocParams()
+    H = len(proj)
+
+    def table_fn(sep_rows):
+        mask = np.zeros(H, dtype=bool)
+        for idx in sep_rows:
+            mask[idx : idx + 2] = True
+        return hn.cc_stats_from_runs(eroded_runs, n_eruns, H, mask)
+
+    return _lines_from_projection(image_bin, proj, table_fn, p, verbose)
+
+
+def _sep_masked_cc_table(image_eroded, sep_rows, backend):
+    """CC table of the eroded page with 2-px separator rows erased
+    (textAlignPreprocessing.py:217-235), per backend."""
+    if backend == "device":
+        import jax.numpy as jnp
+        from ..ops import device as eng
+
+        H = int(image_eroded.shape[0])
+        mask = np.zeros(H, dtype=bool)
+        for idx in sep_rows:
+            mask[idx : idx + 2] = True
+        table_dev, count = eng.erase_and_ccstats(
+            jnp.asarray(np.asarray(image_eroded)), jnp.asarray(mask)
+        )
+        count = int(count)
+        table = np.asarray(table_dev)
+        if count > table.shape[0]:
+            raise RuntimeError(f"page has {count} CCs > MAX_CCS={table.shape[0]}")
+        return table[:count].astype(np.int64)
+    eng = _raster_engine(backend)
+    if hasattr(eng, "cc_stats_masked"):
+        # native path: masked rows are treated as white during run
+        # extraction — no page copy at all
+        H = int(np.asarray(image_eroded).shape[0])
+        mask = np.zeros(H, dtype=bool)
+        for idx in sep_rows:
+            mask[idx : idx + 2] = True
+        return eng.cc_stats_masked(np.asarray(image_eroded), mask)
+    # one copy, then in-place separator erasure (draw_hline_white
+    # copies the whole page per call — 10 lines would be 10 copies)
+    eroded_cut = np.array(image_eroded, copy=True)
+    for idx in sep_rows:
+        eroded_cut[idx : idx + 2, :] = False
+    return _cc_table(eroded_cut, backend)
+
+
+def _lines_from_projection(image_bin, project, table_fn, p: PreprocParams,
+                           verbose: bool = False):
+    """Shared tail of identify_text_lines: peaks from the (eroded-page)
+    row projection, separator rows at inter-peak minima, then the CC
+    filtering + per-peak collision strips (textAlignPreprocessing.py:
+    198-285). ``table_fn(sep_rows)`` supplies the separator-masked CC
+    table — pixel- or run-domain."""
     if verbose:
         print("finding projection peaks...")
     smoothed_projection = moving_avg_filter(project, p.filter_size)
@@ -309,39 +471,7 @@ def identify_text_lines(image_bin, image_eroded, backend: str = "host",
     if verbose:
         print("connected component analysis...")
 
-    if backend == "device":
-        import jax.numpy as jnp
-        from ..ops import device as eng
-
-        H = int(image_eroded.shape[0])
-        mask = np.zeros(H, dtype=bool)
-        for idx in sep_rows:
-            mask[idx : idx + 2] = True
-        table_dev, count = eng.erase_and_ccstats(
-            jnp.asarray(np.asarray(image_eroded)), jnp.asarray(mask)
-        )
-        count = int(count)
-        table = np.asarray(table_dev)
-        if count > table.shape[0]:
-            raise RuntimeError(f"page has {count} CCs > MAX_CCS={table.shape[0]}")
-        table = table[:count].astype(np.int64)
-    else:
-        eng = _raster_engine(backend)
-        if hasattr(eng, "cc_stats_masked"):
-            # native path: masked rows are treated as white during run
-            # extraction — no page copy at all
-            H = int(np.asarray(image_eroded).shape[0])
-            mask = np.zeros(H, dtype=bool)
-            for idx in sep_rows:
-                mask[idx : idx + 2] = True
-            table = eng.cc_stats_masked(np.asarray(image_eroded), mask)
-        else:
-            # one copy, then in-place separator erasure (draw_hline_white
-            # copies the whole page per call — 10 lines would be 10 copies)
-            eroded_cut = np.array(image_eroded, copy=True)
-            for idx in sep_rows:
-                eroded_cut[idx : idx + 2, :] = False
-            table = _cc_table(eroded_cut, backend)
+    table = table_fn(sep_rows)
 
     # drop small CCs (strictly greater than the threshold survives —
     # textAlignPreprocessing.py:235), then the (inert) capitals filter.
