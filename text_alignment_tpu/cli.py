@@ -423,6 +423,42 @@ def cmd_train(args):
     return 0
 
 
+def cmd_lines(args):
+    from .gtedit import extract_lines
+    from .pipeline.preprocess import PreprocParams
+
+    pp = (PreprocParams(filter_size=args.filter_size)
+          if args.filter_size else None)
+    total = 0
+    for page in args.pages:
+        stem = os.path.splitext(os.path.basename(page))[0]
+        paths = extract_lines(_load_image(page), args.out_dir, stem,
+                              backend=args.backend, preproc_params=pp)
+        print(f"{page}: {len(paths)} line crop(s) -> {args.out_dir}")
+        total += len(paths)
+    if total == 0:
+        print("no text lines detected")
+        return 1
+    return 0
+
+
+def cmd_gtedit(args):
+    from . import gtedit
+
+    if args.gtedit_cmd == "html":
+        rec = None
+        if args.model:
+            from .pipeline.process import _resolve_recognizer
+
+            rec = _resolve_recognizer(args.model, args.backend)
+        n = gtedit.make_html(args.lines_dir, args.out, recognizer=rec)
+        print(f"wrote {args.out} ({n} line(s))")
+        return 0 if n else 1
+    n = gtedit.extract(args.saved, args.out_dir)
+    print(f"wrote {n} .gt.txt file(s) -> {args.out_dir}")
+    return 0 if n else 1
+
+
 def cmd_serve(args):
     from .serve import serve
 
@@ -511,6 +547,49 @@ def main(argv=None):
                    "archives, safe to load)")
     t.set_defaults(func=cmd_train)
 
+    li = sub.add_parser(
+        "lines",
+        help="segment pages into per-line training crops (the reference's "
+        "'ocropus page segmentation' training step, README.md:52-56)",
+    )
+    li.add_argument("pages", nargs="+", help="page image PNGs")
+    li.add_argument("--out-dir", default="./lines")
+    li.add_argument("--backend", default="host",
+                    choices=["host", "hybrid", "device"])
+    li.add_argument("--filter-size", type=int, default=0,
+                    help="projection smoothing half-window override "
+                    "(reference filter_size=30; smaller for low-res pages)")
+    li.set_defaults(func=cmd_lines)
+
+    g = sub.add_parser(
+        "gtedit",
+        help="browser-based line-transcription correction round trip "
+        "(the ocropus-gtedit equivalent, reference README.md:52-56)",
+    )
+    gsub = g.add_subparsers(dest="gtedit_cmd", required=True)
+    gh = gsub.add_parser(
+        "html", help="render line crops + editable transcriptions into one "
+        "self-contained HTML page"
+    )
+    gh.add_argument("--lines-dir", required=True,
+                    help="dir of X.png line crops (+ optional X.gt.txt)")
+    gh.add_argument("--out", default="correction.html")
+    gh.add_argument("--model", default=None,
+                    help=".pyrnn.gz recognizer to prefill missing "
+                    "transcriptions by OCR")
+    gh.add_argument("--backend", default="hybrid",
+                    choices=["host", "hybrid", "device"])
+    gh.set_defaults(func=cmd_gtedit)
+    ge = gsub.add_parser(
+        "extract", help="write X.gt.txt ground truth from a saved "
+        "correction page or downloaded corrections.tsv"
+    )
+    ge.add_argument("saved", help="saved HTML or corrections.tsv")
+    ge.add_argument("--out-dir", required=True,
+                    help="where to write the .gt.txt files (usually the "
+                    "lines dir)")
+    ge.set_defaults(func=cmd_gtedit)
+
     s = sub.add_parser(
         "serve",
         help="spool-directory server: process *.job.json jobs with warm "
@@ -545,7 +624,13 @@ def main(argv=None):
     # that engage from host-backend commands (the evaluate --grid device
     # fill, the device line normalizer) call it themselves right before
     # their first jit.
-    if getattr(args, "backend", "host") != "host" or args.cmd == "train":
+    # lines/gtedit are host-side tools unless a recognizer is actually
+    # loaded (gtedit html --model) — don't touch the backend for them
+    wants_device = getattr(args, "backend", "host") != "host"
+    if args.cmd == "lines" or (args.cmd == "gtedit"
+                               and not getattr(args, "model", None)):
+        wants_device = False
+    if wants_device or args.cmd == "train":
         from .utils.compile_cache import ensure_compile_cache
 
         ensure_compile_cache()
