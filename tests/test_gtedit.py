@@ -120,3 +120,30 @@ def test_cli_lines_and_gtedit(tmp_path):
     pairs = [fn for fn in os.listdir(out_dir) if fn.endswith(".png")
              and os.path.isfile(os.path.join(out_dir, fn[:-4] + ".gt.txt"))]
     assert len(pairs) == 2
+
+
+def test_html_recognizer_prefill(lines_dir, tmp_path):
+    # crops without .gt.txt get one batched recognizer pass as prefill;
+    # existing gt wins over OCR. Untrained weights -> arbitrary (possibly
+    # empty) text; the contract is that the pass runs and fills the field.
+    import jax
+
+    from text_alignment_tpu.models.codec import Codec
+    from text_alignment_tpu.models.lstm_jax import init_bilstm
+    from text_alignment_tpu.models.recognizer import SeqRecognizer
+
+    with open(os.path.join(lines_dir, "p001_0000.gt.txt"), "w") as f:
+        f.write('do<mi>nus "a&b"\n')
+    codec = Codec(["", "~", " ", "a", "b", "c"])
+    rec = SeqRecognizer(
+        init_bilstm(jax.random.PRNGKey(1), 48, 12, len(codec)), codec
+    )
+    out = tmp_path / "c.html"
+    n = gtedit.make_html(str(lines_dir), str(out), recognizer=rec)
+    assert n == 3
+    rows = gtedit.parse_corrections(str(out))
+    assert set(rows) == {"p001_0000", "p001_0001", "p001_0002"}
+    # an existing gt.txt wins over OCR
+    assert rows["p001_0000"] == 'do<mi>nus "a&b"'
+    for stem in ("p001_0001", "p001_0002"):
+        assert set(rows[stem]) <= set(codec.charset)
