@@ -187,3 +187,45 @@ def build_py2_pyrnn(params: dict, charset: list[str],
         (_py2_str(b"trial"), _int(54500)),
     ])
     return PROTO + rec + STOP
+
+
+NEWOBJ = b"\x81"
+
+
+def _py2_charbox(char, ul=None, lr=None) -> bytes:
+    """One ``alignToOCR.CharBox`` as py2 cPickle protocol 2 emits a
+    new-style ``__slots__`` instance: GLOBAL + empty args + NEWOBJ, then
+    BUILD with ``(None, slots_dict)`` state (reference alignToOCR.py:35-58,
+    dumped at :435-436). ``char`` bytes = a py2 plain ``str`` payload;
+    ``str`` = a py2 ``unicode`` payload (the llocs path read via codecs)."""
+    c = _py2_str(char) if isinstance(char, bytes) else _binunicode(char)
+    if ul is None or lr is None:
+        # the reference's "empty" state: __init__ sets ul/lr None and
+        # leaves the derived slots UNSET (alignToOCR.py:39-44)
+        slots = [
+            (_py2_str(b"char"), c),
+            (_py2_str(b"ul"), NONE),
+            (_py2_str(b"lr"), NONE),
+        ]
+    else:
+        slots = [
+            (_py2_str(b"char"), c),
+            (_py2_str(b"ul"), _tuple(_int(ul[0]), _int(ul[1]))),
+            (_py2_str(b"lr"), _tuple(_int(lr[0]), _int(lr[1]))),
+            (_py2_str(b"ulx"), _int(ul[0])),
+            (_py2_str(b"lrx"), _int(lr[0])),
+            (_py2_str(b"uly"), _int(ul[1])),
+            (_py2_str(b"lry"), _int(lr[1])),
+            (_py2_str(b"width"), _int(lr[0] - ul[0])),
+            (_py2_str(b"height"), _int(lr[1] - ul[1])),
+        ]
+    return (_global("alignToOCR", "CharBox") + b")" + NEWOBJ
+            + _tuple(NONE, _dict(slots)) + BUILD)
+
+
+def build_py2_charbox_pickle(boxes) -> bytes:
+    """Protocol-2 byte stream of a CharBox list — the reference's
+    ``pik/{fname}_boxes.pickle`` container (alignToOCR.py:435-436).
+    ``boxes``: iterable of (char, ul, lr) with ul/lr (x, y) tuples or
+    None."""
+    return PROTO + _list([_py2_charbox(*b) for b in boxes]) + STOP

@@ -404,3 +404,70 @@ def test_cli_align_batched_matches_sequential(tmp_path):
         pb = outs["bat"][1] / f"synth_{folio}_boxes.pickle"
         assert pa.exists() and pb.exists(), folio
         assert pa.read_bytes() == pb.read_bytes(), folio
+
+
+def test_reference_py2_charbox_pickle_loads(tmp_path):
+    """A migrating reference user's pik/ caches (Python-2 pickles of
+    alignToOCR.CharBox, written at alignToOCR.py:435-436) load through
+    every existing_ocr_pickle surface."""
+    import io
+    import pickle
+
+    from py2pickle import build_py2_charbox_pickle
+    from text_alignment_tpu.charbox import CharBox
+    from text_alignment_tpu.utils.ref_pickle import load_charboxes
+
+    stream = build_py2_charbox_pickle([
+        ("d", (10, 20), (18, 34)),          # py2 unicode char
+        (b"e", (19, 20), (27, 34)),         # py2 plain-str char
+        ("~", None, None),                  # reference "empty" state
+        ("̄", (28, 20), (30, 34)),     # non-ascii (combining macron)
+    ])
+    boxes = load_charboxes(io.BytesIO(stream))
+    assert [b.char for b in boxes] == ["d", "e", "~", "̄"]
+    assert boxes[0] == CharBox("d", (10, 20), (18, 34))
+    assert boxes[0].width == 8 and boxes[0].ulx == 10
+    # the reference leaves derived slots unset on empty boxes; ours are
+    # always defined (None) after the rebuild
+    assert boxes[2].ul is None and boxes[2].width is None
+    assert boxes[3].lrx == 30
+
+    # a plain py3 pickle.load chokes on the same stream (this is the
+    # failure a migrating user would have hit)
+    with pytest.raises(ModuleNotFoundError):
+        pickle.load(io.BytesIO(stream))
+
+    # our own py3 dumps (cli.py --pickle-dir convention) load through the
+    # same entry point
+    p = tmp_path / "own.pickle"
+    with open(p, "wb") as f:
+        pickle.dump(boxes, f, -1)
+    with open(p, "rb") as f:
+        again = load_charboxes(f)
+    assert again == boxes
+
+
+def test_process_consumes_reference_py2_pickle(tmp_path):
+    """existing_ocr_pickle=<py2 reference cache> drives the full pipeline
+    (the evaluate_text_alignment.py:159-164 reuse path)."""
+    import numpy as np
+
+    from py2pickle import build_py2_charbox_pickle
+    from text_alignment_tpu.pipeline import process
+    from text_alignment_tpu.pipeline.preprocess import PreprocParams
+    from text_alignment_tpu.synth import make_page, ocr_with_spaces
+
+    page = make_page(np.random.default_rng(11), n_lines=3, words_per_line=2)
+    chars = ocr_with_spaces(page.char_boxes)
+    pik = tmp_path / "f_boxes.pickle"
+    pik.write_bytes(build_py2_charbox_pickle(
+        [(c.char, c.ul, c.lr) for c in chars]
+    ))
+    syl_boxes, _, peaks, all_chars = process(
+        page.image, page.transcript, existing_ocr_pickle=str(pik),
+        preproc_params=PreprocParams(filter_size=8), verbose=False,
+    )
+    assert syl_boxes
+    joined = "".join(s.char.replace("-", "") for s in syl_boxes)
+    for word in page.transcript.split():
+        assert word in joined

@@ -17,6 +17,8 @@ import argparse
 import json
 import os
 import pickle
+
+from .utils.ref_pickle import load_charboxes
 import sys
 
 import numpy as np
@@ -144,7 +146,7 @@ def _align_batched(args, text_func, timer):
         injected = None
         if args.reuse_ocr and ocr_pickle and os.path.isfile(ocr_pickle):
             with open(ocr_pickle, "rb") as f:
-                injected = pickle.load(f)
+                injected = load_charboxes(f)
         items.append((fname, transcript, text_layer_fname, ocr_pickle,
                       injected))
 
@@ -218,7 +220,9 @@ def cmd_evaluate(args):
         with open(
             os.path.join(args.pickle_dir, fname + "_boxes.pickle"), "rb"
         ) as f:
-            existing_ocr = pickle.load(f)
+            # reference-compatible: also reads the Py2 pik/ caches a
+            # migrating reference user brings (alignToOCR.py:435-436)
+            existing_ocr = load_charboxes(f)
         fixtures.append(
             {
                 "raw_image": raw_image,

@@ -161,9 +161,11 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
     if existing_ocr is not None:
         all_chars = list(existing_ocr)
     elif existing_ocr_pickle:
+        from ..utils.ref_pickle import load_charboxes
+
         try:
             with open(existing_ocr_pickle, "rb") as f:
-                all_chars = pickle.load(f)
+                all_chars = load_charboxes(f)
             if verbose:
                 print("using pickled ocr results in {}...".format(existing_ocr_pickle))
         except IOError:

@@ -94,11 +94,11 @@ def _parse_job(spool: str, job_path: str, recognizer):
     transcript = _load_transcript(spool, job)
     existing_ocr = None
     if job.get("existing_ocr_pickle"):
-        import pickle
+        from .utils.ref_pickle import load_charboxes
 
         try:
             with open(_resolve(spool, job["existing_ocr_pickle"]), "rb") as f:
-                existing_ocr = pickle.load(f)
+                existing_ocr = load_charboxes(f)
         except (IOError, AttributeError):
             existing_ocr = None  # process()'s fallback-to-OCR semantics
         if not existing_ocr:
