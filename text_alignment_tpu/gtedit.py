@@ -116,7 +116,10 @@ def _prefill_texts(lines_dir: str, stems: list[str], recognizer) -> dict:
         from PIL import Image
 
         imgs = [
-            np.asarray(Image.open(os.path.join(lines_dir, s + ".png")))
+            # crops from other tools may be RGB(A); the recognizer wants a
+            # 2-D grey/onebit strip
+            np.asarray(Image.open(os.path.join(lines_dir, s + ".png"))
+                       .convert("L"))
             for s in missing
         ]
         rows = recognizer.recognize_batch(imgs)
