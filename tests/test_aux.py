@@ -471,3 +471,55 @@ def test_process_consumes_reference_py2_pickle(tmp_path):
     joined = "".join(s.char.replace("-", "") for s in syl_boxes)
     for word in page.transcript.split():
         assert word in joined
+
+
+def test_cli_align_folios_all(tmp_path):
+    """--folios all enumerates every folio in the chant CSV (page order),
+    skipping folios with no page image."""
+    import csv as csv_mod
+    from PIL import Image
+
+    from text_alignment_tpu.cli import _folio_ids, main
+    from text_alignment_tpu.lang import filename_to_text_func
+    from text_alignment_tpu.synth import corrupt_ocr, ocr_with_spaces
+    from py2pickle import build_py2_charbox_pickle
+
+    png_dir = tmp_path / "png"
+    pik_dir = tmp_path / "pik"
+    png_dir.mkdir()
+    pik_dir.mkdir()
+    page = make_page(np.random.default_rng(9), n_lines=3, words_per_line=2)
+    Image.fromarray(page.image).save(png_dir / "synth_001r_text.png")
+    chars = ocr_with_spaces(corrupt_ocr(np.random.default_rng(10),
+                                        page.char_boxes))
+    (pik_dir / "synth_001r_boxes.pickle").write_bytes(
+        build_py2_charbox_pickle([(c.char, c.ul, c.lr) for c in chars])
+    )
+
+    csv_path = tmp_path / "chants.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv_mod.writer(f)
+        w.writerow(["h"] * 15)
+        for folio, seq, text in (("001r", "1", page.transcript),
+                                 ("001v", "2", "gloria patri")):
+            row = [""] * 15
+            row[2], row[3], row[10], row[14] = folio, seq, "1", text
+            w.writerow(row)
+
+    tf = filename_to_text_func(str(csv_path))
+    assert tf.folios == ["001r", "001v"]
+    assert _folio_ids(["all"], tf) == ["001r", "001v"]
+    assert _folio_ids(["all"]) == ["all"]  # no text_func: literal id
+
+    rc = main([
+        "align", "--csv", str(csv_path), "--manuscript", "synth",
+        "--model", str(tmp_path / "never-loaded.pyrnn.gz"),
+        "--png-dir", str(png_dir), "--out-json", str(tmp_path / "out_json"),
+        "--pickle-dir", str(pik_dir), "--reuse-ocr",
+        "--folios", "all", "--backend", "host",
+    ])
+    assert rc == 0
+    # 001r processed off the (reference py2) OCR cache; 001v has no page
+    # image and is skipped
+    assert (tmp_path / "out_json" / "synth_001r.json").exists()
+    assert not (tmp_path / "out_json" / "synth_001v.json").exists()

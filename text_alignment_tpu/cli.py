@@ -30,7 +30,11 @@ def _load_image(path):
     return np.asarray(Image.open(path))
 
 
-def _folio_ids(values):
+def _folio_ids(values, text_func=None):
+    if text_func is not None and list(values) == ["all"]:
+        # every folio the chant CSV names (missing page images are
+        # skipped by the per-folio guards below)
+        return list(getattr(text_func, "folios", []))
     out = []
     for v in values:
         try:
@@ -59,7 +63,7 @@ def cmd_align(args):
             print("note: --cache-dir applies to sequential alignment only; "
                   "ignoring it under --batch")
         return _align_batched(args, text_func, timer)
-    for ind in _folio_ids(args.folios):
+    for ind in _folio_ids(args.folios, text_func):
         try:
             fname, transcript = text_func(ind)
         except ValueError as e:
@@ -126,7 +130,7 @@ def _align_batched(args, text_func, timer):
     from .pipeline.render import draw_results_on_page
 
     items = []  # (fname, transcript, image_path, ocr_pickle, injected)
-    for ind in _folio_ids(args.folios):
+    for ind in _folio_ids(args.folios, text_func):
         try:
             fname, transcript = text_func(ind)
         except ValueError as e:
@@ -211,7 +215,7 @@ def cmd_evaluate(args):
 
     text_func = filename_to_text_func(args.csv, args.mapping)
     fixtures = []
-    for ind in _folio_ids(args.folios):
+    for ind in _folio_ids(args.folios, text_func):
         fname, transcript = text_func(ind)
         fname = "{}_{}".format(args.manuscript, fname)
         raw_image = _load_image(
@@ -247,7 +251,7 @@ def cmd_evaluate(args):
 
     scoring = json.loads(args.scoring) if args.scoring else None
     scores = []
-    for fx, ind in zip(fixtures, _folio_ids(args.folios)):
+    for fx, ind in zip(fixtures, _folio_ids(args.folios, text_func)):
         eval_img, _, _ = preprocess_images(
             fx["raw_image"], correct_rotation=False, backend=args.backend
         )

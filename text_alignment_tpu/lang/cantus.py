@@ -150,4 +150,8 @@ def filename_to_text_func(transcript_path: str, mapping_path: str | None = None)
         filename = entry.filename.replace("CF-", "")
         return filename, clean(" ".join(parts))
 
+    # manuscript enumeration for callers (cli --folios all): every folio
+    # the chant CSV names, in page order — the reference has no analog
+    # (its __main__ blocks hardcode folio lists, alignToOCR.py:387-405)
+    folio_to_text.folios = list(folio_names)
     return folio_to_text
