@@ -523,3 +523,69 @@ def test_cli_align_folios_all(tmp_path):
     # image and is skipped
     assert (tmp_path / "out_json" / "synth_001r.json").exists()
     assert not (tmp_path / "out_json" / "synth_001v.json").exists()
+
+
+def test_cli_evaluate_folios_all(tmp_path, capsys):
+    """evaluate --folios all skips folios missing any of the three assets
+    (page image, OCR pickle, GT XML) instead of dying, and errors cleanly
+    when nothing is evaluable."""
+    import csv as csv_mod
+    import pickle
+    from PIL import Image
+
+    from text_alignment_tpu.cli import main
+    from text_alignment_tpu.pipeline import process
+    from text_alignment_tpu.synth import corrupt_ocr, ocr_with_spaces
+
+    png_dir, pik_dir, gt_dir = (tmp_path / d for d in ("png", "pik", "gt"))
+    for d in (png_dir, pik_dir, gt_dir):
+        d.mkdir()
+    page = make_page(np.random.default_rng(13), n_lines=3, words_per_line=2)
+    Image.fromarray(page.image).save(png_dir / "synth_001r_text.png")
+    chars = ocr_with_spaces(corrupt_ocr(np.random.default_rng(14),
+                                        page.char_boxes))
+    with open(pik_dir / "synth_001r_boxes.pickle", "wb") as f:
+        pickle.dump(chars, f, -1)
+
+    # GT = the pipeline's own boxes (scores ~1.0); covers the XML parse too
+    res = process(page.image, page.transcript, existing_ocr=chars,
+                  verbose=False, backend="host",
+                  preproc_params=SYNTH_PARAMS)
+    root = ET.Element("annotation")
+    for s in res[0][:5]:
+        obj = ET.SubElement(root, "object")
+        ET.SubElement(obj, "name").text = s.char.replace("-", "")
+        ET.SubElement(obj, "difficult").text = "0"
+        bb = ET.SubElement(obj, "bndbox")
+        for tag, v in (("xmin", s.ul[0]), ("ymin", s.ul[1]),
+                       ("xmax", s.lr[0]), ("ymax", s.lr[1])):
+            ET.SubElement(bb, tag).text = str(int(v))
+    ET.ElementTree(root).write(gt_dir / "synth_001r_gt.xml")
+
+    csv_path = tmp_path / "chants.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv_mod.writer(f)
+        w.writerow(["h"] * 15)
+        for folio, seq, text in (("001r", "1", page.transcript),
+                                 ("001v", "2", "gloria patri")):
+            row = [""] * 15
+            row[2], row[3], row[10], row[14] = folio, seq, "1", text
+            w.writerow(row)
+
+    base = ["evaluate", "--csv", str(csv_path), "--manuscript", "synth",
+            "--png-dir", str(png_dir), "--pickle-dir", str(pik_dir),
+            "--gt-dir", str(gt_dir), "--backend", "host"]
+    # NB: evaluate's preprocess runs with the reference's default params;
+    # the synthetic page still yields GT matches since boxes come from a
+    # default-params process() run of the same page
+    rc = main(base + ["--folios", "all"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "skipping synth_001v" in out
+    assert "001r" in out and "nan" not in out
+
+    # nothing evaluable -> clean error, not a crash
+    rc = main(base + ["--folios", "001v"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "no evaluable folios" in out

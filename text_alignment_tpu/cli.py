@@ -215,15 +215,23 @@ def cmd_evaluate(args):
 
     text_func = filename_to_text_func(args.csv, args.mapping)
     fixtures = []
+    eval_inds = []
     for ind in _folio_ids(args.folios, text_func):
         fname, transcript = text_func(ind)
         fname = "{}_{}".format(args.manuscript, fname)
-        raw_image = _load_image(
-            os.path.join(args.png_dir, fname + "_text.png")
-        )
-        with open(
-            os.path.join(args.pickle_dir, fname + "_boxes.pickle"), "rb"
-        ) as f:
+        png_path = os.path.join(args.png_dir, fname + "_text.png")
+        pik_path = os.path.join(args.pickle_dir, fname + "_boxes.pickle")
+        gt_path = os.path.join(args.gt_dir, fname + "_gt.xml")
+        missing = [p for p in (png_path, pik_path, gt_path)
+                   if not os.path.isfile(p)]
+        if missing:
+            # evaluation needs all three assets; with --folios all most
+            # folios have no hand-labeled GT — skip, don't die
+            print("skipping {}: missing {}".format(
+                fname, ", ".join(missing)))
+            continue
+        raw_image = _load_image(png_path)
+        with open(pik_path, "rb") as f:
             # reference-compatible: also reads the Py2 pik/ caches a
             # migrating reference user brings (alignToOCR.py:435-436)
             existing_ocr = load_charboxes(f)
@@ -231,12 +239,14 @@ def cmd_evaluate(args):
             {
                 "raw_image": raw_image,
                 "transcript": transcript,
-                "gt_boxes": parse_gt_xml(
-                    os.path.join(args.gt_dir, fname + "_gt.xml")
-                ),
+                "gt_boxes": parse_gt_xml(gt_path),
                 "existing_ocr": existing_ocr,
             }
         )
+        eval_inds.append(ind)
+    if not fixtures:
+        print("no evaluable folios (need page image + OCR pickle + GT XML)")
+        return 1
     if args.grid:
         logs, ranked = grid_search(fixtures, backend=args.backend)
         print(ranked[-10:])
@@ -251,7 +261,7 @@ def cmd_evaluate(args):
 
     scoring = json.loads(args.scoring) if args.scoring else None
     scores = []
-    for fx, ind in zip(fixtures, _folio_ids(args.folios, text_func)):
+    for fx, ind in zip(fixtures, eval_inds):
         eval_img, _, _ = preprocess_images(
             fx["raw_image"], correct_rotation=False, backend=args.backend
         )
