@@ -114,3 +114,23 @@ def test_chants_sorted_by_sequence(tmp_path):
     # its own last chant is prepended (reference parse_cantus_csv.py:109-117);
     # within the folio's own chants, sequence order holds
     assert text == "secundus primus secundus"
+
+
+def test_folios_enumeration_natural_order(tmp_path):
+    """--folios all enumerates in page order even with unpadded names:
+    '9r' before '10r' (lexicographic would reverse them). The internal
+    mapping-less prev-folio chain stays lexicographic for reference
+    parity (parse_cantus_csv.py:59-60)."""
+    p = tmp_path / "c.csv"
+    _write_csv(
+        p,
+        [
+            ["h"] * 15,
+            _row("10r", 1, "1", "", "decimus"),
+            _row("9r", 2, "1", "", "nonus"),
+            _row("10v", 3, "1", "", "decimus verso"),
+            _row("100r", 4, "1", "", "centesimus"),
+        ],
+    )
+    func = filename_to_text_func(str(p))
+    assert func.folios == ["9r", "10r", "10v", "100r"]

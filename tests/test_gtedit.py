@@ -73,8 +73,12 @@ def test_saved_html_edit_extracts_gt(lines_dir, tmp_path):
     saved.write_text(content)
     gt_dir = tmp_path / "gt"
     n = gtedit.extract(str(saved), str(gt_dir))
-    assert n == 3
+    # p001_0000 has a prefilled gt, p001_0001 was corrected in the browser;
+    # the untouched empty p001_0002 row must NOT become an
+    # empty-transcription CTC training pair
+    assert n == 2
     assert (gt_dir / "p001_0001.gt.txt").read_text() == "alleluia\n"
+    assert not (gt_dir / "p001_0002.gt.txt").exists()
 
 
 def test_tsv_extract_and_traversal_guard(tmp_path):

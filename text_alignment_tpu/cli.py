@@ -217,7 +217,14 @@ def cmd_evaluate(args):
     fixtures = []
     eval_inds = []
     for ind in _folio_ids(args.folios, text_func):
-        fname, transcript = text_func(ind)
+        try:
+            fname, transcript = text_func(ind)
+        except ValueError as e:
+            # mirror cmd_align: a folio absent from (or duplicated in) the
+            # mapping CSV skips that folio instead of killing the whole run
+            print(e)
+            print("no chants listed for page {}".format(ind))
+            continue
         fname = "{}_{}".format(args.manuscript, fname)
         png_path = os.path.join(args.png_dir, fname + "_text.png")
         pik_path = os.path.join(args.pickle_dir, fname + "_boxes.pickle")
@@ -366,6 +373,12 @@ def cmd_train(args):
     for img_path, gt_path in pairs:
         with open(gt_path) as f:
             text = f.read().strip()
+        if not text:
+            # defense in depth vs gtedit.extract's empty-row skip: a
+            # hand-made empty gt file must not become an
+            # empty-transcription CTC pair that degrades the model
+            print(f"skipping {img_path}: empty ground truth")
+            continue
         norm = normalize_strip(_load_image(img_path))
         if norm is None:
             continue
@@ -642,11 +655,12 @@ def main(argv=None):
     # that engage from host-backend commands (the evaluate --grid device
     # fill, the device line normalizer) call it themselves right before
     # their first jit.
-    # lines/gtedit are host-side tools unless a recognizer is actually
-    # loaded (gtedit html --model) — don't touch the backend for them
+    # gtedit is a host-side tool unless a recognizer is actually loaded
+    # (gtedit html --model) — don't touch the backend for it. lines
+    # follows its --backend flag like align/evaluate (hybrid/device runs
+    # device preprocessing and deserves the warm compile cache).
     wants_device = getattr(args, "backend", "host") != "host"
-    if args.cmd == "lines" or (args.cmd == "gtedit"
-                               and not getattr(args, "model", None)):
+    if args.cmd == "gtedit" and not getattr(args, "model", None):
         wants_device = False
     if wants_device or args.cmd == "train":
         from .utils.compile_cache import ensure_compile_cache

@@ -197,6 +197,10 @@ def extract(saved_path: str, out_dir: str) -> int:
         safe = os.path.basename(stem)
         if not safe or safe != stem:
             continue
+        if not text.strip():
+            # an untouched (never-transcribed) row on a partially corrected
+            # page must not become an empty-transcription CTC training pair
+            continue
         with open(os.path.join(out_dir, safe + ".gt.txt"), "w",
                   encoding="utf-8") as f:
             f.write(text + "\n")

@@ -108,6 +108,14 @@ def _read_mapping(mapping_path: str | None,
                 for r in reader]
 
 
+def _natural_folio_key(name: str):
+    """Page-order sort key for folio names: split into digit / non-digit
+    runs so '9r' < '10r' < '10v' < '100r' (lexicographic would put '10r'
+    before '9r')."""
+    parts = re.split(r"(\d+)", name)
+    return [int(p) if p.isdigit() else p for p in parts]
+
+
 def filename_to_text_func(transcript_path: str, mapping_path: str | None = None):
     """Return a lookup ``folio_to_text(seq_or_folio) -> (filename, text)``.
 
@@ -152,6 +160,11 @@ def filename_to_text_func(transcript_path: str, mapping_path: str | None = None)
 
     # manuscript enumeration for callers (cli --folios all): every folio
     # the chant CSV names, in page order — the reference has no analog
-    # (its __main__ blocks hardcode folio lists, alignToOCR.py:387-405)
-    folio_to_text.folios = list(folio_names)
+    # (its __main__ blocks hardcode folio lists, alignToOCR.py:387-405).
+    # NB: natural-sorted (numeric prefix, then recto/verso suffix) so
+    # unpadded names enumerate '9r' before '10r'; the lexicographic
+    # folio_names order above is kept for the mapping-less prev-folio
+    # semantics, which mirror the reference's folio_names.sort()
+    # (parse_cantus_csv.py:59-60).
+    folio_to_text.folios = sorted(folio_names, key=_natural_folio_key)
     return folio_to_text
