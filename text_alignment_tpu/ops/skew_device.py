@@ -94,9 +94,12 @@ def angle_from_indices(i1: int, i2: int, i3: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_single(Hp: int, Wp: int, minangle: float, maxangle: float):
-    """Build the raw (packed_bits, h, w) -> (3,) int32 winner-index
-    function for one padded page geometry (jit/vmap applied by callers)."""
+def _make_search(Hp: int, Wp: int, minangle: float, maxangle: float):
+    """Build the raw (imgb, h, w) -> (3,) int32 winner-index function over
+    an already-unpacked (Hp, Wp//128, 128) float32 {0,1} page — the form
+    the fused device raster (ops.raster_device) composes directly, no
+    pack/unpack round trip. ``_make_single`` wraps it for packed-bit
+    callers."""
     import jax
     import jax.numpy as jnp
 
@@ -165,14 +168,29 @@ def _make_single(Hp: int, Wp: int, minangle: float, maxangle: float):
         (_, _, bi, _), _ = jax.lax.scan(step, init, ts)
         return bi
 
-    def fn(packed, h, w):
-        shifts32 = jnp.arange(32, dtype=jnp.uint32)
-        bits = (packed.astype(jnp.uint32)[..., None] >> shifts32) & 1
-        imgb = bits.reshape(Hp, nb, 128).astype(jnp.float32)
+    def search(imgb, h, w):
         i1 = run_round(imgb, h, w, t1j)
         i2 = run_round(imgb, h, w, t2j[i1])
         i3 = run_round(imgb, h, w, t3j[i1, i2])
         return jnp.stack([i1, i2, i3])
+
+    return search
+
+
+@functools.lru_cache(maxsize=None)
+def _make_single(Hp: int, Wp: int, minangle: float, maxangle: float):
+    """Build the raw (packed_bits, h, w) -> (3,) int32 winner-index
+    function for one padded page geometry (jit/vmap applied by callers)."""
+    import jax.numpy as jnp
+
+    search = _make_search(Hp, Wp, minangle, maxangle)
+    nb = Wp // 128
+
+    def fn(packed, h, w):
+        shifts32 = jnp.arange(32, dtype=jnp.uint32)
+        bits = (packed.astype(jnp.uint32)[..., None] >> shifts32) & 1
+        imgb = bits.reshape(Hp, nb, 128).astype(jnp.float32)
+        return search(imgb, h, w)
 
     return fn
 
