@@ -89,7 +89,7 @@ def test_program_c_matches_pack_strips():
         crops.append(page[y: y + h, x: x + w])
     # reuse the recognizer's host packer as the layout oracle
     want_meta, hs, ws, Wp = SeqRecognizer._pack_strips(
-        type("R", (), {})(), crops)
+        SeqRecognizer.__new__(SeqRecognizer), crops)
     B, Hp1, _ = want_meta.shape
     Hp = Hp1 - 1
     bb = np.zeros((B, 4), np.int32)

@@ -89,13 +89,8 @@ def _bucket_T(t: int) -> int:
     return b
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("t_max", "target_height", "pad", "max_regions",
-                     "decode"),
-)
-def _recognize_device(params, packed_meta, t_max, target_height,
-                      pad, max_regions, decode="region"):
+def _recognize_device_impl(params, packed_meta, t_max, target_height,
+                           pad, max_regions, decode="region"):
     """Fully-fused device OCR: unpack -> normalize -> BiLSTM -> CTC decode
     in ONE dispatch. Strips cross the interconnect as bit-packed int32
     (32x smaller than f32 frames) and every result is packed into a single
@@ -136,6 +131,56 @@ def _recognize_device(params, packed_meta, t_max, target_height,
     return jnp.concatenate(
         [hdr16.reshape(B, 6), fr, cl], axis=1
     ).astype(jnp.uint16)
+
+
+_recognize_device = functools.partial(
+    jax.jit,
+    static_argnames=("t_max", "target_height", "pad", "max_regions",
+                     "decode"),
+)(_recognize_device_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Hp", "Wp", "t_max", "target_height", "pad",
+                     "max_regions", "decode"),
+)
+def _recognize_from_page(params, page, bbox, Hp, Wp, t_max, target_height,
+                         pad, max_regions, decode="region"):
+    """Device-raster OCR: cut the line strips out of a device-resident
+    binarized page (ops.raster_device program C) and run the fused
+    recognizer on them in the SAME program — the strips never exist on the
+    host and the per-folio bit-packed upload disappears. ``bbox`` is
+    (B, 4) int32 (uly, ulx, h, w) rows; the packed layout is byte-identical
+    to ``_pack_strips``, so the wire contract and decode are unchanged."""
+    from ..ops.raster_device import _extract_strips_packed_impl
+
+    pm = _extract_strips_packed_impl(page, bbox, Hp, Wp)
+    return _recognize_device_impl(params, pm, t_max, target_height, pad,
+                                  max_regions, decode)
+
+
+class DevicePageStrips:
+    """OCR feed for a device-resident binarized page: ``bboxes`` are
+    (uly, ulx, h, w) tuples in page coordinates. Passed to
+    ``SeqRecognizer.dispatch_async`` in place of the host strip list by
+    the device-raster batched pipeline."""
+
+    __slots__ = ("page_dev", "bboxes")
+
+    def __init__(self, page_dev, bboxes):
+        self.page_dev = page_dev
+        self.bboxes = list(bboxes)
+
+
+class _ShapeProxy:
+    """Stands in for a host strip array where only ``.shape`` is read
+    (llocs position decode needs the raw strip width)."""
+
+    __slots__ = ("shape",)
+
+    def __init__(self, shape):
+        self.shape = shape
 
 
 def _unpack_wire_rows(packed_u16: np.ndarray) -> np.ndarray:
@@ -266,6 +311,19 @@ class SeqRecognizer:
 
     def _dispatch_device(self, packed_meta, t_max,
                          max_regions=_MAX_REGIONS):
+        if isinstance(packed_meta, tuple) and packed_meta[0] == "page":
+            # device-page feed (see _dispatch_async_page): re-cut + re-run
+            # from the device-resident page at the new caps
+            _, page_dev, bb_dev, Hp, Wp, B = packed_meta
+            return _unpack_wire_rows(_with_pallas_fallback(
+                lambda: np.asarray(_recognize_from_page(
+                    self.params, page_dev, bb_dev, Hp=Hp, Wp=Wp,
+                    t_max=t_max, target_height=self.target_height,
+                    pad=self.pad, max_regions=max_regions,
+                    decode=self.decode,
+                )),
+                engaged=_pallas_engaged(B, t_max, self._ns),
+            ))
         if self.mesh is not None:
             from ..parallel.infer_dp import recognize_sharded_meta
 
@@ -285,32 +343,38 @@ class SeqRecognizer:
             engaged=_pallas_engaged(packed_meta.shape[0], t_max, self._ns),
         ))
 
-    def _pack_strips(self, inks):
-        # height rides a multiple-of-32 ladder, not powers of two: strip
-        # heights cluster at 60-100 px, and every normalize stage (kernel
-        # banks, gaussian matmuls, dewarp rolls) plus the bit-packed upload
-        # scales with Hp — 96 instead of 128 is ~25% off the whole OCR
-        # front end. The compile set stays bounded (a manuscript yields
-        # one or two height rungs).
-        max_h = max(g.shape[0] for g in inks)
+    @staticmethod
+    def _plan_pack(shapes):
+        """(B, Hp, Wp) ladders for a batch of (h, w) strip shapes.
+
+        Height rides a multiple-of-32 ladder, not powers of two: strip
+        heights cluster at 60-100 px, and every normalize stage (kernel
+        banks, gaussian matmuls, dewarp rolls) plus the bit-packed upload
+        scales with Hp — 96 instead of 128 is ~25% off the whole OCR
+        front end. The compile set stays bounded (a manuscript yields
+        one or two height rungs). Width rides a multiple-of-256 ladder
+        for the same reason (a 1.4k-wide sweep packs at 1536 instead of
+        2048: the bit-packed upload is the tunnel-facing cost, ~13 ms/MB).
+        Batch ladder: multiple-of-4 up to 16 (manuscript pages cluster at
+        9-12 lines; the old power-of-two ladder padded a 10-strip folio
+        to 16 — 25% wasted upload bytes), multiple-of-32 above (large
+        cross-folio sweeps want the sublane/lane-aligned batch: a 121-
+        strip sweep at B=124 measured ~35% slower raw compute than at
+        128). Sharded meshes re-pad to the data-axis size inside
+        recognize_sharded, so divisibility is not a constraint here."""
+        max_h = max(h for h, _ in shapes)
         Hp = max(32, -(-max_h // 32) * 32)
-        # width rides a multiple-of-256 ladder for the same reason (a
-        # 1.4k-wide sweep packs at 1536 instead of 2048: the bit-packed
-        # upload is the tunnel-facing cost, ~13 ms/MB)
-        max_w = max(g.shape[1] for g in inks)
+        max_w = max(w for _, w in shapes)
         Wp = max(256, -(-max_w // 256) * 256)
-        # batch ladder: multiple-of-4 up to 16 (manuscript pages cluster at
-        # 9-12 lines; the old power-of-two ladder padded a 10-strip folio
-        # to 16 — 25% wasted upload bytes), multiple-of-32 above (large
-        # cross-folio sweeps want the sublane/lane-aligned batch: a 121-
-        # strip sweep at B=124 measured ~35% slower raw compute than at
-        # 128). Sharded meshes re-pad to the data-axis size inside
-        # recognize_sharded, so divisibility is not a constraint here.
-        n_inks = len(inks)
-        if n_inks <= 16:
-            B = max(8, -(-n_inks // 4) * 4)
+        n = len(shapes)
+        if n <= 16:
+            B = max(8, -(-n // 4) * 4)
         else:
-            B = -(-n_inks // 32) * 32
+            B = -(-n // 32) * 32
+        return B, Hp, Wp
+
+    def _pack_strips(self, inks):
+        B, Hp, Wp = self._plan_pack([g.shape for g in inks])
 
         # +1 metadata row: each strip's raw (h, w) ride in the last row's
         # first two int32 lanes so the dispatch uploads ONE array (see
@@ -336,6 +400,8 @@ class SeqRecognizer:
         ``collect_async``. Grey strips and mesh-sharded recognizers run
         synchronously (same guards as recognize_batch) — the handle then
         carries the finished rows."""
+        if isinstance(strips, DevicePageStrips):
+            return self._dispatch_async_page(strips)
         if not strips:
             return ("rows", [], None)
         inks = [np.asarray(s) for s in strips]
@@ -350,6 +416,36 @@ class SeqRecognizer:
             max_regions=_WIRE_REGIONS, decode=self.decode,
         ), engaged=engaged)  # async jax dispatch: not materialized here
         return (inks, out, (t_max, packed_meta, ws, engaged))
+
+    def _dispatch_async_page(self, feed: DevicePageStrips):
+        """dispatch_async for a device-resident page: ONE fused program
+        cuts the strips from the page and recognizes them (no host strip
+        pixels, no bit-packed upload). The handle is shaped exactly like
+        dispatch_async's, with a ("page", ...) marker in place of the
+        host packed_meta so escalation re-dispatch re-cuts on device."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "device-page OCR feeds are single-device (the mesh path "
+                "keeps the host raster; see parallel.batch)")
+        if not feed.bboxes:
+            return ("rows", [], None)
+        shapes = [(int(h), int(w)) for (_, _, h, w) in feed.bboxes]
+        B, Hp, Wp = self._plan_pack(shapes)
+        bb = np.zeros((B, 4), np.int32)
+        bb[: len(feed.bboxes)] = np.asarray(feed.bboxes, np.int32)
+        ws = np.zeros(B, np.int32)
+        ws[: len(shapes)] = [w for _, w in shapes]
+        t_max = self._initial_t_max(Wp, ws[: len(shapes)])
+        engaged = _pallas_engaged(B, t_max, self._ns)
+        bb_dev = jnp.asarray(bb)
+        out = _with_pallas_fallback(lambda: _recognize_from_page(
+            self.params, feed.page_dev, bb_dev, Hp=Hp, Wp=Wp, t_max=t_max,
+            target_height=self.target_height, pad=self.pad,
+            max_regions=_WIRE_REGIONS, decode=self.decode,
+        ), engaged=engaged)
+        proxies = [_ShapeProxy(s) for s in shapes]
+        meta = ("page", feed.page_dev, bb_dev, Hp, Wp, B)
+        return (proxies, out, (t_max, meta, ws, engaged))
 
     def _materialize_live(self, live):
         """One combined download for the live handles' async results. An
@@ -371,6 +467,19 @@ class SeqRecognizer:
             _disable_pallas_and_warn()
             redone = []
             for _inks, _out, (t_max, packed_meta, _ws, _eng) in live:
+                if isinstance(packed_meta, tuple) and \
+                        packed_meta[0] == "page":
+                    _, page_dev, bb_dev, Hp, Wp, _B = packed_meta
+                    redone.append(_with_pallas_fallback(
+                        lambda pg=page_dev, bd=bb_dev, hp=Hp, wp=Wp,
+                        t=t_max: _recognize_from_page(
+                            self.params, pg, bd, Hp=hp, Wp=wp, t_max=t,
+                            target_height=self.target_height, pad=self.pad,
+                            max_regions=_WIRE_REGIONS, decode=self.decode,
+                        ),
+                        engaged=False,  # kernel just disabled: scan route
+                    ))
+                    continue
                 redone.append(_with_pallas_fallback(
                     lambda pm=packed_meta, t=t_max:
                     _recognize_device(

@@ -215,6 +215,45 @@ def _extract_strips_packed_impl(page, bbox, Hp: int, Wp: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _jit_raster_page_wire(H: int, W: int, minangle: float, maxangle: float,
+                          max_runs: int):
+    """Program A with its small outputs packed into ONE int32 wire vector
+    ``[proj (H2max) | i1 i2 i3 | ok]`` so grouped pulls ship one array
+    per group (downloads have a ~30 ms floor on the remote tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    fn, (H2max, W2max) = _make_raster_page(H, W, minangle, maxangle,
+                                           max_runs)
+
+    def wire_fn(packed, despeckle_amt, sat_area_thresh):
+        bin_rot, eroded, proj, idx, ok = fn(
+            packed, despeckle_amt, sat_area_thresh)
+        wire = jnp.concatenate(
+            [proj, idx, ok.astype(jnp.int32)[None]])
+        return bin_rot, eroded, wire
+
+    return jax.jit(wire_fn), (H2max, W2max)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_masked_cc_wire(max_ccs: int, max_runs: int):
+    """Program B with wire output ``[count | ok | table.flat]``
+    ((2 + max_ccs*5,) int32)."""
+    import jax
+    import jax.numpy as jnp
+
+    def wire_fn(eroded, row_mask, noise_thresh):
+        table, count, ok = _masked_cc_table_impl(
+            eroded, row_mask, noise_thresh, max_ccs=max_ccs,
+            max_runs=max_runs)
+        return jnp.concatenate(
+            [count[None], ok.astype(jnp.int32)[None], table.reshape(-1)])
+
+    return jax.jit(wire_fn)
+
+
+@functools.lru_cache(maxsize=None)
 def _jit_masked_cc_table(max_ccs: int, max_runs: int):
     import jax
 
@@ -237,6 +276,111 @@ def _jit_raster_page(H: int, W: int, minangle: float, maxangle: float,
 
     fn, canvas = _make_raster_page(H, W, minangle, maxangle, max_runs)
     return jax.jit(fn), canvas
+
+
+def enabled() -> bool:
+    """Whether the batched pipeline should run the raster on the device
+    (TEXT_ALIGNMENT_TPU_RASTER=device|host|auto; auto = device on
+    accelerator backends — on XLA:CPU the host native engine wins)."""
+    import os
+
+    mode = os.environ.get("TEXT_ALIGNMENT_TPU_RASTER", "auto")
+    if mode == "host":
+        return False
+    if mode == "device":
+        return True
+    try:
+        from ..utils.platform import accel_platform
+
+        return accel_platform()
+    except Exception:
+        return False
+
+
+class GroupedPull:
+    """Grouped device->host downloads for same-length int32 wire vectors.
+
+    Per-array pulls through the remote tunnel pay a ~25-30 ms latency
+    floor each; this worker stacks ``group`` vectors into one device
+    array (one tiny dispatch) and a collector thread downloads the stack
+    off the caller's thread — the same amortization pattern as
+    skew_device.GroupedSkewWorker. Protocol: ``put(vec)`` returns a slot,
+    ``get(slot)`` blocks for that vector's row, ``finish()`` flushes
+    partial groups (idempotent; call on abandon so the collector always
+    exits)."""
+
+    def __init__(self, group: int = 4):
+        import queue
+        import threading
+
+        self._group = group
+        self._bufs: dict = {}   # length -> [vec list, slot list]
+        self._n = 0
+        self._out: dict = {}
+        self._cv = threading.Condition()
+        self._q: queue.Queue = queue.Queue()
+        self._finished = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            slots, stacked = item
+            try:
+                rows = np.asarray(stacked)
+                res = list(rows[: len(slots)])
+            except BaseException as e:  # re-raised at get()
+                res = [e] * len(slots)
+            with self._cv:
+                for s, r in zip(slots, res):
+                    self._out[s] = r
+                self._cv.notify_all()
+
+    def put(self, vec) -> int:
+        key = int(vec.shape[0])
+        buf = self._bufs.get(key)
+        if buf is None:
+            buf = self._bufs[key] = [[], []]
+        vecs, slots = buf
+        slot = self._n
+        self._n += 1
+        vecs.append(vec)
+        slots.append(slot)
+        if len(slots) == self._group:
+            self._flush(key)
+        return slot
+
+    def _flush(self, key):
+        import jax.numpy as jnp
+
+        vecs, slots = self._bufs.pop(key)
+        self._q.put((list(slots), jnp.stack(vecs)))
+
+    def get(self, slot: int) -> np.ndarray:
+        for key, (_vecs, slots) in list(self._bufs.items()):
+            if slot in slots:
+                self._flush(key)
+                break
+        with self._cv:
+            while slot not in self._out:
+                self._cv.wait()
+            r = self._out.pop(slot)
+        if isinstance(r, BaseException):
+            raise r
+        return r
+
+    def finish(self):
+        if self._finished:
+            return
+        self._finished = True
+        try:
+            for key in list(self._bufs):
+                self._flush(key)
+        finally:
+            self._q.put(None)
 
 
 # ---------------------------------------------------------------------------

@@ -186,6 +186,16 @@ def process_batch(folios, recognizer, seq_align_params=None,
         )
         return image, angle, strips, peaks
 
+    # device-resident raster (ops.raster_device): engages on the pipelined
+    # hybrid path when an accelerator backend is live — the host keeps
+    # only binarize+pack and the OCR stage cuts strips from the device
+    # page inside its own fused program (no strip upload)
+    use_device_raster = False
+    if pipelined and backend == "hybrid":
+        from ..ops import raster_device as _rd
+
+        use_device_raster = _rd.enabled()
+
     if existing_pre is not None:
         pre = list(existing_pre)
     elif mesh is not None or raster_workers:
@@ -206,15 +216,34 @@ def process_batch(folios, recognizer, seq_align_params=None,
                 # raster_stream overlaps each folio's skew search (device
                 # dispatch) with the next folios' host raster when an
                 # accelerator is available, and runs the hybrid raster in
-                # the run domain end to end; identical results otherwise
-                stream = raster_stream(
-                    [np.asarray(f[0]) for f in folios], backend=backend,
-                    params=preproc_params,
-                )
+                # the run domain end to end; identical results otherwise.
+                # In device-raster mode the page lives on the accelerator
+                # and the OCR feed references it instead of host crops.
+                if use_device_raster:
+                    from ..pipeline.device_raster import (
+                        DevicePage, raster_stream_device)
+
+                    stream = raster_stream_device(
+                        [np.asarray(f[0]) for f in folios], backend=backend,
+                        params=preproc_params,
+                    )
+                else:
+                    stream = raster_stream(
+                        [np.asarray(f[0]) for f in folios], backend=backend,
+                        params=preproc_params,
+                    )
                 for image, angle, strips, peaks in stream:
                     pre.append((image, angle, strips, peaks))
                     if ocr_worker is not None:
-                        ocr_worker.put([s.img for s in strips])
+                        if use_device_raster and isinstance(image,
+                                                            DevicePage):
+                            from ..models.recognizer import DevicePageStrips
+
+                            ocr_worker.put(DevicePageStrips(
+                                image.bin_dev,
+                                [s.bbox for s in strips]))
+                        else:
+                            ocr_worker.put([s.img for s in strips])
             finally:
                 # a raster failure must not strand the worker (it loops
                 # exactly n times on the queue) — a long-lived serve

@@ -448,40 +448,33 @@ def _sep_masked_cc_table(image_eroded, sep_rows, backend):
     return _cc_table(eroded_cut, backend)
 
 
-def _lines_from_projection(image_bin, project, table_fn, p: PreprocParams,
-                           verbose: bool = False):
-    """Shared tail of identify_text_lines: peaks from the (eroded-page)
-    row projection, separator rows at inter-peak minima, then the CC
-    filtering + per-peak collision strips (textAlignPreprocessing.py:
-    198-285). ``table_fn(sep_rows)`` supplies the separator-masked CC
-    table — pixel- or run-domain."""
-    if verbose:
-        print("finding projection peaks...")
+def _peaks_and_separators(project, p: PreprocParams):
+    """Peaks of the smoothed row projection + the 2-px separator rows at
+    inter-peak minima (textAlignPreprocessing.py:211-224)."""
     smoothed_projection = moving_avg_filter(project, p.filter_size)
     peak_locations = find_peak_locations(smoothed_projection)
-
-    # white separator lines at inter-peak projection minima (2 px thick)
     sep_rows = []
     for i in range(len(peak_locations) - 1):
         start = peak_locations[i]
         end = peak_locations[i + 1]
         idx = int(np.argmin(smoothed_projection[start:end])) + start
         sep_rows.append(idx)
+    return peak_locations, sep_rows, smoothed_projection
 
-    if verbose:
-        print("connected component analysis...")
 
-    table = table_fn(sep_rows)
+def _strip_bboxes_from_table(table, peak_locations, p: PreprocParams):
+    """CC filtering + per-peak collision strips -> inclusive strip bboxes
+    [(ulx, uly, lrx, lry)] (textAlignPreprocessing.py:229-257).
 
-    # drop small CCs (strictly greater than the threshold survives —
-    # textAlignPreprocessing.py:235), then the (inert) capitals filter.
-    # Vectorized over the CC table; the arithmetic (incl. the truncating
-    # int() of the half-strip in vertically_coincide) matches the scalar
-    # reference logic value for value.
+    Drops small CCs (strictly greater than the threshold survives —
+    textAlignPreprocessing.py:235), then the (inert) capitals filter.
+    Vectorized over the CC table; the arithmetic (incl. the truncating
+    int() of the half-strip in vertically_coincide) matches the scalar
+    reference logic value for value."""
     t = np.asarray(table).reshape(-1, 5)
     t = t[t[:, 4] > p.noise_area_thresh]
     if len(t) == 0:
-        return [], peak_locations, smoothed_projection
+        return []
 
     nrows_v = t[:, 1] - t[:, 0] + 1
     med_comp_height = np.median(nrows_v)
@@ -495,8 +488,7 @@ def _lines_from_projection(image_bin, project, table_fn, p: PreprocParams,
 
     comp_top = t[:, 0]
     comp_bottom = t[:, 0] + nrows_v
-    image_bin_np = np.asarray(image_bin)
-    line_strips = []
+    bboxes = []
     for line_loc in peak_locations:
         strip_top = line_loc - half
         strip_bottom = line_loc + half
@@ -507,10 +499,31 @@ def _lines_from_projection(image_bin, project, table_fn, p: PreprocParams,
             # the reference would crash on min() of an empty list
             # (textAlignPreprocessing.py:251); we skip the empty line
             continue
-        ulx = int(res[:, 2].min())
-        uly = int(res[:, 0].min())
-        lrx = int(res[:, 3].max())
-        lry = int(res[:, 1].max())
+        bboxes.append((int(res[:, 2].min()), int(res[:, 0].min()),
+                       int(res[:, 3].max()), int(res[:, 1].max())))
+    return bboxes
+
+
+def _lines_from_projection(image_bin, project, table_fn, p: PreprocParams,
+                           verbose: bool = False):
+    """Shared tail of identify_text_lines: peaks from the (eroded-page)
+    row projection, separator rows at inter-peak minima, then the CC
+    filtering + per-peak collision strips (textAlignPreprocessing.py:
+    198-285). ``table_fn(sep_rows)`` supplies the separator-masked CC
+    table — pixel- or run-domain."""
+    if verbose:
+        print("finding projection peaks...")
+    peak_locations, sep_rows, smoothed_projection = _peaks_and_separators(
+        project, p)
+
+    if verbose:
+        print("connected component analysis...")
+
+    table = table_fn(sep_rows)
+    image_bin_np = np.asarray(image_bin)
+    line_strips = []
+    for ulx, uly, lrx, lry in _strip_bboxes_from_table(
+            table, peak_locations, p):
         strip = oracle.subimage(image_bin_np, (ulx, uly), (lrx, lry))
         line_strips.append(LineStrip(strip, ulx, uly))
 
