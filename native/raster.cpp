@@ -1021,7 +1021,7 @@ namespace {
 // into img (which may be uninitialized — it is fully overwritten).
 int64_t stage1_from_runs(std::vector<Run>& runs, uint8_t* img, int64_t H,
                          int64_t W, int64_t k, int64_t sat_thresh,
-                         std::vector<Run>& out) {
+                         std::vector<Run>& out, int64_t sat_area = 0) {
   std::vector<int64_t> rs;
   UF uf;
   build_row_start(runs, H, rs);
@@ -1090,14 +1090,22 @@ int64_t stage1_from_runs(std::vector<Run>& runs, uint8_t* img, int64_t H,
   link_runs(b2, rs2, H, uf2);
   int32_t n2 = renumber_runs(b2, uf2);
   std::vector<int64_t> rmin(n2 + 1, INT64_MAX), rmax(n2 + 1, -1);
+  std::vector<int64_t> area2(n2 + 1, 0);
   for (const auto& r : b2) {
     if (r.y < rmin[r.prov]) rmin[r.prov] = r.y;
     if (r.y > rmax[r.prov]) rmax[r.prov] = r.y;
+    area2[r.prov] += r.xe - r.xs;
   }
   out.clear();
   out.reserve(b2.size());
-  for (const auto& r : b2)
-    if (rmax[r.prov] - rmin[r.prov] + 1 <= sat_thresh) out.push_back(r);
+  // sat_area != 0: strict=False semantics — filter on the component's
+  // true pixel AREA instead of the reference's nrows-as-area quirk
+  // (textAlignPreprocessing.py:174-178)
+  for (const auto& r : b2) {
+    const int64_t m =
+        sat_area ? area2[r.prov] : rmax[r.prov] - rmin[r.prov] + 1;
+    if (m <= sat_thresh) out.push_back(r);
+  }
   // paint
   std::memset(img, 0, (size_t)(H * W));
   for (const auto& r : out)
@@ -1106,17 +1114,18 @@ int64_t stage1_from_runs(std::vector<Run>& runs, uint8_t* img, int64_t H,
 }
 
 int64_t stage1_runs_impl(uint8_t* img, int64_t H, int64_t W, int64_t k,
-                         int64_t sat_thresh, std::vector<Run>& out) {
+                         int64_t sat_thresh, std::vector<Run>& out,
+                         int64_t sat_area = 0) {
   std::vector<Run> runs;
   extract_runs(img, H, W, true, runs);
-  return stage1_from_runs(runs, img, H, W, k, sat_thresh, out);
+  return stage1_from_runs(runs, img, H, W, k, sat_thresh, out, sat_area);
 }
 }  // namespace
 
 void ta_preproc_stage1(uint8_t* img, int64_t H, int64_t W, int64_t k,
-                       int64_t sat_thresh) {
+                       int64_t sat_thresh, int64_t sat_area) {
   std::vector<Run> out;
-  stage1_runs_impl(img, H, W, k, sat_thresh, out);
+  stage1_runs_impl(img, H, W, k, sat_thresh, out, sat_area);
 }
 
 // stage1 + export of the processed page's black runs: out_runs int32
@@ -1125,9 +1134,10 @@ void ta_preproc_stage1(uint8_t* img, int64_t H, int64_t W, int64_t k,
 // buffer, the image is final either way).
 int64_t ta_preproc_stage1_runs(uint8_t* img, int64_t H, int64_t W,
                                int64_t k, int64_t sat_thresh,
-                               int32_t* out_runs, int64_t max_n) {
+                               int32_t* out_runs, int64_t max_n,
+                               int64_t sat_area) {
   std::vector<Run> out;
-  int64_t n = stage1_runs_impl(img, H, W, k, sat_thresh, out);
+  int64_t n = stage1_runs_impl(img, H, W, k, sat_thresh, out, sat_area);
   const int64_t m = n < max_n ? n : max_n;
   for (int64_t i = 0; i < m; ++i) {
     out_runs[3 * i] = out[i].y;
@@ -1146,7 +1156,8 @@ int64_t ta_preproc_stage1_runs(uint8_t* img, int64_t H, int64_t W,
 int64_t ta_preproc_grey_stage1_runs(const uint8_t* grey, int64_t H,
                                     int64_t W, int32_t thresh, int64_t k,
                                     int64_t sat_thresh, uint8_t* img_out,
-                                    int32_t* out_runs, int64_t max_n) {
+                                    int32_t* out_runs, int64_t max_n,
+                                    int64_t sat_area) {
   const uint8_t t = (uint8_t)thresh;
   std::vector<Run> runs;
 #ifdef TA_SIMD_RUNS
@@ -1174,7 +1185,8 @@ int64_t ta_preproc_grey_stage1_runs(const uint8_t* grey, int64_t H,
   }
 #endif
   std::vector<Run> out;
-  int64_t n = stage1_from_runs(runs, img_out, H, W, k, sat_thresh, out);
+  int64_t n =
+      stage1_from_runs(runs, img_out, H, W, k, sat_thresh, out, sat_area);
   const int64_t m = n < max_n ? n : max_n;
   for (int64_t i = 0; i < m; ++i) {
     out_runs[3 * i] = out[i].y;
@@ -1388,6 +1400,6 @@ int32_t ta_cc_stats_from_runs(const int32_t* in_runs, int64_t n, int64_t H,
   return ncc;
 }
 
-int32_t ta_abi_version() { return 13; }
+int32_t ta_abi_version() { return 14; }
 
 }  // extern "C"

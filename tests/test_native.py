@@ -522,7 +522,7 @@ def test_phase2_runs_matches_phase2(rng):
     from text_alignment_tpu.ops import host_native as hn
 
     img = (_page(rng, h=160, w=220, density=0.12)).astype(np.uint8)
-    hn._lib.ta_preproc_stage1(hn._u8p(img), 160, 220, 10, 150)
+    hn._lib.ta_preproc_stage1(hn._u8p(img), 160, 220, 10, 150, 0)
     runs, n = hn._black_runs(img)
     for angle in (0.37, -1.2, 0.0):
         ib_ref, ie_ref = hn.preprocess_page_phase2(

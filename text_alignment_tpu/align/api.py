@@ -76,16 +76,18 @@ def align_grid(transcript, ocr, params_list):
 
 
 def perform_alignment(transcript, ocr, scoring_system=None, verbose=False,
-                      backend="auto"):
+                      backend="auto", strict=True):
     """Globally align ``transcript`` against ``ocr``.
 
     Both arguments are lists of hashable elements (typically 1-char strings).
     Returns ``(tra_align, ocr_align)`` lists of equal length.
+    ``strict=False`` replaces the reference's stale boundary gap extend
+    with the scoring system's own extends (align.scoring docstring).
     """
     transcript = list(transcript) + [" "]
     ocr = list(ocr) + [" "]
 
-    sc = resolve_scoring(scoring_system)
+    sc = resolve_scoring(scoring_system, strict=strict)
 
     if backend == "auto":
         if len(transcript) * len(ocr) >= auto_device_min_cells():

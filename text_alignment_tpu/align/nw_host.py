@@ -33,14 +33,16 @@ def fill_reference_slow(transcript, ocr, sc: Scoring):
     y_mat_ptr = np.zeros((N, M), dtype=np.int8)
     x_mat_ptr = np.zeros((N, M), dtype=np.int8)
 
-    # boundary conditions use the module-global gap extend (reference quirk)
+    # boundary conditions use the module-global gap extend (reference
+    # quirk; strict=False scorings carry the corrected per-axis extends)
+    bc0, br0 = sc.bge_col0, sc.bge_row0
     for i in range(N):
-        mat[i][0] = BOUNDARY_GAP_EXTEND * i
+        mat[i][0] = bc0 * i
         x_mat[i][0] = -1e100
-        y_mat[i][0] = BOUNDARY_GAP_EXTEND * i
+        y_mat[i][0] = bc0 * i
     for j in range(M):
-        mat[0][j] = BOUNDARY_GAP_EXTEND * j
-        x_mat[0][j] = BOUNDARY_GAP_EXTEND * j
+        mat[0][j] = br0 * j
+        x_mat[0][j] = br0 * j
         y_mat[0][j] = -1e100
 
     gox, goy = sc.gap_open_x, sc.gap_open_y
@@ -101,10 +103,12 @@ def fill_host_fast(transcript, ocr, sc: Scoring):
     x_ptr = np.zeros((N, M), dtype=np.int8)
     y_ptr = np.zeros((N, M), dtype=np.int8)
 
+    br0 = int(sc.bge_row0)
+    bc0 = int(sc.bge_col0)
     j_idx = np.arange(M, dtype=np.int64)
 
-    m_prev = BOUNDARY_GAP_EXTEND * j_idx
-    x_prev = BOUNDARY_GAP_EXTEND * j_idx
+    m_prev = br0 * j_idx
+    x_prev = br0 * j_idx
     y_prev = np.full(M, NEG, dtype=np.int64)
 
     if sc.match_mismatch is not None:
@@ -133,7 +137,7 @@ def fill_host_fast(transcript, ocr, sc: Scoring):
         srow = score_row(transcript[i - 1])[:-1]  # score vs ocr[j-1], j=1..M-1
         m_best = np.maximum(np.maximum(mvals0, mvals1), mvals2)
         m_cur = np.empty(M, dtype=np.int64)
-        m_cur[0] = BOUNDARY_GAP_EXTEND * i
+        m_cur[0] = bc0 * i
         m_cur[1:] = m_best + srow
         mat_ptr[i, 1:] = _first_argmax3(mvals0, mvals1, mvals2)
 
@@ -149,14 +153,14 @@ def fill_host_fast(transcript, ocr, sc: Scoring):
         # y_mat[i][j] = max(m_cur[j-1]+goy+gey, x_cur[j-1]+goy+gey,
         #                   y_cur[j-1]+gey): running max in closed form.
         a_vals = np.empty(M, dtype=np.int64)
-        a_vals[0] = BOUNDARY_GAP_EXTEND * i  # y boundary value at j=0
+        a_vals[0] = bc0 * i  # y boundary value at j=0
         a_vals[1:] = (
             np.maximum(m_cur[:-1] + (goy + gey), x_cur[:-1] + (goy + gey))
         )
         b_vals = a_vals - gey * j_idx
         run = np.maximum.accumulate(b_vals)
         y_cur = run + gey * j_idx
-        y_cur[0] = BOUNDARY_GAP_EXTEND * i
+        y_cur[0] = bc0 * i
 
         yc0 = m_cur[:-1] + (goy + gey)
         yc1 = x_cur[:-1] + (goy + gey)
@@ -205,7 +209,9 @@ def fill_host(transcript, ocr, sc: Scoring):
     """Pick the fastest exact path for this scoring system: the native C++
     sweep, the vectorized numpy fill, or the literal reference loop."""
     if sc.is_integral and sc.match_mismatch is not None:
-        if _native_nw_available():
+        # the native C++ sweep covers the parity boundary form only;
+        # strict=False boundaries ride the vectorized numpy fill
+        if sc.default_boundary and _native_nw_available():
             return fill_native(transcript, ocr, sc)
         return fill_host_fast(transcript, ocr, sc)
     if sc.match_mismatch is None:

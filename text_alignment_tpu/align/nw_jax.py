@@ -56,10 +56,12 @@ def _bucket(n: int) -> int:
     jax.jit, static_argnames=("L", "NoP", "is_int", "use_matrix")
 )
 def _fill_scan(t_ext, o_feed, S, match, mismatch,
-               gox, goy, gex, gey, L, NoP, is_int, use_matrix):
+               gox, goy, gex, gey, bge_r0, bge_c0, L, NoP, is_int,
+               use_matrix):
     dtype = jnp.int32 if is_int else jnp.float32
     NEG = jnp.asarray(_INT_NEG if is_int else _FLT_NEG, dtype)
-    BGE = jnp.asarray(BOUNDARY_GAP_EXTEND, dtype)
+    BGE_R0 = bge_r0.astype(dtype)
+    BGE_C0 = bge_c0.astype(dtype)
 
     D = L + NoP - 1
     steps = o_feed.shape[0]  # D padded to a multiple of UNROLL
@@ -114,9 +116,10 @@ def _fill_scan(t_ext, o_feed, S, match, mismatch,
         jd = j.astype(dtype)
         idd = lane_i.astype(dtype)
 
-        m_v = jnp.where(row0, BGE * jd, jnp.where(col0, BGE * idd, m_int))
-        x_v = jnp.where(row0, BGE * jd, jnp.where(col0, NEG, x_int))
-        y_v = jnp.where(row0, NEG, jnp.where(col0, BGE * idd, y_int))
+        m_v = jnp.where(row0, BGE_R0 * jd,
+                        jnp.where(col0, BGE_C0 * idd, m_int))
+        x_v = jnp.where(row0, BGE_R0 * jd, jnp.where(col0, NEG, x_int))
+        y_v = jnp.where(row0, NEG, jnp.where(col0, BGE_C0 * idd, y_int))
 
         m_v = jnp.where(invalid, NEG, m_v)
         x_v = jnp.where(invalid, NEG, x_v)
@@ -212,6 +215,8 @@ def align_jax_ops(transcript, ocr, sc: Scoring):
         jnp.asarray(sc.gap_open_y, dt),
         jnp.asarray(sc.gap_extend_x, dt),
         jnp.asarray(sc.gap_extend_y, dt),
+        jnp.asarray(sc.bge_row0, dt),
+        jnp.asarray(sc.bge_col0, dt),
         jnp.asarray(Nt, jnp.int32),
         jnp.asarray(No, jnp.int32),
         L=L,
@@ -226,9 +231,10 @@ def align_jax_ops(transcript, ocr, sc: Scoring):
     jax.jit, static_argnames=("L", "NoP", "is_int", "use_matrix")
 )
 def _align_fused(t_ext, o_feed, S, match, mismatch, gox, goy, gex, gey,
-                 Nt, No, L, NoP, is_int, use_matrix):
+                 bge_r0, bge_c0, Nt, No, L, NoP, is_int, use_matrix):
     packed = _fill_scan(
         t_ext, o_feed, S, match, mismatch, gox, goy, gex, gey,
+        bge_r0, bge_c0,
         L=L, NoP=NoP, is_int=is_int, use_matrix=use_matrix,
     )
     return _traceback_ops(packed, Nt, No, P=L + NoP)
@@ -289,10 +295,13 @@ def _align_fused_grid(t_ext, o_feed, params6, Nt, No, L, NoP, is_int):
     dispatch with P wavefronts advancing in lockstep."""
     S = jnp.zeros((1, 1), jnp.int32)
 
+    BGE = jnp.asarray(BOUNDARY_GAP_EXTEND, jnp.int32)
+
     def one(p):
         match, mismatch, gox, goy, gex, gey = p
         packed = _fill_scan(
             t_ext, o_feed, S, match, mismatch, gox, goy, gex, gey,
+            BGE, BGE,
             L=L, NoP=NoP, is_int=is_int, use_matrix=False,
         )
         return _traceback_ops(packed, Nt, No, P=L + NoP)
@@ -354,7 +363,7 @@ def align_grid_jax(transcript, ocr, params_list, chunk: int = 128):
 
 @functools.partial(jax.jit, static_argnames=("L", "NoP", "is_int"))
 def _align_fused_pairs(t_exts, o_feeds, Nts, Nos, match, mismatch,
-                       gox, goy, gex, gey, L, NoP, is_int):
+                       gox, goy, gex, gey, bge_r0, bge_c0, L, NoP, is_int):
     """vmap of the fused fill+traceback over a batch of sequence pairs
     sharing one (L, NoP) bucket and one scoring system — the folio-batch
     path: every page's alignment advances in lockstep on one dispatch."""
@@ -363,6 +372,7 @@ def _align_fused_pairs(t_exts, o_feeds, Nts, Nos, match, mismatch,
     def one(t_ext, o_feed, Nt, No):
         packed = _fill_scan(
             t_ext, o_feed, S, match, mismatch, gox, goy, gex, gey,
+            bge_r0, bge_c0,
             L=L, NoP=NoP, is_int=is_int, use_matrix=False,
         )
         return _traceback_ops(packed, Nt, No, P=L + NoP)
@@ -381,13 +391,14 @@ def _sharded_pairs_fn(mesh, L, NoP):
     data = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 
-    def fn(t_exts, o_feeds, Nts, Nos, match, mismatch, gox, goy, gex, gey):
+    def fn(t_exts, o_feeds, Nts, Nos, match, mismatch, gox, goy, gex, gey,
+           bge_r0, bge_c0):
         return _align_fused_pairs(
             t_exts, o_feeds, Nts, Nos, match, mismatch, gox, goy, gex, gey,
-            L=L, NoP=NoP, is_int=True,
+            bge_r0, bge_c0, L=L, NoP=NoP, is_int=True,
         )
 
-    return jax.jit(fn, in_shardings=(data, data, data, data) + (repl,) * 6,
+    return jax.jit(fn, in_shardings=(data, data, data, data) + (repl,) * 8,
                    out_shardings=data)
 
 
@@ -447,7 +458,10 @@ def align_pairs_jax(pairs, sc: Scoring, min_device_cells: int | None = None,
     if not os.environ.get("TEXT_ALIGNMENT_TPU_NO_PALLAS"):
         import jax as _jax
 
-        use_pallas = _jax.default_backend() == "tpu"
+        # the Pallas kernels carry the parity boundary form only;
+        # strict=False boundaries ride this scan path
+        use_pallas = (_jax.default_backend() == "tpu"
+                      and sc.default_boundary)
 
     dt = jnp.int32
     for (L, NoP), members in sorted(groups.items()):
@@ -499,6 +513,8 @@ def align_pairs_jax(pairs, sc: Scoring, min_device_cells: int | None = None,
                 jnp.asarray(sc.gap_open_y, dt),
                 jnp.asarray(sc.gap_extend_x, dt),
                 jnp.asarray(sc.gap_extend_y, dt),
+                jnp.asarray(sc.bge_row0, dt),
+                jnp.asarray(sc.bge_col0, dt),
             )
             ops, k = np.asarray(ops)[:B], np.asarray(k)[:B]
             xpt, ypt = np.asarray(xpt)[:B], np.asarray(ypt)[:B]
@@ -511,6 +527,8 @@ def align_pairs_jax(pairs, sc: Scoring, min_device_cells: int | None = None,
                 jnp.asarray(sc.gap_open_y, dt),
                 jnp.asarray(sc.gap_extend_x, dt),
                 jnp.asarray(sc.gap_extend_y, dt),
+                jnp.asarray(sc.bge_row0, dt),
+                jnp.asarray(sc.bge_col0, dt),
                 L=L, NoP=NoP, is_int=True,
             )
             ops, k = np.asarray(ops), np.asarray(k)
@@ -587,6 +605,8 @@ def fill_jax_packed(transcript, ocr, sc: Scoring):
         jnp.asarray(sc.gap_open_y, dt),
         jnp.asarray(sc.gap_extend_x, dt),
         jnp.asarray(sc.gap_extend_y, dt),
+        jnp.asarray(sc.bge_row0, dt),
+        jnp.asarray(sc.bge_col0, dt),
         L=L,
         NoP=NoP,
         is_int=is_int,

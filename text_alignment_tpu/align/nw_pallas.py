@@ -661,8 +661,10 @@ def traceback_ops_pallas(packed, Nt, No, P, L: int,
 
 def supported(sc: Scoring) -> bool:
     """The Pallas fill covers the reference's standard scoring form:
-    integer match/mismatch + affine gaps."""
-    return sc.match_mismatch is not None and sc.is_integral
+    integer match/mismatch + affine gaps, with the parity boundary
+    (strict=False boundary fixes route to the XLA scan engine)."""
+    return (sc.match_mismatch is not None and sc.is_integral
+            and sc.default_boundary)
 
 
 def _token_ids(transcript, ocr):

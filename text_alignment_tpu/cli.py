@@ -94,6 +94,7 @@ def cmd_align(args):
             verbose=args.verbose,
             timer=timer,
             stage_cache=args.cache_dir,
+            strict=args.strict,
         )
         if result is None:
             continue
@@ -101,7 +102,8 @@ def cmd_align(args):
 
         out_path = os.path.join(args.out_json, fname + ".json")
         with open(out_path, "w") as f:
-            json.dump(to_JSON_dict(syl_boxes, lines_peak_locs), f)
+            json.dump(to_JSON_dict(syl_boxes, lines_peak_locs,
+                                   strict=args.strict), f)
         print("wrote {}".format(out_path))
 
         if args.pickle_dir:
@@ -186,6 +188,7 @@ def _align_batched(args, text_func, timer):
                 existing_ocr=(
                     [chunk[k][4] for k in idxs] if has_ocr else None
                 ),
+                strict=args.strict,
             )
             for k, res in zip(idxs, results):
                 fname, _, img_path, ocr_pickle, _ = chunk[k]
@@ -525,6 +528,11 @@ def main(argv=None):
                         "pipeline, N per chunk (byte-identical outputs; "
                         "~2x throughput on TPU at 8+)")
     a.add_argument("--timing", action="store_true")
+    a.add_argument("--no-strict", dest="strict", action="store_false",
+                   help="fix the documented reference defects instead of "
+                        "preserving them (area-based saturated-CC filter, "
+                        "scoring-system NW boundary extends, true-median "
+                        "line spacing; see PARITY.md)")
     a.add_argument("--verbose", action="store_true")
     a.set_defaults(func=cmd_align)
 

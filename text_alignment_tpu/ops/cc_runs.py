@@ -243,25 +243,28 @@ def despeckle_white(img: jax.Array, k, max_runs: int = MAX_RUNS):
     return img | paint_runs(rs, small, H, W), _flags(jnp.bool_(True), cc)
 
 
-def remove_tall_ccs(img: jax.Array, max_nrows, max_runs: int = MAX_RUNS):
+def remove_tall_ccs(img: jax.Array, max_nrows, max_runs: int = MAX_RUNS,
+                    by_area: bool = False):
     """fill_white CCs whose ROW COUNT exceeds the threshold — the
-    reference's nrows-as-area quirk (textAlignPreprocessing.py:174-178)."""
+    reference's nrows-as-area quirk (textAlignPreprocessing.py:174-178).
+    ``by_area=True`` = strict=False corrected mode (true pixel area)."""
     H, W = img.shape
     rs = extract_runs(img, max_runs)
     cc = run_cc(rs, W)
-    nrows = cc.rmax - cc.rmin + 1
-    keep = nrows[cc.lbl] <= max_nrows
+    measure = cc.area if by_area else cc.rmax - cc.rmin + 1
+    keep = measure[cc.lbl] <= max_nrows
     return paint_runs(rs, keep, H, W), _flags(jnp.bool_(True), cc)
 
 
 def preproc_clean(img: jax.Array, despeckle_amt, sat_area_thresh,
-                  max_runs: int = MAX_RUNS):
+                  max_runs: int = MAX_RUNS, sat_by_area: bool = False):
     """The binarized-page cleanup chain of preprocess_images
     (textAlignPreprocessing.py:166-178): despeckle black, despeckle white,
     drop tall CCs. Returns (page, ok)."""
     img, ok1 = despeckle(img, despeckle_amt, max_runs)
     img, ok2 = despeckle_white(img, despeckle_amt, max_runs)
-    img, ok3 = remove_tall_ccs(img, sat_area_thresh, max_runs)
+    img, ok3 = remove_tall_ccs(img, sat_area_thresh, max_runs,
+                               by_area=sat_by_area)
     return img, ok1 & ok2 & ok3
 
 

@@ -85,12 +85,12 @@ def _build_and_load():
         lib.ta_black_runs.argtypes = [u8p, i64, i64, i32p, i64]
         lib.ta_erode2.argtypes = [u8p, i64, i64, u8p]
         lib.ta_binarize.argtypes = [u8p, i64, i32, u8p]
-        lib.ta_preproc_stage1.argtypes = [u8p, i64, i64, i64, i64]
+        lib.ta_preproc_stage1.argtypes = [u8p, i64, i64, i64, i64, i64]
         i8p = ctypes.POINTER(ctypes.c_int8)
         lib.ta_greyscale_hist.argtypes = [u8p, i64, i32, u8p, i64p]
         lib.ta_preproc_stage1_runs.restype = i64
         lib.ta_preproc_stage1_runs.argtypes = [u8p, i64, i64, i64, i64,
-                                               i32p, i64]
+                                               i32p, i64, i64]
         lib.ta_cc_stats_masked.restype = i32
         lib.ta_cc_stats_masked.argtypes = [u8p, i64, i64, u8p, i64p, i32]
         lib.ta_rotate_runs.argtypes = [i32p, i64, i64, i64, i64, i64, i32,
@@ -100,7 +100,7 @@ def _build_and_load():
         lib.ta_preproc_grey_stage1_runs.restype = i64
         lib.ta_preproc_grey_stage1_runs.argtypes = [u8p, i64, i64, i32,
                                                     i64, i64, u8p, i32p,
-                                                    i64]
+                                                    i64, i64]
         lib.ta_nw_fill.argtypes = [i32p, i64, i32p, i64, i64, i64, i64,
                                    i64, i64, i64, i64, i8p, i8p, i8p]
         f64p = ctypes.POINTER(ctypes.c_double)
@@ -114,7 +114,7 @@ def _build_and_load():
         lib.ta_cc_stats_from_runs.restype = i32
         lib.ta_cc_stats_from_runs.argtypes = [i32p, i64, i64, u8p, i64p,
                                               i32]
-        assert lib.ta_abi_version() == 13
+        assert lib.ta_abi_version() == 14
         _lib = lib
     except Exception as e:  # no toolchain / build failure -> oracle fallback
         _load_error = repr(e)
@@ -431,15 +431,19 @@ def _greyscale_hist(input_image: np.ndarray):
     return out, hist
 
 
-def _stage1_runs(a: np.ndarray, despeckle_amt: int, sat_area_thresh: int):
+def _stage1_runs(a: np.ndarray, despeckle_amt: int, sat_area_thresh: int,
+                 sat_area: bool = False):
     """In-place fused stage 1 on a uint8 page; returns the processed
-    page's black runs (int32[3n], n) for reuse by skew/rotate."""
+    page's black runs (int32[3n], n) for reuse by skew/rotate.
+    ``sat_area=True`` filters tall CCs by true pixel area (strict=False
+    mode) instead of the reference's nrows quirk."""
     H, W = a.shape
     max_n = max(1024, (H * W) // 8)
     runs = np.empty(3 * max_n, np.int32)
     n = int(_lib.ta_preproc_stage1_runs(
         _u8p(a), H, W, despeckle_amt, sat_area_thresh,
-        runs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_n))
+        runs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_n,
+        1 if sat_area else 0))
     if n > max_n:  # image is final; only the run export overflowed
         runs, n2 = _black_runs(a)
         n = n2
@@ -464,13 +468,16 @@ def _rotate_runs_u8(runs: np.ndarray, n: int, H: int, W: int,
 
 
 def preproc_stage1(img: np.ndarray, despeckle_amt: int,
-                   sat_area_thresh: int) -> np.ndarray:
+                   sat_area_thresh: int,
+                   sat_area: bool = False) -> np.ndarray:
     """Fused despeckle(black) -> despeckle(white) -> remove-tall in one
-    native call (textAlignPreprocessing.py:166-178 semantics)."""
+    native call (textAlignPreprocessing.py:166-178 semantics;
+    ``sat_area=True`` = strict=False area filter)."""
     _build_and_load()
     a = _as_u8(img)
     _lib.ta_preproc_stage1(_u8p(a), a.shape[0], a.shape[1],
-                           despeckle_amt, sat_area_thresh)
+                           despeckle_amt, sat_area_thresh,
+                           1 if sat_area else 0)
     return a.astype(bool)
 
 
@@ -497,7 +504,7 @@ def nw_fill(t_ids: np.ndarray, o_ids: np.ndarray, match: int, mismatch: int,
 
 
 def preprocess_page_phase1(input_image: np.ndarray, despeckle_amt: int,
-                           sat_area_thresh: int):
+                           sat_area_thresh: int, sat_area: bool = False):
     """Stage 1 of the preprocess raster chain (binarize -> despeckle x2 ->
     tall-CC removal), fused on uint8 buffers. Returns (img uint8 0/1,
     runs int32[3n], n_runs) — the run list feeds the skew search and the
@@ -516,7 +523,8 @@ def preprocess_page_phase1(input_image: np.ndarray, despeckle_amt: int,
     n_runs = int(_lib.ta_preproc_grey_stage1_runs(
         _u8p(grey), H, W, int(t), despeckle_amt, sat_area_thresh,
         _u8p(img),
-        runs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_n))
+        runs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_n,
+        1 if sat_area else 0))
     if n_runs > max_n:  # image is final; only the run export overflowed
         runs, n_runs = _black_runs(img)
     return img, runs, n_runs
@@ -655,7 +663,8 @@ def preprocess_page_phase2_runs(img: np.ndarray, runs: np.ndarray,
 
 def preprocess_page(input_image: np.ndarray, despeckle_amt: int,
                     sat_area_thresh: int, filter_runs: int,
-                    filter_runs_amt: int, correct_rotation: bool):
+                    filter_runs_amt: int, correct_rotation: bool,
+                    sat_area: bool = False):
     """Whole preprocess_images raster chain (binarize -> stage1 -> skew ->
     rotate -> erode) on uint8 buffers end to end: one bool conversion per
     returned page instead of two 3 MB bool<->u8 copies around every native
@@ -664,7 +673,7 @@ def preprocess_page(input_image: np.ndarray, despeckle_amt: int,
     Returns (image_bin bool, image_eroded bool, angle).
     """
     img, runs, n_runs = preprocess_page_phase1(input_image, despeckle_amt,
-                                               sat_area_thresh)
+                                               sat_area_thresh, sat_area)
     angle = rotation_angle_projections(img, -6, 6, runs_n=(runs, n_runs))
     image_bin, image_eroded = preprocess_page_phase2(
         img, runs, n_runs, angle, filter_runs, filter_runs_amt,

@@ -136,6 +136,20 @@ def remove_tall_ccs(img: np.ndarray, max_nrows: int) -> np.ndarray:
     return keep[labels] & img
 
 
+def remove_big_ccs(img: np.ndarray, max_area: int) -> np.ndarray:
+    """fill_white every CC whose true pixel AREA exceeds ``max_area`` —
+    the strict=False corrected form of :func:`remove_tall_ccs` (the
+    reference's comment says "area" but its code counts rows,
+    textAlignPreprocessing.py:174-178; parity mode keeps the quirk)."""
+    labels, n = label_ccs(img)
+    if n == 0:
+        return img.copy()
+    area = np.bincount(labels.reshape(-1), minlength=n + 1)
+    keep = ~(area > max_area)
+    keep[0] = False
+    return keep[labels] & img
+
+
 def remove_small_ccs(img: np.ndarray, min_area: int) -> np.ndarray:
     """fill_white every CC with area < min_area
     (textAlignPreprocessing.py:231-233)."""

@@ -280,21 +280,23 @@ def _jit_raster_page(H: int, W: int, minangle: float, maxangle: float,
 
 def enabled() -> bool:
     """Whether the batched pipeline should run the raster on the device
-    (TEXT_ALIGNMENT_TPU_RASTER=device|host|auto; auto = device on
-    accelerator backends — on XLA:CPU the host native engine wins)."""
+    (TEXT_ALIGNMENT_TPU_RASTER=device|host; default host).
+
+    Opt-in, deliberately: this path achieves the COMPILE-TRACTABILITY
+    goal (program A cold-compiles in ~98 s where the pixel-domain
+    while_loop CC took ~49 min) and is bit-exact with certificates, but
+    measured EXECUTION on v5e is irregular-op-bound: XLA lowers the CC
+    kernel's gathers/scatters to ~1.2 ms per (131072,) gather
+    intra-program and 17-24 ms per page-sized scatter, so program A runs
+    ~1.5 s/page vs ~5 ms for the single-core native union-find
+    (docs/DESIGN.md "What the TPU can't do fast"). The production batched
+    pipeline therefore keeps the host raster and feeds OCR from an
+    uploaded packed page instead; this mode remains the correctness-
+    tested escape hatch for hosts with no native toolchain and the
+    foundation for a future Pallas CC kernel."""
     import os
 
-    mode = os.environ.get("TEXT_ALIGNMENT_TPU_RASTER", "auto")
-    if mode == "host":
-        return False
-    if mode == "device":
-        return True
-    try:
-        from ..utils.platform import accel_platform
-
-        return accel_platform()
-    except Exception:
-        return False
+    return os.environ.get("TEXT_ALIGNMENT_TPU_RASTER", "host") == "device"
 
 
 class GroupedPull:

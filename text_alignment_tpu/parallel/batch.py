@@ -139,7 +139,8 @@ def process_batch(folios, recognizer, seq_align_params=None,
                   existing_pre: list | None = None,
                   mesh=None,
                   min_align_device_cells: int | None = None,
-                  raster_workers: int | None = None) -> list[FolioResult | None]:
+                  raster_workers: int | None = None,
+                  strict: bool = True) -> list[FolioResult | None]:
     """folios: list of (raw_image, transcript). Returns FolioResult per
     folio (None where OCR produced nothing alignable).
 
@@ -157,6 +158,19 @@ def process_batch(folios, recognizer, seq_align_params=None,
     to align_pairs_jax (0 forces every pair onto the device path)."""
     timer = timer or StageTimer(enabled=False)
     n = len(folios)
+    if not strict:
+        # quirk-fix mode: area-based saturated-CC filter (process() strict
+        # docstring); the NW boundary fix rides the Scoring below
+        from dataclasses import replace as _dc_replace
+
+        from ..pipeline.preprocess import PreprocParams as _PP
+
+        pp = preproc_params or _PP()
+        if pp.sat_area_thresh == _PP.sat_area_thresh:
+            from ..pipeline.preprocess import SAT_AREA_THRESH_AREA
+
+            pp = _dc_replace(pp, sat_area_thresh=SAT_AREA_THRESH_AREA)
+        preproc_params = _dc_replace(pp, sat_filter_area=True)
 
     if mesh is not None and recognizer is not None \
             and getattr(recognizer, "mesh", None) is not mesh:
@@ -283,7 +297,7 @@ def process_batch(folios, recognizer, seq_align_params=None,
             for ch in all_chars_per_folio
         ]
 
-    sc = resolve_scoring(seq_align_params)
+    sc = resolve_scoring(seq_align_params, strict=strict)
     pairs = []
     pair_idx = []
     for i, ((_, transcript), chars) in enumerate(zip(folios, all_chars_per_folio)):
@@ -304,13 +318,13 @@ def process_batch(folios, recognizer, seq_align_params=None,
                 a
                 if a is not None
                 else perform_alignment(t, o, scoring_system=seq_align_params,
-                                       backend="host")
+                                       backend="host", strict=strict)
                 for a, (t, o) in zip(aligned, pairs)
             ]
         else:
             aligned = [
                 perform_alignment(t, o, scoring_system=seq_align_params,
-                                  backend="host")
+                                  backend="host", strict=strict)
                 for t, o in pairs
             ]
 
@@ -330,7 +344,8 @@ def process_batch(folios, recognizer, seq_align_params=None,
                 np.asarray(raw_image).shape,
             )
             results[i] = FolioResult(
-                syl_boxes, peaks, to_JSON_dict(syl_boxes, peaks),
+                syl_boxes, peaks, to_JSON_dict(syl_boxes, peaks,
+                                               strict=strict),
                 list(chars),
             )
     return results

@@ -38,6 +38,11 @@ from ..ops.projections import (
 # PARAMETERS (reference: textAlignPreprocessing.py:12-26; the unused
 # saturation_thresh / cc_group_gap_min / max_distance_to_staff are dropped)
 SAT_AREA_THRESH = 150       # CCs taller than this many rows are removed
+# strict=False corrected-mode default: the reference's comment promises an
+# AREA filter but 150 px of area would remove every glyph (area >= nrows
+# always). The corrected default targets the same artifacts the row filter
+# was tuned for — blobs as tall AND wide as its 150-row target.
+SAT_AREA_THRESH_AREA = 150 * 150
 DESPECKLE_AMT = 100
 NOISE_AREA_THRESH = 100
 COLLISION_STRIP_SCALE = 1
@@ -52,6 +57,12 @@ class PreprocParams:
     filter_size: int = FILTER_SIZE
     collision_strip_scale: float = COLLISION_STRIP_SCALE
     remove_capitals_scale: float = REMOVE_CAPITALS_SCALE
+    # strict=False corrected mode: filter the stage-1 "saturated" CCs by
+    # true pixel area instead of the reference's nrows-as-area quirk
+    # (textAlignPreprocessing.py:174-178). NB the default threshold (150)
+    # was tuned for the nrows semantics — area mode usually wants a much
+    # larger sat_area_thresh.
+    sat_filter_area: bool = False
 
 
 @dataclass
@@ -120,6 +131,10 @@ def preprocess_images(input_image, despeckle_amt: int = DESPECKLE_AMT,
         hist = np.asarray(eng.grey_histogram(grey))
         thresh = eng._otsu_from_hist(hist)
 
+        if p.sat_filter_area:
+            raise NotImplementedError(
+                "strict=False sat-area filtering is host/hybrid-only "
+                "(backend='device' keeps the parity nrows filter)")
         # stage 1 (one dispatch): binarize + despeckle x2 + tall-CC removal
         img = eng.preproc_stage1(
             grey,
@@ -156,11 +171,15 @@ def preprocess_images(input_image, despeckle_amt: int = DESPECKLE_AMT,
         # native engine: the whole raster chain stays on uint8 buffers
         return eng.preprocess_page(input_image, despeckle_amt,
                                    p.sat_area_thresh, filter_runs,
-                                   filter_runs_amt, correct_rotation)
+                                   filter_runs_amt, correct_rotation,
+                                   sat_area=p.sat_filter_area)
     img = eng.to_onebit(input_image)
     img = eng.despeckle(img, despeckle_amt)
     img = ~eng.despeckle(~img, despeckle_amt)
-    img = eng.remove_tall_ccs(img, p.sat_area_thresh)
+    if p.sat_filter_area:
+        img = oracle.remove_big_ccs(img, p.sat_area_thresh)
+    else:
+        img = eng.remove_tall_ccs(img, p.sat_area_thresh)
     angle = eng.rotation_angle_projections(img, -6, 6)
     if correct_rotation:
         img = eng.rotate_onebit(img, angle)
@@ -222,7 +241,8 @@ def preprocess_stream(images, backend: str = "host",
 
     def _enqueue(i):
         img, runs, n_runs = hn.preprocess_page_phase1(
-            np.asarray(images[i]), despeckle_amt, p.sat_area_thresh
+            np.asarray(images[i]), despeckle_amt, p.sat_area_thresh,
+            sat_area=p.sat_filter_area,
         )
         pend.append((img, runs, n_runs, worker.put(img)))
 
@@ -305,7 +325,8 @@ def raster_stream(images, backend: str = "host",
     if not use_device_skew:
         for raw in images:
             img, runs, n_runs = hn.preprocess_page_phase1(
-                np.asarray(raw), despeckle_amt, p.sat_area_thresh)
+                np.asarray(raw), despeckle_amt, p.sat_area_thresh,
+                sat_area=p.sat_filter_area)
             angle = hn.rotation_angle_projections(
                 img, -6, 6, runs_n=(runs, n_runs))
             yield _finish(img, runs, n_runs, angle)
@@ -321,7 +342,8 @@ def raster_stream(images, backend: str = "host",
 
     def _enqueue(i):
         img, runs, n_runs = hn.preprocess_page_phase1(
-            np.asarray(images[i]), despeckle_amt, p.sat_area_thresh)
+            np.asarray(images[i]), despeckle_amt, p.sat_area_thresh,
+            sat_area=p.sat_filter_area)
         slot = worker.put_runs(runs, n_runs, img.shape[0], img.shape[1])
         pend.append((img, runs, n_runs, slot))
 

@@ -99,7 +99,7 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
             existing_ocr_pickle=None, existing_preproc_images=None,
             verbose=True, backend="host", existing_ocr=None, timer=None,
             preproc_params=None, stage_cache=None, existing_lines=None,
-            existing_alignment=None):
+            existing_alignment=None, strict=True):
     """Align ``transcript`` to the text-layer ``raw_image``.
 
     raw_image: (H, W[, C]) uint8/bool numpy array (or anything np.asarray
@@ -110,10 +110,32 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
     memoizes the preprocess and OCR stages under content-derived keys —
     the first-class version of the reference's filename-keyed pickles
     (alignToOCR.py:207-215, :225-233).
+
+    ``strict=False`` fixes the documented reference defects instead of
+    preserving them (SURVEY.md §7 "reference defects"): the stage-1
+    saturated-CC filter measures true pixel area (not row count), and the
+    NW boundary rows extend at the scoring system's own gap extends (not
+    the stale module global -1). Pair with ``to_JSON_dict(...,
+    strict=False)`` for the true-median line spacing. ``median_line_mult``
+    is accepted-and-inert in BOTH modes: the reference threads it into
+    process() but never uses it (alignToOCR.py:25,193), and no intended
+    semantics are recoverable to "fix".
     """
     del wkdir_name, parallel  # subprocess-era knobs
     raw_image = np.asarray(raw_image)
     timer = timer or stage_timer(enabled=False)
+    if not strict:
+        from dataclasses import replace
+        from .preprocess import PreprocParams
+
+        pp = preproc_params or PreprocParams()
+        if pp.sat_area_thresh == PreprocParams.sat_area_thresh:
+            # parity default 150 was tuned for the nrows quirk; the area
+            # filter gets its own corrected default (see preprocess.py)
+            from .preprocess import SAT_AREA_THRESH_AREA
+
+            pp = replace(pp, sat_area_thresh=SAT_AREA_THRESH_AREA)
+        preproc_params = replace(pp, sat_filter_area=True)
 
     if isinstance(stage_cache, str):
         from ..utils.cache import StageCache
@@ -268,7 +290,7 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
                         nw_backend = "host"
             tra_align, ocr_align = perform_alignment(
                 list(transcript), list(ocr), scoring_system=seq_align_params,
-                verbose=False, backend=nw_backend,
+                verbose=False, backend=nw_backend, strict=strict,
             )
     tra_align = "".join(tra_align)
     ocr_align = "".join(ocr_align)
@@ -283,17 +305,19 @@ def process(raw_image, transcript, ocropus_model=None, seq_align_params=None,
     return syl_boxes, image, lines_peak_locs, all_chars_copy
 
 
-def to_JSON_dict(syl_boxes, lines_peak_locs) -> dict:
+def to_JSON_dict(syl_boxes, lines_peak_locs, strict=True) -> dict:
     """Canonical output dict (alignToOCR.py:333-351). NB
     'median_line_spacing' is the 75th percentile of inter-peak gaps — a
-    reference quirk preserved for downstream MEI-encoding compatibility.
+    reference quirk preserved for downstream MEI-encoding compatibility
+    (``strict=False`` uses the true median the field name promises).
     Pages with fewer than two detected lines have no inter-peak gaps; the
     spacing degrades to 0.0 instead of crashing (the reference would
     IndexError on np.quantile of an empty diff)."""
     if len(lines_peak_locs) < 2:
         med_line_spacing = 0.0
     else:
-        med_line_spacing = np.quantile(np.diff(lines_peak_locs), 0.75)
+        med_line_spacing = np.quantile(np.diff(lines_peak_locs),
+                                       0.75 if strict else 0.5)
 
     data = {}
     data["median_line_spacing"] = med_line_spacing
