@@ -91,3 +91,24 @@ def test_cc_failure_falls_back_to_host(monkeypatch):
             continue
         assert json.dumps(d.json_dict, sort_keys=True) == \
             json.dumps(h.json_dict, sort_keys=True)
+
+
+def test_packed_page_ocr_feed_byte_identical(monkeypatch):
+    """The packed-page OCR feed (host raster + one bit-packed page upload
+    + on-device strip cutting) produces JSON byte-identical to the
+    host-strip feed."""
+    monkeypatch.setenv("TEXT_ALIGNMENT_TPU_OCR_FEED", "page")
+    rec = _recognizer()
+    folios = [(p.image, p.transcript) for p in _pages()]
+    page_feed = process_batch(folios, rec, backend="hybrid")
+    monkeypatch.setenv("TEXT_ALIGNMENT_TPU_OCR_FEED", "strips")
+    strips_feed = process_batch(folios, rec, backend="hybrid")
+    assert any(r is not None for r in strips_feed)
+    for a, b in zip(page_feed, strips_feed):
+        if b is None or a is None:
+            assert b is None and a is None
+            continue
+        assert json.dumps(a.json_dict, sort_keys=True) == \
+            json.dumps(b.json_dict, sort_keys=True)
+        assert [(c.char, c.ul, c.lr) for c in a.all_chars] == \
+            [(c.char, c.ul, c.lr) for c in b.all_chars]

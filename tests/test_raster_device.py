@@ -95,7 +95,7 @@ def test_program_c_matches_pack_strips():
     bb = np.zeros((B, 4), np.int32)
     bb[: len(bboxes)] = np.asarray(bboxes, np.int32)
     got = np.asarray(raster_device.extract_strips_packed(
-        jnp.asarray(page), bb, Hp, Wp))
+        jnp.asarray(raster_device.pack_page(page)), bb, Hp, Wp))
     np.testing.assert_array_equal(got, want_meta)
 
 

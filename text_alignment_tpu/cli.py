@@ -504,6 +504,25 @@ def cmd_serve(args):
     return 0 if stats.failed == 0 else 1
 
 
+def cmd_verify_reference(args):
+    """Real-asset parity harness: run a reference checkout end-to-end and
+    report JSON/GT parity (verify_reference module; mirrors
+    alignToOCR.py:378-438 + evaluate_text_alignment.py:79-175)."""
+    from .verify_reference import verify
+
+    rep = verify(args.assets, manuscript=args.manuscript,
+                 folios=args.folios, backend=args.backend,
+                 reuse_ocr=not args.no_reuse_ocr)
+    d = rep.to_dict()
+    print("match {match}  mismatch {mismatch}  no-reference "
+          "{no_reference}  error {error}".format(**d["summary"]))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(d, f, indent=2)
+        print("wrote", args.out)
+    return 1 if (d["summary"]["mismatch"] or d["summary"]["error"]) else 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="text_alignment_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -553,6 +572,27 @@ def main(argv=None):
                    help='JSON scoring list, e.g. "[8,-4,-7,-7,-3,0]" '
                    "(single-scoring mode only)")
     e.set_defaults(func=cmd_evaluate)
+
+    vr = sub.add_parser(
+        "verify-reference",
+        help="run a real reference checkout (png/ csv/ pik/ models/ "
+             "out_json/ ground-truth-alignments/) end-to-end and emit a "
+             "parity report vs its out_json + GT XML")
+    vr.add_argument("--assets", required=True,
+                    help="path to the reference checkout")
+    vr.add_argument("--manuscript", default=None,
+                    choices=["salzinnes", "einsiedeln", "stgall390",
+                             "stmaurf"])
+    vr.add_argument("--folios", nargs="+", default=None,
+                    help="restrict to these folio fnames (as in the png "
+                         "filenames)")
+    vr.add_argument("--backend", default="hybrid",
+                    choices=["host", "hybrid", "device"])
+    vr.add_argument("--no-reuse-ocr", action="store_true",
+                    help="ignore pik/ caches and run the recognizer from "
+                         "the .pyrnn.gz model (full-stack parity)")
+    vr.add_argument("--out", default=None, help="write the report JSON")
+    vr.set_defaults(func=cmd_verify_reference)
 
     m = sub.add_parser(
         "mei", help="enrich a raw MEI file with aligned syllable text"

@@ -140,36 +140,19 @@ _recognize_device = functools.partial(
 )(_recognize_device_impl)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("Hp", "Wp", "t_max", "target_height", "pad",
-                     "max_regions", "decode"),
-)
-def _recognize_from_page(params, page, bbox, Hp, Wp, t_max, target_height,
-                         pad, max_regions, decode="region"):
-    """Device-raster OCR: cut the line strips out of a device-resident
-    binarized page (ops.raster_device program C) and run the fused
-    recognizer on them in the SAME program — the strips never exist on the
-    host and the per-folio bit-packed upload disappears. ``bbox`` is
-    (B, 4) int32 (uly, ulx, h, w) rows; the packed layout is byte-identical
-    to ``_pack_strips``, so the wire contract and decode are unchanged."""
-    from ..ops.raster_device import _extract_strips_packed_impl
-
-    pm = _extract_strips_packed_impl(page, bbox, Hp, Wp)
-    return _recognize_device_impl(params, pm, t_max, target_height, pad,
-                                  max_regions, decode)
-
-
 class DevicePageStrips:
-    """OCR feed for a device-resident binarized page: ``bboxes`` are
+    """OCR feed referencing a whole BIT-PACKED page instead of host strip
+    crops: ``page_packed`` is (H, ceil(W/32)) int32 little-endian bit rows
+    — a numpy array (uploaded once per folio by the dispatch; the batched
+    pipeline's packed-page feed) or an already-device-resident array (the
+    opt-in device-raster mode, no upload at all). ``bboxes`` are
     (uly, ulx, h, w) tuples in page coordinates. Passed to
-    ``SeqRecognizer.dispatch_async`` in place of the host strip list by
-    the device-raster batched pipeline."""
+    ``SeqRecognizer.dispatch_async`` in place of the host strip list."""
 
-    __slots__ = ("page_dev", "bboxes")
+    __slots__ = ("page_packed", "bboxes")
 
-    def __init__(self, page_dev, bboxes):
-        self.page_dev = page_dev
+    def __init__(self, page_packed, bboxes):
+        self.page_packed = page_packed
         self.bboxes = list(bboxes)
 
 
@@ -311,19 +294,6 @@ class SeqRecognizer:
 
     def _dispatch_device(self, packed_meta, t_max,
                          max_regions=_MAX_REGIONS):
-        if isinstance(packed_meta, tuple) and packed_meta[0] == "page":
-            # device-page feed (see _dispatch_async_page): re-cut + re-run
-            # from the device-resident page at the new caps
-            _, page_dev, bb_dev, Hp, Wp, B = packed_meta
-            return _unpack_wire_rows(_with_pallas_fallback(
-                lambda: np.asarray(_recognize_from_page(
-                    self.params, page_dev, bb_dev, Hp=Hp, Wp=Wp,
-                    t_max=t_max, target_height=self.target_height,
-                    pad=self.pad, max_regions=max_regions,
-                    decode=self.decode,
-                )),
-                engaged=_pallas_engaged(B, t_max, self._ns),
-            ))
         if self.mesh is not None:
             from ..parallel.infer_dp import recognize_sharded_meta
 
@@ -438,14 +408,25 @@ class SeqRecognizer:
         t_max = self._initial_t_max(Wp, ws[: len(shapes)])
         engaged = _pallas_engaged(B, t_max, self._ns)
         bb_dev = jnp.asarray(bb)
-        out = _with_pallas_fallback(lambda: _recognize_from_page(
-            self.params, feed.page_dev, bb_dev, Hp=Hp, Wp=Wp, t_max=t_max,
+        page_dev = jnp.asarray(feed.page_packed)  # upload iff host-side
+        # two dispatches on purpose: the strip cut is its own tiny program
+        # and the recognizer runs the SAME compiled program as the
+        # host-strips path. Fusing the cut into the recognizer program was
+        # measured ~25% slower end to end — the fused OCR program's
+        # schedule is lottery-bound (docs/DESIGN.md "grouped-conv fusion
+        # lottery") and the extra stage perturbs it.
+        from ..ops.raster_device import _jit_extract_strips
+
+        pm_dev = _jit_extract_strips(Hp, Wp)(page_dev, bb_dev)
+        out = _with_pallas_fallback(lambda: _recognize_device(
+            self.params, pm_dev, t_max=t_max,
             target_height=self.target_height, pad=self.pad,
             max_regions=_WIRE_REGIONS, decode=self.decode,
         ), engaged=engaged)
         proxies = [_ShapeProxy(s) for s in shapes]
-        meta = ("page", feed.page_dev, bb_dev, Hp, Wp, B)
-        return (proxies, out, (t_max, meta, ws, engaged))
+        # escalation re-dispatch reuses the device-resident packed_meta
+        # (caps don't affect the cut, so no re-extraction is needed)
+        return (proxies, out, (t_max, pm_dev, ws, engaged))
 
     def _materialize_live(self, live):
         """One combined download for the live handles' async results. An
@@ -467,19 +448,6 @@ class SeqRecognizer:
             _disable_pallas_and_warn()
             redone = []
             for _inks, _out, (t_max, packed_meta, _ws, _eng) in live:
-                if isinstance(packed_meta, tuple) and \
-                        packed_meta[0] == "page":
-                    _, page_dev, bb_dev, Hp, Wp, _B = packed_meta
-                    redone.append(_with_pallas_fallback(
-                        lambda pg=page_dev, bd=bb_dev, hp=Hp, wp=Wp,
-                        t=t_max: _recognize_from_page(
-                            self.params, pg, bd, Hp=hp, Wp=wp, t_max=t,
-                            target_height=self.target_height, pad=self.pad,
-                            max_regions=_WIRE_REGIONS, decode=self.decode,
-                        ),
-                        engaged=False,  # kernel just disabled: scan route
-                    ))
-                    continue
                 redone.append(_with_pallas_fallback(
                     lambda pm=packed_meta, t=t_max:
                     _recognize_device(

@@ -637,13 +637,18 @@ def cc_stats_from_runs(runs: np.ndarray, n: int, H: int,
 
 def preprocess_page_phase2_runs(img: np.ndarray, runs: np.ndarray,
                                 n_runs: int, angle: float,
-                                correct_rotation: bool):
+                                correct_rotation: bool,
+                                want_packed: bool = False):
     """Fused run-domain phase 2 for the streamed batched raster: rotate
     (pixels + runs in one pass), erode in run domain, and emit the eroded
     row projection — the eroded pixel page is NEVER materialized. Only
     supports the pipeline's standard erode (filter_runs=1, amt=2; callers
     needing other shapes use preprocess_page_phase2). Returns
-    (image_bin bool, eroded_runs int32[3m], m, proj int64[H2])."""
+    (image_bin bool, eroded_runs int32[3m], m, proj int64[H2]) and, with
+    ``want_packed=True``, a fifth element: the ROTATED binarized page as
+    (H2, ceil(W2/32)) int32 little-endian bit rows (packed straight from
+    the rotated run list, O(ink/8) — the packed-page OCR feed uploads
+    this instead of per-strip crops)."""
     from . import fixedpoint as fxp
 
     H, W = img.shape
@@ -657,8 +662,13 @@ def preprocess_page_phase2_runs(img: np.ndarray, runs: np.ndarray,
     else:
         img_u8, rruns, rn = img, runs, n_runs
     eruns, en, proj = erode_runs(rruns, rn, img_u8.shape[0])
-    return img_u8.view(bool) if img_u8.dtype == np.uint8 else img_u8, \
-        eruns, en, proj
+    image_bin = img_u8.view(bool) if img_u8.dtype == np.uint8 else img_u8
+    if not want_packed:
+        return image_bin, eruns, en, proj
+    H2, W2 = image_bin.shape
+    bits8 = np.zeros((H2, -(-W2 // 32) * 4), np.uint8)
+    pack_runs_into(rruns, rn, bits8)
+    return image_bin, eruns, en, proj, bits8.view(np.int32)
 
 
 def preprocess_page(input_image: np.ndarray, despeckle_amt: int,

@@ -180,36 +180,49 @@ def _masked_cc_table_impl(eroded, row_mask, noise_thresh, max_ccs: int,
         er, min_area_keep=noise_thresh, max_ccs=max_ccs, max_runs=max_runs)
 
 
-def _extract_strips_packed_impl(page, bbox, Hp: int, Wp: int):
-    """Program C: cut (B,) line strips from the device-resident binarized
-    page into the recognizer's bit-packed wire tensor.
+def _extract_strips_packed_impl(page_packed, bbox, Hp: int, Wp: int):
+    """Program C: cut (B,) line strips from a bit-packed page into the
+    recognizer's wire tensor — dynamic-slice + shift-combine only (a
+    random-index gather formulation measured ~27 ms/page on v5e; slices
+    and dense shifts are the TPU-shaped cut).
 
-    bbox: (B, 4) int32 rows (uly, ulx, h, w); zero-area rows produce blank
-    strips. Output: (B, Hp + 1, Wp // 32) int32 — byte-identical to
-    models/recognizer.py ``_pack_strips`` on the same crops (little-endian
-    bits; last row carries (h, w) in lanes 0, 1)."""
+    page_packed: (Hpage, ceil(Wpage/32)) int32 little-endian bit rows
+    (ops.device.pack_bool / host pack_page layout). bbox: (B, 4) int32
+    rows (uly, ulx, h, w); zero-area rows produce blank strips. Output:
+    (B, Hp + 1, Wp // 32) int32 — byte-identical to models/recognizer.py
+    ``_pack_strips`` on the same crops (last row carries (h, w) in lanes
+    0, 1)."""
     import jax
     import jax.numpy as jnp
 
-    Hpage, Wpage = page.shape
     B = bbox.shape[0]
-    uly, ulx, hs, ws = bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3]
-    ys = uly[:, None] + jnp.arange(Hp, dtype=jnp.int32)[None, :]   # (B, Hp)
-    xs = ulx[:, None] + jnp.arange(Wp, dtype=jnp.int32)[None, :]   # (B, Wp)
-    row_ok = (jnp.arange(Hp, dtype=jnp.int32)[None, :] < hs[:, None]) & \
-        (ys < Hpage) & (ys >= 0)
-    col_ok = (jnp.arange(Wp, dtype=jnp.int32)[None, :] < ws[:, None]) & \
-        (xs < Wpage) & (xs >= 0)
-    flat = page.reshape(-1)
-    idx = (jnp.clip(ys, 0, Hpage - 1)[:, :, None] * Wpage
-           + jnp.clip(xs, 0, Wpage - 1)[:, None, :])        # (B, Hp, Wp)
-    vals = flat[idx.reshape(-1)].reshape(B, Hp, Wp)
-    vals = vals & row_ok[:, :, None] & col_ok[:, None, :]
-    lanes = vals.reshape(B, Hp, Wp // 32, 32).astype(jnp.uint32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-    packed = jnp.sum(lanes * weights, axis=-1, dtype=jnp.uint32)
-    packed = jax.lax.bitcast_convert_type(packed, jnp.int32)
-    meta = jnp.zeros((B, 1, Wp // 32), jnp.int32)
+    Wqs = Wp // 32
+    # pad so no dynamic_slice ever clamps (a clamped start would shift
+    # which page rows land in the window)
+    pg = jnp.pad(page_packed, ((0, Hp), (0, Wqs + 1)))
+    u = jax.lax.bitcast_convert_type(pg, jnp.uint32)
+    outs = []
+    for b in range(B):  # static unroll over the batch ladder
+        uly = jnp.maximum(bbox[b, 0], 0)
+        ulx = jnp.maximum(bbox[b, 1], 0)
+        s = (ulx & 31).astype(jnp.uint32)
+        win = jax.lax.dynamic_slice(
+            u, (uly, ulx >> 5), (Hp, Wqs + 1))
+        lo = win[:, :Wqs] >> s
+        hi = jnp.where(s == 0, jnp.uint32(0),
+                       win[:, 1:] << ((jnp.uint32(32) - s) & 31))
+        outs.append(lo | hi)
+    strips = jnp.stack(outs)  # (B, Hp, Wqs) uint32
+    hs, ws = bbox[:, 2], bbox[:, 3]
+    row_ok = jnp.arange(Hp, dtype=jnp.int32)[None, :] < hs[:, None]
+    kword = jnp.arange(Wqs, dtype=jnp.int32)[None, :]
+    keep = jnp.clip(ws[:, None] - 32 * kword, 0, 32).astype(jnp.uint32)
+    mask = jnp.where(keep >= 32, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << (keep & 31)) - 1)
+    strips = jnp.where(row_ok[:, :, None], strips & mask[:, None, :],
+                       jnp.uint32(0))
+    packed = jax.lax.bitcast_convert_type(strips, jnp.int32)
+    meta = jnp.zeros((B, 1, Wqs), jnp.int32)
     meta = meta.at[:, 0, 0].set(hs).at[:, 0, 1].set(ws)
     return jnp.concatenate([packed, meta], axis=1)
 
@@ -430,10 +443,11 @@ def masked_cc_table(eroded_dev, sep_rows, H2: int, noise_thresh: int,
             bool(np.asarray(ok)))
 
 
-def extract_strips_packed(page_dev, bboxes, Hp: int, Wp: int):
+def extract_strips_packed(page_packed_dev, bboxes, Hp: int, Wp: int):
     """Run program C: (uly, ulx, h, w) rows -> recognizer packed_meta
-    (device array)."""
+    (device array). ``page_packed_dev``: (H, ceil(W/32)) int32 bit rows
+    (device.pack_bool / pack_page layout)."""
     import jax.numpy as jnp
 
     fn = _jit_extract_strips(Hp, Wp)
-    return fn(page_dev, jnp.asarray(np.asarray(bboxes, np.int32)))
+    return fn(page_packed_dev, jnp.asarray(np.asarray(bboxes, np.int32)))

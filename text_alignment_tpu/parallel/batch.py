@@ -36,6 +36,26 @@ from ..pipeline.process import to_JSON_dict
 from ..utils.timing import StageTimer
 
 
+def _page_feed_enabled() -> bool:
+    """Packed-page OCR feed mode (TEXT_ALIGNMENT_TPU_OCR_FEED):
+    "page" forces it, "strips" forces the host strip packer, "auto"
+    (default) = page on accelerator platforms (on XLA:CPU the upload
+    saving is irrelevant and strips keep the test matrix simple)."""
+    import os
+
+    mode = os.environ.get("TEXT_ALIGNMENT_TPU_OCR_FEED", "auto")
+    if mode == "strips":
+        return False
+    if mode == "page":
+        return True
+    try:
+        from ..utils.platform import accel_platform
+
+        return accel_platform()
+    except Exception:
+        return False
+
+
 @dataclass
 class FolioResult:
     syl_boxes: list
@@ -205,10 +225,16 @@ def process_batch(folios, recognizer, seq_align_params=None,
     # only binarize+pack and the OCR stage cuts strips from the device
     # page inside its own fused program (no strip upload)
     use_device_raster = False
+    use_page_feed = False
     if pipelined and backend == "hybrid":
         from ..ops import raster_device as _rd
 
         use_device_raster = _rd.enabled()
+        # packed-page OCR feed: upload the bit-packed rotated page once
+        # per folio (~0.5 MB) and cut the strips on device, instead of
+        # packing + uploading ~2.4 MB of per-strip crops on the host
+        # (TEXT_ALIGNMENT_TPU_OCR_FEED=page|strips|auto)
+        use_page_feed = not use_device_raster and _page_feed_enabled()
 
     if existing_pre is not None:
         pre = list(existing_pre)
@@ -244,9 +270,10 @@ def process_batch(folios, recognizer, seq_align_params=None,
                 else:
                     stream = raster_stream(
                         [np.asarray(f[0]) for f in folios], backend=backend,
-                        params=preproc_params,
+                        params=preproc_params, want_packed=use_page_feed,
                     )
-                for image, angle, strips, peaks in stream:
+                for item in stream:
+                    image, angle, strips, peaks = item[:4]
                     pre.append((image, angle, strips, peaks))
                     if ocr_worker is not None:
                         if use_device_raster and isinstance(image,
@@ -254,8 +281,15 @@ def process_batch(folios, recognizer, seq_align_params=None,
                             from ..models.recognizer import DevicePageStrips
 
                             ocr_worker.put(DevicePageStrips(
-                                image.bin_dev,
+                                image.page_packed,
                                 [s.bbox for s in strips]))
+                        elif use_page_feed:
+                            from ..models.recognizer import DevicePageStrips
+
+                            ocr_worker.put(DevicePageStrips(
+                                item[4],
+                                [(s.offset_y, s.offset_x, s.img.shape[0],
+                                  s.img.shape[1]) for s in strips]))
                         else:
                             ocr_worker.put([s.img for s in strips])
             finally:

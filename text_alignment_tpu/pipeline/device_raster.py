@@ -45,13 +45,14 @@ _MAX_CCS = 2048  # post-noise-filter glyph CCs per page (overflow -> host)
 class DevicePage:
     """Stands in for the rotated binarized page in device-raster mode:
     ``shape`` is the EXACT rotated canvas (what the host raster would
-    produce — rotate_bboxes consumes it), while the device tensor lives
-    on the fixed worst-case canvas with content at origin."""
+    produce — rotate_bboxes consumes it), while ``page_packed`` is the
+    device-resident bit-packed page on the fixed worst-case canvas with
+    content at origin (the recognizer's packed-page feed layout)."""
 
-    __slots__ = ("bin_dev", "shape")
+    __slots__ = ("page_packed", "shape")
 
-    def __init__(self, bin_dev, shape):
-        self.bin_dev = bin_dev
+    def __init__(self, page_packed, shape):
+        self.page_packed = page_packed
         self.shape = shape
 
 
@@ -160,6 +161,8 @@ def raster_stream_device(images, backend: str = "hybrid",
         pend_b.append((i, bin_dev, angle, (H2, W2), peaks, gb.put(wire_b)))
 
     def advance_b():
+        from ..ops.device import pack_bool
+
         i, bin_dev, angle, shape, peaks, slot = pend_b.popleft()
         w = gb.get(slot)
         count, okb = int(w[0]), bool(w[1])
@@ -169,7 +172,8 @@ def raster_stream_device(images, backend: str = "hybrid",
         table = w[2:].reshape(_MAX_CCS, 5)[:count].astype(np.int64)
         strips = [StripRef(*bb)
                   for bb in _strip_bboxes_from_table(table, peaks, p)]
-        results[i] = (DevicePage(bin_dev, shape), angle, strips, peaks)
+        results[i] = (DevicePage(pack_bool(bin_dev), shape), angle,
+                      strips, peaks)
 
     out = 0
     next_a = 0

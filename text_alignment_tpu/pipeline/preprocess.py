@@ -277,7 +277,8 @@ def preprocess_stream(images, backend: str = "host",
 def raster_stream(images, backend: str = "host",
                   despeckle_amt: int = DESPECKLE_AMT,
                   params: PreprocParams | None = None,
-                  skew: str = "auto", depth: int = 8):
+                  skew: str = "auto", depth: int = 8,
+                  want_packed: bool = False):
     """Yield the whole per-folio raster — ``(image_bin, angle, strips,
     peaks)`` — for a stream of pages: the batched pipeline's stage-1 loop
     (parallel/batch.py).
@@ -290,7 +291,11 @@ def raster_stream(images, backend: str = "host",
     materialized, saving ~3 full-page passes on the one-core host. The
     device skew search engages exactly as in :func:`preprocess_stream`.
     Results are bit-identical to preprocess_images + identify_text_lines
-    on every path (tested)."""
+    on every path (tested). ``want_packed=True`` appends a fifth element
+    per folio: the rotated binarized page as (H2, ceil(W2/32)) int32
+    little-endian bit rows (the packed-page OCR feed's upload; packed
+    from the rotated run list on the native path, np.packbits
+    otherwise)."""
     images = list(images)
     p = params or PreprocParams()
     fused = False
@@ -306,7 +311,11 @@ def raster_stream(images, backend: str = "host",
             strips, peaks, _ = identify_text_lines(
                 image_bin, image_eroded, backend=backend, params=p,
                 verbose=False)
-            yield image_bin, angle, strips, peaks
+            if want_packed:
+                yield image_bin, angle, strips, peaks, _pack_page_np(
+                    image_bin)
+            else:
+                yield image_bin, angle, strips, peaks
         return
 
     from ..ops import host_native as hn
@@ -316,10 +325,14 @@ def raster_stream(images, backend: str = "host",
         skew == "device" or (skew == "auto" and skew_device.enabled()))
 
     def _finish(img, runs, n_runs, angle):
-        image_bin, eruns, en, proj = hn.preprocess_page_phase2_runs(
-            img, runs, n_runs, angle, correct_rotation=True)
+        out = hn.preprocess_page_phase2_runs(
+            img, runs, n_runs, angle, correct_rotation=True,
+            want_packed=want_packed)
+        image_bin, eruns, en, proj = out[:4]
         strips, peaks, _ = identify_text_lines_runs(
             image_bin, eruns, en, proj, params=p, verbose=False)
+        if want_packed:
+            return image_bin, float(angle), strips, peaks, out[4]
         return image_bin, float(angle), strips, peaks
 
     if not use_device_skew:
@@ -550,3 +563,13 @@ def _lines_from_projection(image_bin, project, table_fn, p: PreprocParams,
         line_strips.append(LineStrip(strip, ulx, uly))
 
     return line_strips, peak_locations, smoothed_projection
+
+
+def _pack_page_np(image_bin) -> np.ndarray:
+    """(H, W) bool -> (H, ceil(W/32)) int32 little-endian bit rows (the
+    numpy fallback for the packed-page OCR feed)."""
+    a = np.asarray(image_bin)
+    H, W = a.shape
+    bits = np.zeros((H, -(-W // 32) * 4), np.uint8)
+    bits[:, : (W + 7) // 8] = np.packbits(a, axis=1, bitorder="little")
+    return bits.view(np.int32)
