@@ -37,23 +37,19 @@ from ..utils.timing import StageTimer
 
 
 def _page_feed_enabled() -> bool:
-    """Packed-page OCR feed mode (TEXT_ALIGNMENT_TPU_OCR_FEED):
-    "page" forces it, "strips" forces the host strip packer, "auto"
-    (default) = page on accelerator platforms (on XLA:CPU the upload
-    saving is irrelevant and strips keep the test matrix simple)."""
+    """Packed-page OCR feed (TEXT_ALIGNMENT_TPU_OCR_FEED=page|strips).
+
+    Measured on v5e (12-folio warm laps, interleaved): page 32.7-34.6 vs
+    strips 29.7 ms/folio — the extra per-folio dispatch (strip-cut
+    program) costs more host time than the ~2 MB upload it saves, both in
+    split form and fused into the recognizer program. Default stays
+    "strips"; the page feed remains for the opt-in device-raster mode
+    (where the page is already device-resident and there is NO upload)
+    and for deployments whose host↔device link is slower than this
+    tunnel's ~1.5 GB/s."""
     import os
 
-    mode = os.environ.get("TEXT_ALIGNMENT_TPU_OCR_FEED", "auto")
-    if mode == "strips":
-        return False
-    if mode == "page":
-        return True
-    try:
-        from ..utils.platform import accel_platform
-
-        return accel_platform()
-    except Exception:
-        return False
+    return os.environ.get("TEXT_ALIGNMENT_TPU_OCR_FEED", "strips") == "page"
 
 
 @dataclass
