@@ -71,6 +71,21 @@ _HI_POST = _precision_knob("TEXT_ALIGNMENT_TPU_LINEEST_POST_PRECISION",
                            "highest")
 
 
+def _smooth_dtype():
+    """TEXT_ALIGNMENT_TPU_LINEEST_DTYPE=bf16 runs the center-finding
+    smoothing chain's DATA (the (B, Hp, Wp) sm tensor through the h-gauss
+    conv and uniform means) in bfloat16 — a bandwidth experiment, NOT a
+    parity mode: bf16 rounding can move the smoothed-center argmax by a
+    row at plateau columns, which shifts the dewarp window like the
+    documented scipy-vs-f32 knife edges do. Gate any production use on
+    the decode-equality A/B (bench prints it; default stays f32)."""
+    import os
+
+    return (jnp.bfloat16
+            if os.environ.get("TEXT_ALIGNMENT_TPU_LINEEST_DTYPE") == "bf16"
+            else jnp.float32)
+
+
 def _gauss_kernel_bank(sigma, kmax: int):
     """(B, kmax) gaussian taps, zero beyond each strip's radius
     int(truncate*sigma + 0.5), normalized over the full kernel (scipy
@@ -233,19 +248,19 @@ def _windowed_mean_w(x, size):
     offs = jnp.cumsum(totals, axis=-1) - totals     # exclusive block offsets
     S = (intra + offs[..., None]).reshape(B, H, Wb)[..., :W]
 
-    # window edges: sum[x] = S[min(x + c1, W-1)] - (x >= c2 ? S[x - c2] : 0)
+    # window edges: sum[x] = S[min(x + c1, W-1)] - (x >= c2 ? S[x - c2] : 0).
+    # Per-strip shifts of S — computed as traced-amount rolls whose wrapped
+    # regions are overwritten by the clamp/zero selects (exact), instead of
+    # materializing two (B, H, 2W) concat tensors for dynamic slices
+    # (~300 MB of HBM traffic at the sweep shape)
     c1 = s - 1 - s // 2
     c2 = s // 2 + 1
-    last = S[..., W - 1][..., None]
-    s_hi = jnp.concatenate([S, jnp.broadcast_to(last, (B, H, W))], axis=2)
-    s_lo = jnp.concatenate([jnp.zeros((B, H, W), S.dtype), S], axis=2)
-
-    def _edge(s2, start):
-        return jax.lax.dynamic_slice(s2, (0, start), (H, W))
-
-    hi_v = jax.vmap(_edge)(s_hi, c1)            # S[min(x + c1, W-1)]
-    lo_v = jax.vmap(_edge)(s_lo, W - c2)        # x >= c2 ? S[x - c2] : 0
     x_idx = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    last = S[..., W - 1][..., None]
+    roll_hi = jax.vmap(lambda row, c: jnp.roll(row, -c, axis=1))(S, c1)
+    hi_v = jnp.where(x_idx + c1[:, None, None] <= W - 1, roll_hi, last)
+    roll_lo = jax.vmap(lambda row, c: jnp.roll(row, c, axis=1))(S, c2)
+    lo_v = jnp.where(x_idx >= c2[:, None, None], roll_lo, 0.0)
     # exact count of in-range taps for the centering correction: the window
     # [x - s//2, x + c1] clipped to [0, W-1] (zero pad contributes no mu)
     n_in = (jnp.minimum(x_idx + c1[:, None, None], W - 1)
@@ -262,8 +277,9 @@ def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
                            pad=DEFAULT_PAD, t_max=4096, onebit=False):
     """Batched CenterNormalizer.measure + normalize + prepare_line.
 
-    grey: (B, Hp, Wp) float32, ink-dark (1.0 background), garbage outside
-          each strip's (hs[b], ws[b]) region (masked here).
+    grey: (B, Hp, Wp) float32 — or uint8 {0,1} with ``onebit=True`` —
+          ink-dark (1/1.0 background), garbage outside each strip's
+          (hs[b], ws[b]) region (masked here).
     Returns (frames (B, t_max, target_height) f32, lengths (B,) i32,
     t_raws (B,) i32). lengths = t_raw + 2*pad, 0 for blank strips.
 
@@ -281,17 +297,24 @@ def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
     valid = (i_idx[None, :, None] < hs[:, None, None]) & (
         x_idx[None, None, :] < ws[:, None, None]
     )
-    grey = jnp.where(valid, grey, 1.0)
 
     NEG = jnp.float32(-1e30)
     if onebit:
-        ink_b = valid & (grey == 0.0)
+        # the onebit path never materializes a float page: grey may arrive
+        # as uint8 {0,1} (the recognizer's bit-unpacked input), every
+        # full-page intermediate before the matmuls stays 1 byte wide
+        # (HBM bandwidth is this program's wall), and the u8->f32
+        # converts fuse into the matmul operand reads
+        grey = jnp.where(valid, grey.astype(jnp.uint8), jnp.uint8(1))
+        ink_b = valid & (grey == 0)
         any_ink = jnp.any(ink_b, axis=(1, 2))
-        any_bg = jnp.any(valid & (grey != 0.0), axis=(1, 2))
+        any_bg = jnp.any(valid & (grey != 0), axis=(1, 2))
         blank = ~(any_ink & any_bg)
         mx = jnp.where(any_bg, 1.0, 0.0).astype(jnp.float32)  # max grey
-        temp = jnp.where(ink_b & any_bg[:, None, None], 1.0, 0.0)
+        temp = jnp.where(ink_b & any_bg[:, None, None], jnp.uint8(1),
+                         jnp.uint8(0))
     else:
+        grey = jnp.where(valid, grey, 1.0)
         mx = jnp.max(jnp.where(valid, grey, NEG), axis=(1, 2))  # (B,)
         temp = mx[:, None, None] - grey
         temp = jnp.where(valid, temp, 0.0)
@@ -321,7 +344,9 @@ def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
         jnp.abs(t_full) <= rad0.astype(jnp.float32)[:, None], wfull, 0.0
     )
     w0 = w0 / jnp.sum(wfull, axis=1)[:, None, None]
-    sm = jnp.einsum("bij,bjx->bix", w0, temp, precision=_HI)
+    dt_sm = _smooth_dtype()
+    sm = jnp.einsum("bij,bjx->bix", w0, temp.astype(jnp.float32),
+                    precision=_HI).astype(dt_sm)
 
     # axis-1 gaussian, sigma = smoothness * h, grouped conv
     k1max = 2 * int(_TRUNCATE * Hp * _SMOOTHNESS + 0.5) + 1
@@ -331,13 +356,14 @@ def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
     # + 0.001 * uniform_filter(sm, (0.5 h, w)); the uniform windows must
     # see zeros outside the strip's true (h, w) region (scipy's array ends
     # there), while our padded computation leaves garbage in the margins
-    sm_z = jnp.where(valid, sm, 0.0)
+    sm_z = jnp.where(valid, sm, jnp.zeros((), dt_sm))
     u = _windowed_mean_h(sm_z, (0.5 * hf).astype(jnp.int32))
     u = _windowed_mean_w(u, ws)
-    sm = sm + 0.001 * u
+    sm = (sm + jnp.asarray(0.001, dt_sm) * u.astype(dt_sm))
 
     # argmax over rows (restricted to i < h), first-max wins like numpy
-    sm = jnp.where(i_idx[None, :, None] < hs[:, None, None], sm, NEG)
+    sm = jnp.where(i_idx[None, :, None] < hs[:, None, None],
+                   sm.astype(jnp.float32), NEG)
     a = jnp.argmax(sm, axis=1).astype(jnp.float32)  # (B, Wp)
     a = jnp.where(x_idx[None, :] < ws[:, None], a, 0.0)
 
@@ -367,7 +393,7 @@ def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
 
     # mad = float64-exact mean of |i - center[x]| over ink pixels
     deltas = jnp.abs(i_idx[None, :, None] - center[:, None, :])
-    ink = (temp != 0.0) & valid
+    ink = (temp != 0) & valid
     dsum = jnp.sum(jnp.where(ink, deltas, 0), axis=(1, 2),
                    dtype=jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
     dcnt = jnp.sum(ink, axis=(1, 2), dtype=jnp.int32)
@@ -403,7 +429,12 @@ def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
     J = 2 * Hp
     s = center - r[:, None]                      # (B, Wp) window start
     t_mod = jnp.mod(s, Hp)
-    aligned = grey
+    # the roll ladder + tile + mask chain is pure HBM traffic (log2(Hp)
+    # full-tensor rewrites); on the onebit path every value is exactly
+    # 0/1, so the whole chain runs in uint8 (4x less traffic) and the
+    # convert back to f32 fuses into the row-interp matmul's operand
+    # read — values identical
+    aligned = grey.astype(jnp.uint8) if onebit else grey
     k = 1
     while k < Hp:
         bit = (t_mod & k) != 0
@@ -419,7 +450,12 @@ def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
         & (true_row < hs[:, None, None])
         & (x_idx[None, None, :] < ws[:, None, None])
     )
-    masked = jnp.where(inb, tiled, mx[:, None, None])
+    if onebit:
+        masked = jnp.where(inb, tiled,
+                           mx.astype(jnp.uint8)[:, None, None]
+                           ).astype(jnp.float32)
+    else:
+        masked = jnp.where(inb, tiled, mx[:, None, None])
 
     # row-interp one-hot bank (scipy zoom coords: u * (in-1)/(out-1))
     u_idx = jnp.arange(target_height, dtype=jnp.float32)

@@ -117,10 +117,13 @@ def _recognize_device_impl(params, packed_meta, t_max, target_height,
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = (packed_bits.astype(jnp.uint32)[..., None] >> shifts) & 1
     ink = bits.reshape(B, Hp, Wq * 32)
-    grey = 1.0 - ink.astype(jnp.float32)  # ink -> 0.0, background -> 1.0
+    # uint8 {0,1}: the onebit normalizer keeps every pre-matmul page
+    # intermediate 1 byte wide (the f32 page this replaces was ~55 MB of
+    # pure HBM traffic per sweep at the B=128 shape)
+    grey = (jnp.uint8(1) - ink.astype(jnp.uint8))  # ink -> 0, bg -> 1
     frames, lengths, t_raws = normalize_batch_device(
         grey, hs, ws, target_height=target_height, pad=pad, t_max=t_max,
-        onebit=True,  # grey comes from unpacked bits: exactly {0.0, 1.0}
+        onebit=True,  # grey comes from unpacked bits: exactly {0, 1}
     )
     outputs = bilstm_forward_batched(params, frames, lengths)
     fr, cl, cnt = translate_back_batched(outputs, lengths,
