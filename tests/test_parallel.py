@@ -341,3 +341,45 @@ def test_raster_failure_does_not_strand_ocr_worker():
             break
         time.sleep(0.05)
     assert not leaked, f"OCR worker thread(s) leaked: {leaked}"
+
+
+def test_sharded_ocr_work_partition():
+    """The sharded OCR dispatch must PARTITION the strip batch across the
+    mesh (one equal shard per device — not replicate), certified by
+    recognize_sharded_meta and recorded in LAST_WORK_SHARES."""
+    import jax
+    from text_alignment_tpu.models.codec import Codec
+    from text_alignment_tpu.models.lstm_jax import init_bilstm
+    from text_alignment_tpu.parallel import infer_dp, make_mesh
+
+    codec = Codec()
+    params = init_bilstm(jax.random.PRNGKey(0), 48, 100, len(codec))
+    rng = np.random.default_rng(0)
+    for n_dev, B in ((1, 8), (8, 16)):
+        mesh = make_mesh(n_dev)
+        bits = rng.integers(0, 2**31, (B, 129, 8)).astype(np.int32)
+        bits[:, -1, 0] = 60
+        bits[:, -1, 1] = 200
+        infer_dp.recognize_sharded_meta(
+            params, bits, mesh, t_max=256, target_height=48, pad=16,
+            max_regions=64)
+        shares = dict(infer_dp.LAST_WORK_SHARES)
+        assert len(shares) == n_dev
+        assert set(shares.values()) == {B // n_dev}
+
+
+def test_sharded_grid_matches_single_device():
+    """align_grid(mesh=...) partitions the scoring-parameter axis over
+    'data' and returns bit-identical alignments (incl. a combo count that
+    does not divide the axis — pad rows discarded)."""
+    from text_alignment_tpu.align.api import align_grid
+    from text_alignment_tpu.parallel import make_mesh
+
+    t = list("gloria in excelsis deo")
+    o = list("gloia inn xcelsis dho")
+    grid = [[8, -4, -7, -7, -3, 0], [5, -4, -2, -2, 0, 0],
+            [11, -10, -7, -7, -5, -5], [8, -7, -5, -2, -3, 0],
+            [5, -7, -7, -5, 0, -3]]  # 5 combos over 8 devices
+    got = align_grid(t, o, grid, mesh=make_mesh(8))
+    want = align_grid(t, o, grid)
+    assert got == want

@@ -53,16 +53,23 @@ def _device_align_ops(sc):
     return lambda t, o, s: align_jax_ops(t, o, s)
 
 
-def align_grid(transcript, ocr, params_list):
+def align_grid(transcript, ocr, params_list, mesh=None):
     """One (transcript, ocr) pair aligned under MANY integer scoring rows
     [match, mismatch, gox, goy, gex, gey] — the 729-combination grid
     search (evaluate_text_alignment.py:181-189) as batched lock-step
     wavefronts. Routes to the pair-packed Pallas kernel with per-pair
     scoring on real TPU (TEXT_ALIGNMENT_TPU_NO_PALLAS=1 opts out), the
     vmapped XLA scan otherwise; both are bit-identical to the host loop.
+    ``mesh`` shards the parameter axis over the mesh's 'data' axis via
+    the scan engine (each device fills its share of the grid — the
+    multi-chip fan-out for parameter sweeps; bit-identical, tested).
     Returns a list of (tra_align, ocr_align) per row."""
     import os
 
+    if mesh is not None:
+        from .nw_jax import align_grid_jax
+
+        return align_grid_jax(transcript, ocr, params_list, mesh=mesh)
     if not os.environ.get("TEXT_ALIGNMENT_TPU_NO_PALLAS"):
         import jax
 

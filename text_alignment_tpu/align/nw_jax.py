@@ -310,12 +310,35 @@ def _align_fused_grid(t_ext, o_feed, params6, Nt, No, L, NoP, is_int):
     return ops.astype(jnp.int32), k, xpt, ypt
 
 
-def align_grid_jax(transcript, ocr, params_list, chunk: int = 128):
+@functools.lru_cache(maxsize=None)
+def _sharded_grid_fn(mesh, L, NoP):
+    """_align_fused_grid with the scoring-parameter axis sharded over the
+    mesh's 'data' axis: each device fills its share of the grid's
+    lock-step wavefronts (the 729-combination search fans out like the
+    reference's Rodan job queue would; no collectives in the fill)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def fn(t_ext, o_feed, params6, Nt, No):
+        return _align_fused_grid(t_ext, o_feed, params6, Nt, No,
+                                 L=L, NoP=NoP, is_int=True)
+
+    return jax.jit(fn, in_shardings=(repl, repl, data, repl, repl),
+                   out_shardings=data)
+
+
+def align_grid_jax(transcript, ocr, params_list, chunk: int = 128,
+                   mesh=None):
     """Batched alignment of one (transcript, ocr) pair under many integer
     scoring systems. Returns a list of (tra_align, ocr_align) per params row.
 
     ``transcript``/``ocr`` exclude the sentinel (it is appended here, like
-    perform_alignment does)."""
+    perform_alignment does). ``mesh`` shards each chunk's parameter axis
+    over the mesh's 'data' axis (rows padded to the axis size by
+    replicating row 0; results discarded) — bit-identical to the
+    single-device grid (tested)."""
     transcript = list(transcript) + [" "]
     ocr = list(ocr) + [" "]
     Nt, No = len(transcript), len(ocr)
@@ -341,19 +364,32 @@ def align_grid_jax(transcript, ocr, params_list, chunk: int = 128):
     results = []
     for c0 in range(0, len(params), chunk):
         pc = params[c0 : c0 + chunk]
-        ops, k, xpt, ypt = _align_fused_grid(
-            jnp.asarray(t_ext),
-            jnp.asarray(o_feed),
-            jnp.asarray(pc),
-            jnp.asarray(Nt, jnp.int32),
-            jnp.asarray(No, jnp.int32),
-            L=L,
-            NoP=NoP,
-            is_int=True,
-        )
-        ops, k = np.asarray(ops), np.asarray(k)
-        xpt, ypt = np.asarray(xpt), np.asarray(ypt)
-        for b in range(len(pc)):
+        P_real = len(pc)
+        if mesh is not None:
+            n_dev = mesh.shape["data"]
+            Pp = ((P_real + n_dev - 1) // n_dev) * n_dev
+            if Pp != P_real:
+                pc = np.concatenate(
+                    [pc, np.repeat(pc[:1], Pp - P_real, axis=0)], axis=0)
+            fn = _sharded_grid_fn(mesh, L, NoP)
+            ops, k, xpt, ypt = fn(
+                jnp.asarray(t_ext), jnp.asarray(o_feed), jnp.asarray(pc),
+                jnp.asarray(Nt, jnp.int32), jnp.asarray(No, jnp.int32),
+            )
+        else:
+            ops, k, xpt, ypt = _align_fused_grid(
+                jnp.asarray(t_ext),
+                jnp.asarray(o_feed),
+                jnp.asarray(pc),
+                jnp.asarray(Nt, jnp.int32),
+                jnp.asarray(No, jnp.int32),
+                L=L,
+                NoP=NoP,
+                is_int=True,
+            )
+        ops, k = np.asarray(ops)[:P_real], np.asarray(k)[:P_real]
+        xpt, ypt = np.asarray(xpt)[:P_real], np.asarray(ypt)[:P_real]
+        for b in range(P_real):
             results.append(
                 replay_ops(transcript, ocr, ops[b], int(k[b]), int(xpt[b]),
                            int(ypt[b]))

@@ -138,7 +138,8 @@ def _grid_align_on_device() -> bool:
 
 
 def grid_search(fixtures, shuffle=True, seed=None, backend="host",
-                verbose=True, params_list=None, grid_align="auto"):
+                verbose=True, params_list=None, grid_align="auto",
+                mesh=None):
     """Grid-search scoring parameters over evaluation fixtures.
 
     ``fixtures`` is a list of dicts with keys:
@@ -226,7 +227,8 @@ def grid_search(fixtures, shuffle=True, seed=None, backend="host",
                 len(fx["transcript"]) * len(ocr) >= thr
             ):
                 grid_aligns = _align_grid(
-                    list(fx["transcript"]), list(ocr), params_list
+                    list(fx["transcript"]), list(ocr), params_list,
+                    mesh=mesh,
                 )
         prepared.append((fx, eval_img, (strips, peaks), grid_aligns))
 

@@ -40,6 +40,28 @@ def _sharded_fn(mesh: Mesh, t_max: int, target_height: int, pad: int,
     )
 
 
+# per-device strip counts of the most recent sharded dispatch — the
+# work-partition evidence the dry run prints and tests assert on
+# ({device str: rows}; overwritten per call)
+LAST_WORK_SHARES: dict = {}
+
+
+def _assert_partitioned(out, mesh: Mesh) -> dict:
+    """Certify the batch axis is PARTITIONED over the mesh's data axis —
+    one addressable shard per device, equal row shares, not replicated.
+    Guards against a silent GSPMD fallback to replication (which would
+    be output-identical but do n× the work)."""
+    n = mesh.shape["data"]
+    shards = out.addressable_shards
+    assert len(shards) == n, (
+        f"expected {n} shards (one per device), got {len(shards)}")
+    shares = {str(s.device): int(s.data.shape[0]) for s in shards}
+    want = out.shape[0] // n
+    assert all(v == want for v in shares.values()), (
+        f"batch axis not evenly partitioned: {shares}")
+    return shares
+
+
 def recognize_sharded_meta(params, packed_meta: np.ndarray, mesh: Mesh,
                            t_max: int, target_height: int, pad: int,
                            max_regions: int, decode: str = "region"):
@@ -49,7 +71,8 @@ def recognize_sharded_meta(params, packed_meta: np.ndarray, mesh: Mesh,
     ((B, Hp + 1, Wp/32) int32 — bits plus a trailing (h, w) metadata row,
     see models.recognizer._recognize_device). Batch rows padded for
     data-axis divisibility carry h = w = 0 and decode to zero regions.
-    """
+    Every call certifies the batch actually PARTITIONED across the mesh
+    (LAST_WORK_SHARES records the per-device strip counts)."""
     n = mesh.shape["data"]
     B = packed_meta.shape[0]
     if B % n:
@@ -57,7 +80,10 @@ def recognize_sharded_meta(params, packed_meta: np.ndarray, mesh: Mesh,
         packed_meta = np.pad(packed_meta, ((0, pad_b), (0, 0), (0, 0)))
     fn = _sharded_fn(mesh, t_max, target_height, pad, max_regions,
                      decode)
-    return np.asarray(fn(params, packed_meta))[:B]
+    out = fn(params, packed_meta)
+    LAST_WORK_SHARES.clear()
+    LAST_WORK_SHARES.update(_assert_partitioned(out, mesh))
+    return np.asarray(out)[:B]
 
 
 def recognize_sharded(params, packed_bits: np.ndarray, hs: np.ndarray,
