@@ -241,6 +241,22 @@ def main():
     n_pred = len(syl_boxes)
     print(f"[{time.time()-t_start:5.1f}s] syllables: {n_pred} predicted / "
           f"{len(gt)} truth;  mean bbox IoU {iou:.3f};  ink IoU {ink_iou:.3f}")
+
+    # per-syllable failure breakdown (evaluate.diagnose_alignment): WHERE
+    # did each missed syllable go — OCR gaps, wrong line, or boundary?
+    # all_chars live in the rotated frame; rotate_back applies the
+    # pipeline's own un-rotation before comparing against the raw-frame GT
+    from text_alignment_tpu.evaluate import diagnose_alignment
+
+    _, _, det_angle = preprocess_images(page.image, backend=args.backend)
+    diag = diagnose_alignment(
+        page.transcript, all_chars, gt,
+        rotate_back=(det_angle, image_bin.shape, page.image.shape[:2]))
+    print(f"              diagnosis: {diag['counts']}  "
+          f"(OCR CER through alignment: {diag['ocr_cer']:.2f})")
+    for si, (syl, cat, detail) in sorted(diag["categories"].items()):
+        if cat not in ("ok", "no-gt"):
+            print(f"                #{si:>3} {syl!r:<10} {cat}: {detail}")
     # success: most syllables located with solid ink overlap. (The OCR is a
     # small model on a tiny synthetic corpus — char accuracy ~75%, the same
     # regime as the reference's reported ~80% — and the alignment layer is

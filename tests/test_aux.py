@@ -589,3 +589,55 @@ def test_cli_evaluate_folios_all(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 1
     assert "no evaluable folios" in out
+
+
+def test_diagnose_alignment_classifies_failures():
+    """evaluate.diagnose_alignment: perfect OCR -> all ok; deleting one
+    syllable's characters from the OCR stream -> that syllable classified
+    aligned-to-nothing; a syllable's boxes displaced a line down ->
+    wrong-line."""
+    from text_alignment_tpu.evaluate import diagnose_alignment
+    from text_alignment_tpu.synth import make_page, ocr_with_spaces
+
+    page = make_page(np.random.default_rng(41), n_lines=3, words_per_line=2)
+    chars = ocr_with_spaces(page.char_boxes)
+    from text_alignment_tpu.lang.syllabify import syllabify_text
+
+    syls = syllabify_text(page.transcript)
+    gt = []
+    i = 0
+    flat = [c for c in chars if c.char != " "]
+    for s in syls:
+        grp = flat[i: i + len(s)]
+        i += len(s)
+        gt.append({"syl": s, "difficult": 0,
+                   "ul": (min(c.ul[0] for c in grp),
+                          min(c.ul[1] for c in grp)),
+                   "lr": (max(c.lr[0] for c in grp),
+                          max(c.lr[1] for c in grp))})
+
+    d = diagnose_alignment(page.transcript, chars, gt)
+    assert d["counts"]["ok"] == len(gt)
+    assert d["ocr_cer"] < 0.05
+
+    # delete the second syllable's characters from the OCR stream
+    victim = syls[1]
+    idx = "".join(c.char for c in chars).find(victim)
+    mut = chars[:idx] + chars[idx + len(victim):]
+    d2 = diagnose_alignment(page.transcript, mut, gt)
+    assert d2["counts"]["aligned-to-nothing"] >= 1
+    assert any(cat == "aligned-to-nothing" and syl == victim
+               for syl, cat, _ in d2["categories"].values())
+
+    # displace one syllable's boxes far down -> wrong-line
+    from text_alignment_tpu.charbox import CharBox
+
+    moved = []
+    for c in chars:
+        if idx <= chars.index(c) < idx + len(victim):
+            moved.append(CharBox(c.char, (c.ul[0], c.ul[1] + 400),
+                                 (c.lr[0], c.lr[1] + 400)))
+        else:
+            moved.append(c)
+    d3 = diagnose_alignment(page.transcript, moved, gt)
+    assert d3["counts"]["wrong-line"] >= 1

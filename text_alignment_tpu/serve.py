@@ -260,14 +260,32 @@ def warmup(recognizer, backend: str, batch: int = 1) -> None:
         process(page.image, page.transcript, ocropus_model=recognizer,
                 existing_ocr=existing_ocr, backend=backend, verbose=False)
     if batch > 1:
-        # the batched pipeline rasters via preprocess_stream, whose grouped
-        # device-skew program is a separate compile — load it now, at the
-        # warmup page's geometry, not on the first backlogged sweep
-        from .pipeline.preprocess import preprocess_stream
+        # the batched pipeline is its own program population: the
+        # run-domain raster stream's grouped device-skew program (the
+        # put_runs G=4 batched form), the per-folio pipelined OCR
+        # dispatches + chunked combined collects, and the bucketed NW
+        # routing. Run the REAL production path over a few folios at the
+        # warmup geometry so a backlogged first sweep pays nothing
+        # (post-invalidation cold costs surface HERE, attributably).
+        from .parallel.batch import process_batch
+        from .synth import make_page as _mp
 
-        for _ in preprocess_stream([page.image, page.image],
-                                   backend=backend):
-            pass
+        pages = [
+            _mp(np.random.default_rng(10 + i), n_lines=10, words_per_line=3,
+                H=2000, W=1600, char_h=70, char_w=40, gap=8, space_w=60,
+                line_spacing=180, margin_x=60, angle=0.5)
+            for i in range(3)
+        ]
+        folios = [(p.image, p.transcript) for p in pages]
+        inj = None
+        if recognizer is None:
+            inj = [
+                ocr_with_spaces(corrupt_ocr(
+                    np.random.default_rng(20 + i), p.char_boxes))
+                for i, p in enumerate(pages)
+            ]
+        process_batch(folios, recognizer, backend=backend,
+                      existing_ocr=inj)
     print(f"warmup: {time.time() - t0:.1f}s (compiles cached)")
 
 
