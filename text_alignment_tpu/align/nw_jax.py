@@ -46,10 +46,17 @@ _TB_UNROLL = 8
 
 
 def _bucket(n: int) -> int:
+    """Padding-bucket ladder: powers of two up to 2048 (bounded compile
+    set for the chant-page regime), then multiples of 512 — a 2400-char
+    stress pair fills at 2560^2 instead of 4096^2 (2.56x fewer cells;
+    the pow-2 ladder wasted most of the fill past the knee). 512 keeps
+    L a lane multiple for the Pallas tiles on every rung."""
     b = 128
-    while b < n:
+    while b < n and b < 2048:
         b *= 2
-    return b
+    if n <= b:
+        return b
+    return -(-n // 512) * 512
 
 
 @functools.partial(

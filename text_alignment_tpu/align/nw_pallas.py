@@ -49,7 +49,32 @@ def _chunk_for(L: int) -> int:
     return max(32, min(256, _BLOCK_VMEM_BUDGET // max(L, 1)))
 
 
-from .nw_jax import _bucket  # shared padding-bucket ladder
+from .nw_jax import _bucket as _bucket_jax  # shared padding-bucket ladder
+
+
+def _pack_P(R: int) -> int:
+    """Pairs packed per tile: enough R-row blocks to fill the sublane row
+    target (default 32 = 4 vregs per vector op — the fill body is
+    dependency-latency-bound, so independent rows per instruction are
+    nearly free). One definition so the batched fill and the grid-search
+    chunker agree (TEXT_ALIGNMENT_TPU_NW_PACK_ROWS overrides for A/B)."""
+    import os as _os
+
+    pack_rows = int(_os.environ.get("TEXT_ALIGNMENT_TPU_NW_PACK_ROWS",
+                                    "32"))
+    return max(1, pack_rows // max(R, 1))
+
+
+def _bucket(n: int) -> int:
+    """The scan ladder, with large rungs rounded up to multiples of 1024
+    so the Mosaic tiles keep R = L/128 a sublane multiple of 8 — an
+    R = 20 tile (L = 2560) measured HALF the fill rate of the aligned
+    R = 24 (L = 3072) form on v5e (misaligned vreg masking on every
+    vector op of the dependent chain)."""
+    b = _bucket_jax(n)
+    if b <= 2048:
+        return b
+    return -(-b // 1024) * 1024
 
 
 def _shift_down(v, row_ids, neg):
@@ -233,7 +258,8 @@ def _fill_pallas(t_ext2d, o_feed, params, L, NoP, interpret=False,
 
 
 def _make_nw_kernel_batched(chunk: int, R: int, P: int,
-                            per_pair: bool = False):
+                            per_pair: bool = False,
+                            shared_feed: bool = False):
     """Pair-PACKED variant: P pairs share one (P*R, 128) tile, filling in
     sublane-axis lockstep (small buckets have R = L/128 < 8 rows, so a
     lone pair wastes most of every (8, 128) vreg — packing restores full
@@ -252,7 +278,14 @@ def _make_nw_kernel_batched(chunk: int, R: int, P: int,
     replicated under many scorings (SURVEY.md §7 step 7). The boundary
     rows keep the scoring-INDEPENDENT module-global gap_extend = -1
     (reference textSeqCompare.py:53-60 quirk), so they need no per-pair
-    form."""
+    form.
+
+    ``shared_feed=True`` (grid-search path): every packed pair aligns the
+    SAME ocr stream, so o_ref shrinks to SMEM (1, 1, G, CHUNK) — one feed
+    for the whole batch instead of B copies. This removes the SMEM-size
+    cap on the per-dispatch pair count (the cap that held the 2400^2
+    sweep to 10 pairs/dispatch), and the P head-row selects collapse to
+    one."""
     PR = P * R
 
     def _nw_kernel_b(params_ref, o_ref, t_ref, out_ref, state):
@@ -314,9 +347,12 @@ def _make_nw_kernel_batched(chunk: int, R: int, P: int,
 
             o_rolled = pltpu.roll(o_lane, 1, axis=1)
             o_head = pltpu.roll(o_rolled[:, :1], 1, axis=0)
-            for p in range(P):  # static unroll: one select per packed pair
-                o_head = jnp.where(row_ids[:, :1] == p * R,
-                                   o_ref[bp, p, g, k], o_head)
+            if shared_feed:  # one feed for the whole batch: one select
+                o_head = jnp.where(head_row, o_ref[0, 0, g, k], o_head)
+            else:
+                for p in range(P):  # static unroll: a select per pair
+                    o_head = jnp.where(row_ids[:, :1] == p * R,
+                                       o_ref[bp, p, g, k], o_head)
             o_lane = jnp.concatenate([o_head, o_rolled[:, 1:]], axis=1)
 
             s = jnp.where(t_ext == o_lane, match, mismatch)
@@ -364,42 +400,50 @@ def _make_nw_kernel_batched(chunk: int, R: int, P: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("L", "NoP", "interpret", "chunk",
-                                    "per_pair"))
+                                    "per_pair", "shared_feed"))
 def _fill_pallas_batched(t_ext3d, o_feed3d, params, L, NoP,
-                         interpret=False, chunk=None, per_pair=False):
+                         interpret=False, chunk=None, per_pair=False,
+                         shared_feed=False):
     """Fill B same-bucket pairs in ONE kernel invocation, P = 8 // R pairs
     packed per tile. t_ext3d: (B, R, LANE) int32; o_feed3d: (B, G, CHUNK)
     int32. Returns packed pointers (B, D, L) uint8.
 
     ``per_pair=True``: params is (B, 8) int32 — one scoring row per pair
-    (the grid-search path); otherwise params is the shared (8,) row."""
+    (the grid-search path); otherwise params is the shared (8,) row.
+    ``shared_feed=True``: o_feed3d is (1, G, CHUNK) — ONE ocr stream
+    shared by every pair (the grid-search path aligns one pair under many
+    scorings), kept as a single SMEM copy."""
     B = t_ext3d.shape[0]
     R = L // LANE
     D = L + NoP - 1
     CHUNK = chunk or _chunk_for(L)
     G = (D + CHUNK - 1) // CHUNK
-    # pack pairs to PR = 32 sublane rows (4 vregs per vector op), not just
-    # one vreg: the body is dependency-latency-bound, so quadrupling the
-    # independent lane work per instruction is nearly free and divides the
-    # sequential grid length by another 4 (measured on R=16 buckets: the
-    # P=1 fill was ~65k sequential diagonals for a 16-pair batch)
-    P = max(1, 32 // R)
+    # pack pairs to PR sublane rows, not just one vreg: the body is
+    # dependency-latency-bound, so multiplying the independent lane work
+    # per instruction is nearly free and divides the sequential grid
+    # length by the same factor (measured on R=16 buckets: the P=1 fill
+    # was ~65k sequential diagonals for a 16-pair batch). The row target
+    # is tunable for experiments (TEXT_ALIGNMENT_TPU_NW_PACK_ROWS).
+    P = _pack_P(R)
     Bp = ((B + P - 1) // P) * P
     if Bp != B:  # pad with copies of pair 0 (valid work, rows discarded)
         pad = Bp - B
         t_ext3d = jnp.concatenate(
             [t_ext3d, jnp.repeat(t_ext3d[:1], pad, axis=0)], axis=0)
-        o_feed3d = jnp.concatenate(
-            [o_feed3d, jnp.repeat(o_feed3d[:1], pad, axis=0)], axis=0)
+        if not shared_feed:
+            o_feed3d = jnp.concatenate(
+                [o_feed3d, jnp.repeat(o_feed3d[:1], pad, axis=0)], axis=0)
         if per_pair:
             params = jnp.concatenate(
                 [params, jnp.repeat(params[:1], pad, axis=0)], axis=0)
     BG = Bp // P
     t4 = t_ext3d.reshape(BG, P * R, LANE)
-    o4 = o_feed3d.reshape(BG, P, G, CHUNK)
+    o4 = (o_feed3d.reshape(1, 1, G, CHUNK) if shared_feed
+          else o_feed3d.reshape(BG, P, G, CHUNK))
     p_arg = params.reshape(BG, P, 8) if per_pair else params
     out = pl.pallas_call(
-        _make_nw_kernel_batched(CHUNK, R, P, per_pair=per_pair),
+        _make_nw_kernel_batched(CHUNK, R, P, per_pair=per_pair,
+                                shared_feed=shared_feed),
         grid=(BG, G),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -425,24 +469,34 @@ def _fill_pallas_batched(t_ext3d, o_feed3d, params, L, NoP,
 
 @functools.partial(jax.jit,
                    static_argnames=("L", "NoP", "interpret", "chunk",
-                                    "per_pair"))
+                                    "per_pair", "shared_feed"))
 def _align_fused_pairs_pallas(t_ext3d, o_feed3d, params, Nts, Nos, L, NoP,
-                              interpret=False, chunk=None, per_pair=False):
-    from .nw_jax import _traceback_ops
-
+                              interpret=False, chunk=None, per_pair=False,
+                              shared_feed=False):
     packed = _fill_pallas_batched(t_ext3d, o_feed3d, params, L=L, NoP=NoP,
                                   interpret=interpret, chunk=chunk,
-                                  per_pair=per_pair)
+                                  per_pair=per_pair,
+                                  shared_feed=shared_feed)
 
-    # vmapped XLA traceback: all pairs walk in lock-step, one vectorized
-    # gather per path step — at B >= 8 this amortizes better than B
-    # sequential Pallas hopping kernels (measured 16 x ~4 ms sequential vs
-    # ~18 ms total lock-step on 16 x 2k pairs; the hopping kernel stays
-    # the right choice for the singleton path)
-    def one(p, Nt, No):
-        return _traceback_ops(p, Nt, No, P=L + NoP)
+    # grid-batched Pallas hopping traceback: one kernel launch walks all
+    # B pointer tensors (one grid instance each). The lock-step vmapped
+    # XLA walk this replaces pays ~7 µs per path step (one gather each)
+    # and dominated the 2400^2 grid sweep (~34 ms per 10-pair chunk); the
+    # r3 finding that "hopping was slower at B = 16" was B SEQUENTIAL
+    # dispatches — as grid instances the launch overhead is paid once.
+    # TEXT_ALIGNMENT_TPU_TB=xla restores the old walk for A/B.
+    import os as _os
 
-    ops, k, xpt, ypt = jax.vmap(one)(packed, Nts, Nos)
+    if _os.environ.get("TEXT_ALIGNMENT_TPU_TB") == "xla":
+        from .nw_jax import _traceback_ops
+
+        def one(p, Nt, No):
+            return _traceback_ops(p, Nt, No, P=L + NoP)
+
+        ops, k, xpt, ypt = jax.vmap(one)(packed, Nts, Nos)
+    else:
+        ops, k, xpt, ypt = traceback_ops_pallas_batched(
+            packed, Nts, Nos, P=L + NoP, L=L, interpret=interpret)
     # ONE wire array per batch: downloads have a ~30 ms floor each on the
     # remote tunnel, so k/xpt/ypt ride in front of the 2-bit-packed op
     # streams (same scheme as the singleton _align_fused_pallas)
@@ -513,39 +567,43 @@ def _make_tb_kernel(Dp: int, L: int, P: int):
 
     def kernel(dims_ref, packed_hbm, ops_ref, fin_ref, tile, sem):
         """Tile-hopping pointer-walk (reference textSeqCompare.py:110-145,
-        same op/count/final-cursor contract as nw_jax._traceback_ops).
+        same op/count/final-cursor contract as nw_jax._traceback_ops),
+        one grid instance per BATCH ROW — the batched paths (pair buckets,
+        the per-pair-scoring grid search) walk B pointer tensors in one
+        kernel launch instead of a ~7 µs/step lock-step XLA while_loop
+        (which dominated the 2400^2 grid sweep) or B separate dispatches
+        (which dominated the r3 sequential-hopping attempt).
 
-        dims_ref:   SMEM (2,) int32 [Nt, No]
-        packed_hbm: ANY (D, L) uint8 — stays in HBM; only (TH, TW) windows
-                    around the cursor are DMA'd in
-        ops_ref:    SMEM (P,) int32 out (written by scalar stores; the
-                    path positions are inherently sequential scalars)
-        fin_ref:    SMEM (4,) int32 out [k, xpt, ypt, mpt]
-        tile:       VMEM (TH, TW) uint8 scratch
+        dims_ref:   SMEM (B, 2) int32 [Nt, No] per row
+        packed_hbm: ANY (B, D, L) uint8 — stays in HBM; only (TH, TW)
+                    windows around the cursor are DMA'd in
+        ops_ref:    SMEM (B, P) int32 out, whole array (scalar stores;
+                    the path positions are inherently sequential scalars
+                    and Mosaic requires SMEM outputs unblocked)
+        fin_ref:    SMEM (B, 4) int32 out [k, xpt, ypt, mpt] per row
+        tile:       SMEM (TH, TW) uint8 scratch — the walk is a scalar
+                    dependent chain, so the window lives in SCALAR memory
+                    and each step is ONE scalar load (the earlier VMEM
+                    tile paid a full (8, 128) masked vector
+                    compare+select+reduce per step to extract one byte;
+                    measured 3.9 -> 1.3 ms per 10-pair 2400^2 launch)
         sem:        DMA semaphore
         """
-        Nt = dims_ref[0]
-        No = dims_ref[1]
+        bidx = pl.program_id(0)
+        Nt = dims_ref[bidx, 0]
+        No = dims_ref[bidx, 1]
 
         def zero(i, _):
-            ops_ref[i] = 0
+            ops_ref[bidx, i] = 0
             return 0
 
         jax.lax.fori_loop(0, P, zero, 0)
 
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
-
         def load_cell(r, c):
-            # Mosaic requires dynamic VMEM slice starts to be tile-aligned
-            # (sublane x8, lane x128): load the aligned (8, 128) block and
-            # mask-select the wanted element (widened — only 32-bit values
-            # scalarize)
-            r8 = pl.multiple_of((r // 8) * 8, 8)
-            c128 = pl.multiple_of((c // LANE) * LANE, LANE)
-            block = tile[pl.ds(r8, 8), pl.ds(c128, LANE)].astype(jnp.int32)
-            want = (iota_r == r - r8) & (iota_c == c - c128)
-            return jnp.sum(jnp.where(want, block, 0))
+            # SMEM scalar load: dynamic scalar indices are native here
+            # (VMEM requires 8/128-aligned dynamic slices, which forced a
+            # masked vector extraction per step)
+            return tile[r, c].astype(jnp.int32)
 
         def hop(st):
             xpt, ypt, mpt, k = st
@@ -560,7 +618,8 @@ def _make_tb_kernel(Dp: int, L: int, P: int):
             d0 = pl.multiple_of(d0, 8)
             i0 = pl.multiple_of(i0, LANE)
             dma = pltpu.make_async_copy(
-                packed_hbm.at[pl.ds(d0, TH), pl.ds(i0, TW)], tile, sem
+                packed_hbm.at[bidx, pl.ds(d0, TH), pl.ds(i0, TW)], tile,
+                sem,
             )
             dma.start()
             dma.wait()
@@ -576,7 +635,7 @@ def _make_tb_kernel(Dp: int, L: int, P: int):
 
                 @pl.when(active)
                 def _():
-                    ops_ref[k] = mpt
+                    ops_ref[bidx, k] = mpt
 
                 dec_x = ((mpt != 2) & active).astype(jnp.int32)
                 dec_y = ((mpt != 1) & active).astype(jnp.int32)
@@ -586,7 +645,18 @@ def _make_tb_kernel(Dp: int, L: int, P: int):
                 k2 = k + active.astype(jnp.int32)
                 return xpt2, ypt2, mpt2, k2
 
-            return jax.lax.fori_loop(0, T_STEPS, step, (xpt, ypt, mpt, k))
+            # retire several path steps per loop iteration (same lever as
+            # the fill's diagonal-retirement unroll: the walk is
+            # loop-overhead-bound, not select-bound)
+            U = 8
+
+            def stepU(_, st2):
+                for _u in range(U):
+                    st2 = step(_u, st2)
+                return st2
+
+            return jax.lax.fori_loop(0, T_STEPS // U, stepU,
+                                     (xpt, ypt, mpt, k))
 
         def cond(st):
             xpt, ypt, _, _ = st
@@ -601,7 +671,7 @@ def _make_tb_kernel(Dp: int, L: int, P: int):
             jnp.minimum(((Nt - 1) // LANE) * LANE, L - LANE), LANE
         )
         dma0 = pltpu.make_async_copy(
-            packed_hbm.at[pl.ds(de, 8), pl.ds(ie, LANE)],
+            packed_hbm.at[bidx, pl.ds(de, 8), pl.ds(ie, LANE)],
             tile.at[pl.ds(0, 8), pl.ds(0, LANE)], sem,
         )
         dma0.start()
@@ -611,33 +681,49 @@ def _make_tb_kernel(Dp: int, L: int, P: int):
         xpt, ypt, mpt, k = jax.lax.while_loop(
             cond, hop, (Nt - 1, No - 1, mpt0, jnp.int32(0))
         )
-        fin_ref[0] = k
-        fin_ref[1] = xpt
-        fin_ref[2] = ypt
-        fin_ref[3] = mpt
+        fin_ref[bidx, 0] = k
+        fin_ref[bidx, 1] = xpt
+        fin_ref[bidx, 2] = ypt
+        fin_ref[bidx, 3] = mpt
 
     return kernel, TH, TW
 
 
-def traceback_ops_pallas(packed, Nt, No, P, L: int,
-                         interpret: bool = False):
-    """Pallas tile-hopping traceback: same contract as
-    nw_jax._traceback_ops (ops int32 (P,), k, xpt, ypt) but ~2 orders of
-    magnitude fewer HBM round-trips — the XLA while_loop pays ~7 us per
-    path step for one gather; here one DMA amortizes over up to ~250
-    VMEM-local steps. ``packed`` rows are padded to a multiple of 32 so
-    every DMA window is tile-aligned."""
-    D = packed.shape[0]
+def traceback_ops_pallas_batched(packed, Nts, Nos, P, L: int,
+                                 interpret: bool = False):
+    """Batched tile-hopping traceback: one grid instance per batch row of
+    ``packed`` (B, D, L). Returns (ops int32 (B, P), k (B,), xpt (B,),
+    ypt (B,)) — the same contract as a vmapped nw_jax._traceback_ops,
+    which it replaces on the Pallas batched paths (the lock-step XLA
+    walk pays ~7 µs per path step; the hopping walk amortizes one DMA
+    over up to ~250 VMEM-local steps and retires 4 steps per loop
+    iteration)."""
+    B, D, _ = packed.shape
+    # SMEM bound: the (B, P) int32 ops output lives whole in SMEM (scalar
+    # stores), so cap each launch at ~256 KB of ops and slice larger
+    # batches into consecutive launches (the pointer tensors stay in HBM
+    # either way; only the per-launch scalar outputs are bounded)
+    TBB = max(1, (256 << 10) // (4 * P))
+    if B > TBB:
+        parts = [
+            traceback_ops_pallas_batched(
+                packed[b0 : b0 + TBB], Nts[b0 : b0 + TBB],
+                Nos[b0 : b0 + TBB], P, L, interpret=interpret)
+            for b0 in range(0, B, TBB)
+        ]
+        return tuple(jnp.concatenate([p[i] for p in parts], axis=0)
+                     for i in range(4))
     Dp = ((D + 31) // 32) * 32
     if Dp != D:
         packed = jnp.concatenate(
-            [packed, jnp.zeros((Dp - D, L), jnp.uint8)], axis=0
+            [packed, jnp.zeros((B, Dp - D, L), jnp.uint8)], axis=1
         )
     kernel, TH, TW = _make_tb_kernel(Dp, L, P)
-    dims = jnp.stack([jnp.asarray(Nt, jnp.int32),
-                      jnp.asarray(No, jnp.int32)])
+    dims = jnp.stack([jnp.asarray(Nts, jnp.int32),
+                      jnp.asarray(Nos, jnp.int32)], axis=1).reshape(B, 2)
     ops, fin = pl.pallas_call(
         kernel,
+        grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -647,16 +733,27 @@ def traceback_ops_pallas(packed, Nt, No, P, L: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((P,), jnp.int32),
-            jax.ShapeDtypeStruct((4,), jnp.int32),
+            jax.ShapeDtypeStruct((B, P), jnp.int32),
+            jax.ShapeDtypeStruct((B, 4), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((TH, TW), jnp.uint8),
+            pltpu.SMEM((TH, TW), jnp.uint8),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(dims, packed)
-    return ops, fin[0], fin[1], fin[2]
+    return ops, fin[:, 0], fin[:, 1], fin[:, 2]
+
+
+def traceback_ops_pallas(packed, Nt, No, P, L: int,
+                         interpret: bool = False):
+    """Singleton tile-hopping traceback: same contract as
+    nw_jax._traceback_ops (ops int32 (P,), k, xpt, ypt); the B = 1 case
+    of :func:`traceback_ops_pallas_batched`."""
+    ops, k, xpt, ypt = traceback_ops_pallas_batched(
+        packed[None], jnp.asarray(Nt, jnp.int32)[None],
+        jnp.asarray(No, jnp.int32)[None], P, L, interpret=interpret)
+    return ops[0], k[0], xpt[0], ypt[0]
 
 
 def supported(sc: Scoring) -> bool:
@@ -816,21 +913,22 @@ def align_grid_pallas(transcript, ocr, params_list, interpret=False,
     rows[:, 7] = D
 
     # chunk the combination axis: the resident pointer tensors must stay
-    # within the HBM budget AND the kernel's whole-array SMEM operands
-    # (o_feed is (BG, P, G, CHUNK) in SMEM) within the scoped-memory cap
-    # that the shared-params folio path is known to fit (256 KB of feed —
-    # 16 pairs of a 2048 bucket). P-pair groups inside _fill_pallas_batched
-    # pad the tail chunk with copies of its first row (discarded).
+    # within the HBM budget. The ocr feed is passed ONCE (shared_feed=True
+    # — every combination aligns the same pair), so the former SMEM cap on
+    # the per-dispatch count (10 pairs at the 2400^2 stress size) is gone;
+    # at that size the HBM budget now allows 40 pairs/dispatch (73 -> 19
+    # dispatches for the 729-combination sweep). P-pair groups inside
+    # _fill_pallas_batched pad the tail chunk with copies of row 0
+    # (discarded).
     per_pair_bytes = G * CHUNK * L
     bc = max(1, min(128, _GRID_PTR_BUDGET // max(1, per_pair_bytes)))
-    bc = min(bc, max(1, (256 << 10) // (G * CHUNK * 4)))
-    P = max(1, 32 // (L // LANE))
+    P = _pack_P(L // LANE)
     bc = max(P, (bc // P) * P)
     bc = min(bc, ((B + P - 1) // P) * P)  # don't pad past the grid size
 
     t3_c = np.broadcast_to(t_ext.reshape(1, L // LANE, LANE),
                            (bc, L // LANE, LANE))
-    o3_c = np.broadcast_to(o_feed.reshape(1, G, CHUNK), (bc, G, CHUNK))
+    o3_c = o_feed.reshape(1, G, CHUNK)
     Nts = np.full(bc, Nt, np.int32)
     Nos = np.full(bc, No, np.int32)
 
@@ -849,6 +947,7 @@ def align_grid_pallas(transcript, ocr, params_list, interpret=False,
         wires.append(_align_fused_pairs_pallas(
             t3_j, o3_j, jnp.asarray(pr), Nts_j, Nos_j,
             L=L, NoP=NoP, interpret=interpret, chunk=chunk, per_pair=True,
+            shared_feed=True,
         ))
         counts.append(n)
     results = []
