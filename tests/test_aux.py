@@ -641,3 +641,21 @@ def test_diagnose_alignment_classifies_failures():
             moved.append(c)
     d3 = diagnose_alignment(page.transcript, moved, gt)
     assert d3["counts"]["wrong-line"] >= 1
+
+
+def test_diagnose_alignment_metachar_and_unmatched():
+    """Advisor r4: a syllable with a regex metacharacter must be escaped
+    (not raise re.error), and a syllable absent from the aligned
+    transcript classifies as no-match instead of AttributeError."""
+    from text_alignment_tpu.charbox import CharBox
+    from text_alignment_tpu.evaluate import diagnose_alignment
+
+    # transcript containing regex metachars survives unescaped in the
+    # char stream; syllabify passes '(' through as a unit of its word
+    transcript = "a(b zz"
+    chars = [CharBox(c, (10 * i, 0), (10 * i + 9, 9))
+             for i, c in enumerate("a(b")]
+    gt = [{"syl": "a(b", "difficult": 0, "ul": (0, 0), "lr": (29, 9)}]
+    d = diagnose_alignment(transcript, chars, gt)
+    assert d["counts"]["ok"] + d["counts"]["boundary"] >= 1
+    assert d["counts"].get("no-match", 0) + d["counts"]["no-gt"] >= 1

@@ -52,6 +52,28 @@ def test_program_a_parity(skew):
     assert not np.asarray(proj)[H2:].any()
 
 
+def test_program_a_sat_by_area_parity():
+    """strict=False area filter threads through program A (advisor r4:
+    device raster silently kept the parity nrows filter)."""
+    img = _binarized(seed=14)
+    damt, sat = 10, 190  # glyph CC areas straddle 190; nrows never does
+    bin_rot, _, _, angle, ok, (H2, W2) = raster_device.raster_page(
+        img, damt, sat, max_runs=1 << 15, sat_by_area=True)
+    assert ok
+    want = oracle.despeckle(img, damt)
+    want = ~oracle.despeckle(~want, damt)
+    want = oracle.remove_big_ccs(want, sat)
+    want_angle = oracle.rotation_angle_projections(want, -6, 6)
+    want_rot = oracle.rotate_onebit(want, want_angle)
+    assert angle == want_angle
+    np.testing.assert_array_equal(np.asarray(bin_rot)[:H2, :W2], want_rot)
+    # area vs nrows filters must actually diverge on this page
+    got_nrows = raster_device.raster_page(
+        img, damt, sat, max_runs=1 << 15, sat_by_area=False)
+    assert (np.asarray(got_nrows[0]).sum()
+            != np.asarray(bin_rot).sum())
+
+
 def test_program_b_parity():
     img = _binarized(seed=13)
     bin_rot, eroded, proj, angle, ok, (H2, W2) = raster_device.raster_page(

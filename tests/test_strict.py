@@ -83,7 +83,7 @@ def test_nonstrict_sat_filter_uses_area():
 
     strict_p = PreprocParams(sat_area_thresh=180)
     fixed_p = PreprocParams(sat_area_thresh=180, sat_filter_area=True)
-    for backend in ("host", "hybrid"):
+    for backend in ("host", "hybrid", "device"):
         bs, _, _ = preprocess_images(img, correct_rotation=False,
                                      backend=backend, params=strict_p,
                                      despeckle_amt=0)

@@ -490,11 +490,6 @@ def align_pairs_jax(pairs, sc: Scoring, min_device_cells: int | None = None,
         ptrs = DensePtrView(*fill_host(t, o, sc))
         results[i] = _traceback(t, o, ptrs)
 
-    groups: dict[tuple[int, int], list[int]] = {}
-    for i, (t, o, _, _) in enumerate(prepared):
-        if results[i] is None:
-            groups.setdefault((_bucket(len(t)), _bucket(len(o))), []).append(i)
-
     import os
 
     use_pallas = False
@@ -505,6 +500,21 @@ def align_pairs_jax(pairs, sc: Scoring, min_device_cells: int | None = None,
         # strict=False boundaries ride this scan path
         use_pallas = (_jax.default_backend() == "tpu"
                       and sc.default_boundary)
+
+    # Pallas rungs past 2048 round to 1024-multiples (misaligned sublane
+    # tiles measured half the fill rate on v5e) — group with the ladder
+    # the executing engine will actually use, so no bucket lands on a
+    # misaligned rung.
+    if use_pallas and mesh is None:
+        from .nw_pallas import _bucket as bucket_fn
+    else:
+        bucket_fn = _bucket
+
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, (t, o, _, _) in enumerate(prepared):
+        if results[i] is None:
+            groups.setdefault(
+                (bucket_fn(len(t)), bucket_fn(len(o))), []).append(i)
 
     dt = jnp.int32
     for (L, NoP), members in sorted(groups.items()):

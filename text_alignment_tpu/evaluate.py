@@ -182,14 +182,18 @@ def diagnose_alignment(transcript, all_chars, gt_boxes,
 
     categories = {}
     counts = {"ok": 0, "boundary": 0, "wrong-line": 0,
-              "aligned-to-nothing": 0, "no-gt": 0}
+              "aligned-to-nothing": 0, "no-gt": 0, "no-match": 0}
     offset = 0
     for si, syl in enumerate(syllabify_text(transcript)):
         if len(syl) < 1:
             continue
-        syl_regex = syl if len(syl) == 1 else (
-            syl[0] + syl[1:-1].replace("", "_*") + syl[-1])
+        syl_regex = "_*".join(_re.escape(c) for c in syl)
         m = _re.search(syl_regex, tra_align[offset:])
+        if m is None:
+            categories[si] = (syl, "no-match",
+                              "syllable absent from aligned transcript")
+            counts["no-match"] += 1
+            continue
         start = m.start() + offset
         end = m.end() + offset
         offset = end

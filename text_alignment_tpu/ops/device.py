@@ -171,6 +171,17 @@ def remove_tall_ccs(img, max_nrows):
     return img & ~(nrows > max_nrows)
 
 
+@jax.jit
+def remove_big_ccs(img, max_area):
+    """fill_white CCs whose true pixel AREA exceeds max_area — the
+    strict=False corrected form of :func:`remove_tall_ccs`
+    (oracle.remove_big_ccs parity; the reference's comment says "area"
+    but its code counts rows, textAlignPreprocessing.py:174-178)."""
+    lbl = cc_label(img)
+    area, *_ = _scatter_stats(img, lbl)
+    return img & ~(area[lbl] > max_area)
+
+
 # ---------------------------------------------------------------------------
 # run filters
 # ---------------------------------------------------------------------------
@@ -329,15 +340,19 @@ def despeckle_white(img, k):
     return ~(inv & (area[lbl] > k))
 
 
-def preproc_stage1(grey, thresh, despeckle_amt, sat_area_thresh):
+def preproc_stage1(grey, thresh, despeckle_amt, sat_area_thresh,
+                   sat_by_area: bool = False):
     """binarize -> despeckle(black) -> despeckle(white) -> remove tall CCs
     (textAlignPreprocessing.py:166-178). Four small dispatches — page
     tensors stay on device between them; the per-op programs compile far
     faster (remote compile cost grows superlinearly with program size) and
-    their jit cache entries are reusable by other callers."""
+    their jit cache entries are reusable by other callers.
+    ``sat_by_area=True`` = the strict=False corrected area filter."""
     img = binarize(grey, thresh)
     img = despeckle(img, despeckle_amt)
     img = despeckle_white(img, despeckle_amt)
+    if sat_by_area:
+        return remove_big_ccs(img, sat_area_thresh)
     return remove_tall_ccs(img, sat_area_thresh)
 
 

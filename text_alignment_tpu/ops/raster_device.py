@@ -134,7 +134,7 @@ def _rotate_max_canvas(img, cfix, sfix, H2, W2, H2max: int, W2max: int):
 
 @functools.lru_cache(maxsize=None)
 def _make_raster_page(H: int, W: int, minangle: float, maxangle: float,
-                      max_runs: int):
+                      max_runs: int, sat_by_area: bool = False):
     """Program A builder for one page geometry. The returned function maps
     (packed (H, ceil(W/32)) int32, despeckle_amt, sat_area_thresh) ->
     (bin_rot (H2max, W2max) bool, eroded (H2max, W2max) bool,
@@ -154,7 +154,8 @@ def _make_raster_page(H: int, W: int, minangle: float, maxangle: float,
     def fn(packed, despeckle_amt, sat_area_thresh):
         img = _unpack_bits(packed, W)
         img, ok = cc_runs.preproc_clean(
-            img, despeckle_amt, sat_area_thresh, max_runs)
+            img, despeckle_amt, sat_area_thresh, max_runs,
+            sat_by_area=sat_by_area)
         imgb = jnp.pad(
             img.astype(jnp.float32), ((0, Hp - H), (0, Wp - W))
         ).reshape(Hp, Wp // 128, 128)
@@ -229,7 +230,7 @@ def _extract_strips_packed_impl(page_packed, bbox, Hp: int, Wp: int):
 
 @functools.lru_cache(maxsize=None)
 def _jit_raster_page_wire(H: int, W: int, minangle: float, maxangle: float,
-                          max_runs: int):
+                          max_runs: int, sat_by_area: bool = False):
     """Program A with its small outputs packed into ONE int32 wire vector
     ``[proj (H2max) | i1 i2 i3 | ok]`` so grouped pulls ship one array
     per group (downloads have a ~30 ms floor on the remote tunnel)."""
@@ -237,7 +238,7 @@ def _jit_raster_page_wire(H: int, W: int, minangle: float, maxangle: float,
     import jax.numpy as jnp
 
     fn, (H2max, W2max) = _make_raster_page(H, W, minangle, maxangle,
-                                           max_runs)
+                                           max_runs, sat_by_area)
 
     def wire_fn(packed, despeckle_amt, sat_area_thresh):
         bin_rot, eroded, proj, idx, ok = fn(
@@ -284,10 +285,11 @@ def _jit_extract_strips(Hp: int, Wp: int):
 
 @functools.lru_cache(maxsize=None)
 def _jit_raster_page(H: int, W: int, minangle: float, maxangle: float,
-                     max_runs: int):
+                     max_runs: int, sat_by_area: bool = False):
     import jax
 
-    fn, canvas = _make_raster_page(H, W, minangle, maxangle, max_runs)
+    fn, canvas = _make_raster_page(H, W, minangle, maxangle, max_runs,
+                                   sat_by_area)
     return jax.jit(fn), canvas
 
 
@@ -404,7 +406,7 @@ class GroupedPull:
 
 def raster_page(bin_img, despeckle_amt: int, sat_area_thresh: int,
                 minangle: float = -6.0, maxangle: float = 6.0,
-                max_runs: int = cc_runs.MAX_RUNS):
+                max_runs: int = cc_runs.MAX_RUNS, sat_by_area: bool = False):
     """Run program A for one host binarized page. Returns
     (bin_rot_dev, eroded_dev, proj np, angle float, ok bool, (H2, W2)).
     The two page tensors stay on device (feed programs B / C)."""
@@ -414,7 +416,8 @@ def raster_page(bin_img, despeckle_amt: int, sat_area_thresh: int,
 
     bin_img = np.asarray(bin_img)
     H, W = bin_img.shape
-    fn, _canvas = _jit_raster_page(H, W, minangle, maxangle, max_runs)
+    fn, _canvas = _jit_raster_page(H, W, minangle, maxangle, max_runs,
+                                   sat_by_area)
     bin_rot, eroded, proj, idx, ok = fn(
         jnp.asarray(pack_page(bin_img)), jnp.int32(despeckle_amt),
         jnp.int32(sat_area_thresh))

@@ -134,7 +134,8 @@ def raster_stream_device(images, backend: str = "hybrid",
     def start_a(i):
         packed, (H, W) = _binarize_pack(images[i])
         fn, _canvas = rd._jit_raster_page_wire(H, W, -6.0, 6.0,
-                                               rd.cc_runs.MAX_RUNS)
+                                               rd.cc_runs.MAX_RUNS,
+                                               p.sat_filter_area)
         bin_dev, er_dev, wire = fn(
             jnp.asarray(packed), jnp.int32(despeckle_amt),
             jnp.int32(p.sat_area_thresh))

@@ -131,16 +131,13 @@ def preprocess_images(input_image, despeckle_amt: int = DESPECKLE_AMT,
         hist = np.asarray(eng.grey_histogram(grey))
         thresh = eng._otsu_from_hist(hist)
 
-        if p.sat_filter_area:
-            raise NotImplementedError(
-                "strict=False sat-area filtering is host/hybrid-only "
-                "(backend='device' keeps the parity nrows filter)")
-        # stage 1 (one dispatch): binarize + despeckle x2 + tall-CC removal
+        # stage 1: binarize + despeckle x2 + tall/big-CC removal
         img = eng.preproc_stage1(
             grey,
             jnp.uint8(thresh),
             jnp.int32(despeckle_amt),
             jnp.int32(p.sat_area_thresh),
+            sat_by_area=p.sat_filter_area,
         )
 
         angle = eng.rotation_angle_projections(img, -6, 6)
