@@ -34,6 +34,64 @@ import time
 import numpy as np
 
 BENCH_SEED = 1234
+
+# --- regression tracking (VERDICT r4 #4) ---------------------------------
+# every metric records here; at exit the run is diffed against the
+# committed bench_baseline.json (the last accepted clean bench) and >15%
+# drops are flagged loudly. Refresh the baseline by copying the printed
+# bench_last.json over bench_baseline.json after an accepted clean run.
+METRICS: dict = {}
+_HIGHER_IS_BETTER: dict = {}
+
+
+def record(name: str, value: float, higher_is_better: bool = True):
+    METRICS[name] = float(value)
+    _HIGHER_IS_BETTER[name] = higher_is_better
+
+
+def regression_report(threshold: float = 0.15):
+    """Diff METRICS vs bench_baseline.json; print a table; flag drops
+    beyond ``threshold``. Writes bench_last.json next to this file so an
+    accepted run can be promoted to the new baseline."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_path = os.path.join(here, "bench_last.json")
+    with open(last_path, "w") as f:
+        json.dump(METRICS, f, indent=2, sort_keys=True)
+    base_path = os.path.join(here, "bench_baseline.json")
+    if not os.path.isfile(base_path):
+        print("# regression table: no bench_baseline.json (first run?) — "
+              f"wrote {os.path.basename(last_path)}", file=sys.stderr)
+        return []
+    with open(base_path) as f:
+        base = json.load(f)
+    rows, regressions = [], []
+    for name in sorted(METRICS):
+        now = METRICS[name]
+        prev = base.get(name)
+        if prev is None or prev == 0:
+            rows.append(f"#   {name:<34} {'—':>10} -> {now:>10.4g}  (new)")
+            continue
+        hib = _HIGHER_IS_BETTER.get(name, True)
+        change = (now - prev) / abs(prev)
+        worse = -change if hib else change
+        flag = ""
+        if worse > threshold:
+            flag = f"  ** REGRESSION ({worse:.0%} worse)"
+            regressions.append(name)
+        rows.append(f"#   {name:<34} {prev:>10.4g} -> {now:>10.4g}  "
+                    f"{change:+.1%}{flag}")
+    print("# regression table (vs bench_baseline.json, flag >"
+          f"{threshold:.0%} drops):", file=sys.stderr)
+    for r in rows:
+        print(r, file=sys.stderr)
+    if regressions:
+        print(f"# REGRESSIONS: {', '.join(regressions)}", file=sys.stderr)
+    else:
+        print("# regression table: all green", file=sys.stderr)
+    return regressions
+
+
+# -------------------------------------------------------------------------
 # 12 folios per batch: the batched pipeline's tail (the last folio's OCR
 # execution + the single combined download, ~70 ms) is fixed per batch, so
 # the per-folio number amortizes it at realistic serving batch sizes (the
@@ -165,6 +223,7 @@ def ocr_metrics(pages, dev_rec):
         t0 = time.perf_counter()
         dev_rec.recognize_batch(strips)
         dt = min(dt, time.perf_counter() - t0)
+    record("ocr_strips_per_sec_e2e", len(strips) / dt)
     print(f"# ocr: {len(strips)/dt:.0f} strips/sec, "
           f"~{frames * flops_per_frame / dt / 1e9:.2f} model GFLOP/s "
           f"({len(strips)} strips, ~{frames} frames, fp32 parity path)",
@@ -193,6 +252,7 @@ def ocr_metrics(pages, dev_rec):
             _recognize_device(dev_rec.params, *args, **kw)
         np.asarray(_recognize_device(dev_rec.params, *args, **kw)[0, 0])
         raw_dt = (time.perf_counter() - t0) / K
+        record("ocr_strips_per_sec_raw", len(strips) / raw_dt)
         print(f"# ocr raw compute (bits resident on device): "
               f"{len(strips)/raw_dt:.0f} strips/sec, "
               f"~{frames * flops_per_frame / raw_dt / 1e9:.2f} model "
@@ -279,12 +339,16 @@ def grid_sweep_metric(pages, ocrs):
     rng = random.Random(0)
     big_t = [rng.choice("abcdefgh ") for _ in range(2400)]
     big_o = [rng.choice("abcdefgh ") for _ in range(2400)]
-    for label, t, o in (("chant page", tra, list(ocr)),
-                        ("2400^2 stress", big_t, big_o)):
+    for key, label, t, o in (
+            ("grid_chant_combos_per_sec", "chant page", tra, list(ocr)),
+            ("grid_2400_combos_per_sec", "2400^2 stress", big_t, big_o)):
         align_grid(t, o, params[:128])  # warm the chunk program
-        t0 = time.perf_counter()
-        align_grid(t, o, params)
-        dt = time.perf_counter() - t0
+        dt = float("inf")  # best of 2: tunnel jitter
+        for _ in range(2):
+            t0 = time.perf_counter()
+            align_grid(t, o, params)
+            dt = min(dt, time.perf_counter() - t0)
+        record(key, 729 / dt)
         print(f"# scoring grid sweep ({label}, {len(t)}x{len(o)}): "
               f"729 alignments in {dt:.2f}s = {729/dt:.0f} combos/s",
               file=sys.stderr)
@@ -320,6 +384,7 @@ def train_metric():
         p, o, loss = tr._step(p, o, *args)
     float(loss)
     dt = (time.perf_counter() - t0) / K
+    record("train_line_updates_per_sec", B / dt)
     ref_rate = 54500 / (12 * 3600.0)
     print(f"# train step (B={B}, T={T}, ni=48, ns=100): {dt*1e3:.1f} ms/step "
           f"= {B/dt:.0f} line-updates/s (warmup {warm:.1f}s; reference "
@@ -430,6 +495,7 @@ def main():
     for i in range(1, NF + 1):
         folio_flow(pages[i], ocrs[i], dev_rec, backend=DEVICE_BACKEND)
     seq_dt = (time.perf_counter() - t0) / NF
+    record("sequential_ms_per_folio", seq_dt * 1e3, higher_is_better=False)
     print(f"# device[{DEVICE_BACKEND}] sequential: {seq_dt*1e3:.0f} ms/folio",
           file=sys.stderr)
 
@@ -499,6 +565,7 @@ def main():
         results = batched_flow()
         dev_dt = min(dev_dt, (time.perf_counter() - t0) / NF)
     assert sum(r is not None for r in results) == len(folios)
+    record("batched_ms_per_folio", dev_dt * 1e3, higher_is_better=False)
     print(f"# device[{DEVICE_BACKEND}] batched: {dev_dt*1e3:.0f} ms/folio "
           f"(best of 3)", file=sys.stderr)
 
@@ -560,6 +627,10 @@ def main():
             raise RuntimeError("skipped: degraded mode")
         lat8, thr8, raw8 = nw_gcups_stress(8191)
         lat16, thr16, raw16 = nw_gcups_stress(16383)
+        record("nw_pipelined_gcups_8k", thr8)
+        record("nw_pipelined_gcups_16k", thr16)
+        record("nw_raw_gcups_8k", raw8)
+        record("nw_raw_gcups_16k", raw16)
         print(f"# nw fused fill+traceback: {lat8:.2f} GCUPS @ 8192x8192, "
               f"{lat16:.2f} GCUPS @ 16384x16384 (single-shot incl. tunnel "
               f"round-trip)", file=sys.stderr)
@@ -573,6 +644,15 @@ def main():
 
     folios_per_sec = 1.0 / dev_dt
     vs_baseline = base_dt / dev_dt
+    record("folios_per_sec", folios_per_sec)
+    try:
+        if not degraded:
+            regression_report()
+        else:
+            print("# regression table skipped (degraded mode)",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"# regression table failed: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "folios/sec",
         "value": round(folios_per_sec, 3),

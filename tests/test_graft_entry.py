@@ -36,6 +36,28 @@ def test_dryrun_multichip_driver_form_is_hermetic():
     assert "sharded folio pipeline ok" in proc.stdout
 
 
+def test_dryrun_multihost_two_processes():
+    """Multi-host (DCN stand-in) dry run: 2 jax.distributed processes x 4
+    virtual CPU devices, sharded train step + OCR batch + folio pipeline +
+    scoring grid spanning the process boundary via Gloo collectives
+    (SURVEY §5:315-320)."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multihost(2, 4)"],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, (
+        f"dryrun_multihost(2, 4) failed\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr}"
+    )
+    assert "sharded folio pipeline ok, JSON byte-identical" in proc.stdout
+    assert "train step ok" in proc.stdout
+
+
 def test_entry_compiles_single_chip():
     import jax
 

@@ -378,10 +378,15 @@ def align_grid_jax(transcript, ocr, params_list, chunk: int = 128,
             if Pp != P_real:
                 pc = np.concatenate(
                     [pc, np.repeat(pc[:1], Pp - P_real, axis=0)], axis=0)
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            from ..parallel.multihost import put_global
+
             fn = _sharded_grid_fn(mesh, L, NoP)
             ops, k, xpt, ypt = fn(
-                jnp.asarray(t_ext), jnp.asarray(o_feed), jnp.asarray(pc),
-                jnp.asarray(Nt, jnp.int32), jnp.asarray(No, jnp.int32),
+                t_ext, o_feed,
+                put_global(pc, NamedSharding(mesh, _P("data"))),
+                np.int32(Nt), np.int32(No),
             )
         else:
             ops, k, xpt, ypt = _align_fused_grid(
@@ -394,8 +399,10 @@ def align_grid_jax(transcript, ocr, params_list, chunk: int = 128,
                 NoP=NoP,
                 is_int=True,
             )
-        ops, k = np.asarray(ops)[:P_real], np.asarray(k)[:P_real]
-        xpt, ypt = np.asarray(xpt)[:P_real], np.asarray(ypt)[:P_real]
+        from ..parallel.multihost import fetch
+
+        ops, k = fetch(ops)[:P_real], fetch(k)[:P_real]
+        xpt, ypt = fetch(xpt)[:P_real], fetch(ypt)[:P_real]
         for b in range(P_real):
             results.append(
                 replay_ops(transcript, ocr, ops[b], int(k[b]), int(xpt[b]),
@@ -557,20 +564,23 @@ def align_pairs_jax(pairs, sc: Scoring, min_device_cells: int | None = None,
                 )
                 t_exts, o_feeds = padr(t_exts), padr(o_feeds)
                 Nts, Nos = padr(Nts), padr(Nos)
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            from ..parallel.multihost import fetch, put_global
+
+            _data = NamedSharding(mesh, _P("data", None))
+            _data1 = NamedSharding(mesh, _P("data"))
             fn = _sharded_pairs_fn(mesh, L, NoP)
             ops, k, xpt, ypt = fn(
-                jnp.asarray(t_exts), jnp.asarray(o_feeds),
-                jnp.asarray(Nts), jnp.asarray(Nos),
-                jnp.asarray(match, dt), jnp.asarray(mismatch, dt),
-                jnp.asarray(sc.gap_open_x, dt),
-                jnp.asarray(sc.gap_open_y, dt),
-                jnp.asarray(sc.gap_extend_x, dt),
-                jnp.asarray(sc.gap_extend_y, dt),
-                jnp.asarray(sc.bge_row0, dt),
-                jnp.asarray(sc.bge_col0, dt),
+                put_global(t_exts, _data), put_global(o_feeds, _data),
+                put_global(Nts, _data1), put_global(Nos, _data1),
+                np.int32(match), np.int32(mismatch),
+                np.int32(sc.gap_open_x), np.int32(sc.gap_open_y),
+                np.int32(sc.gap_extend_x), np.int32(sc.gap_extend_y),
+                np.int32(sc.bge_row0), np.int32(sc.bge_col0),
             )
-            ops, k = np.asarray(ops)[:B], np.asarray(k)[:B]
-            xpt, ypt = np.asarray(xpt)[:B], np.asarray(ypt)[:B]
+            ops, k = fetch(ops)[:B], fetch(k)[:B]
+            xpt, ypt = fetch(xpt)[:B], fetch(ypt)[:B]
         else:
             ops, k, xpt, ypt = _align_fused_pairs(
                 jnp.asarray(t_exts), jnp.asarray(o_feeds),

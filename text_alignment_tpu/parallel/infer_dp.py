@@ -48,13 +48,20 @@ LAST_WORK_SHARES: dict = {}
 
 def _assert_partitioned(out, mesh: Mesh) -> dict:
     """Certify the batch axis is PARTITIONED over the mesh's data axis —
-    one addressable shard per device, equal row shares, not replicated.
-    Guards against a silent GSPMD fallback to replication (which would
-    be output-identical but do n× the work)."""
+    one addressable shard per LOCAL device, equal row shares, not
+    replicated. Guards against a silent GSPMD fallback to replication
+    (which would be output-identical but do n× the work). Under
+    multi-process meshes each process certifies its local slice; the
+    multihost dry run all-gathers the shares for the global proof."""
+    import jax
+
     n = mesh.shape["data"]
+    pid = jax.process_index()
+    n_local = sum(1 for d in mesh.devices.flat if d.process_index == pid)
     shards = out.addressable_shards
-    assert len(shards) == n, (
-        f"expected {n} shards (one per device), got {len(shards)}")
+    assert len(shards) == n_local, (
+        f"expected {n_local} local shards (one per local device), "
+        f"got {len(shards)}")
     shares = {str(s.device): int(s.data.shape[0]) for s in shards}
     want = out.shape[0] // n
     assert all(v == want for v in shares.values()), (
@@ -73,6 +80,15 @@ def recognize_sharded_meta(params, packed_meta: np.ndarray, mesh: Mesh,
     data-axis divisibility carry h = w = 0 and decode to zero regions.
     Every call certifies the batch actually PARTITIONED across the mesh
     (LAST_WORK_SHARES records the per-device strip counts)."""
+    from .multihost import fetch, is_multiprocess, put_global
+
+    if is_multiprocess():
+        # single-device-committed param leaves can't be auto-resharded to
+        # a cross-process replicated sharding; feed them as host numpy
+        # (replicated numpy inputs are allowed, and the model is tiny)
+        import jax
+
+        params = jax.tree.map(np.asarray, params)
     n = mesh.shape["data"]
     B = packed_meta.shape[0]
     if B % n:
@@ -80,10 +96,10 @@ def recognize_sharded_meta(params, packed_meta: np.ndarray, mesh: Mesh,
         packed_meta = np.pad(packed_meta, ((0, pad_b), (0, 0), (0, 0)))
     fn = _sharded_fn(mesh, t_max, target_height, pad, max_regions,
                      decode)
-    out = fn(params, packed_meta)
+    out = fn(params, put_global(packed_meta, NamedSharding(mesh, P("data"))))
     LAST_WORK_SHARES.clear()
     LAST_WORK_SHARES.update(_assert_partitioned(out, mesh))
-    return np.asarray(out)[:B]
+    return fetch(out)[:B]
 
 
 def recognize_sharded(params, packed_bits: np.ndarray, hs: np.ndarray,
