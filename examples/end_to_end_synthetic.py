@@ -93,6 +93,86 @@ def gt_syllable_boxes(page):
     return out
 
 
+def evaluate_checkpoint(model_path, page, gt, backend, decode):
+    """Held-out page through the real pipeline with the given checkpoint;
+    returns (n_pred, bbox_iou, ink_iou, diag dict)."""
+    from text_alignment_tpu.evaluate import diagnose_alignment
+    from text_alignment_tpu.models.recognizer import SeqRecognizer
+    from text_alignment_tpu.pipeline.process import _accel_platform
+
+    rec = SeqRecognizer.from_pyrnn(model_path, decode=decode)
+    rec.normalize_on_device = (
+        backend in ("device", "hybrid") and _accel_platform()
+    )
+    result = process(page.image, page.transcript, ocropus_model=rec,
+                     backend=backend, verbose=False)
+    if result is None:
+        return 0, 0.0, 0.0, None
+    syl_boxes, image_bin, peaks, all_chars = result
+    gt_eval = [dict(g) for g in gt]
+    image_unrot, _, _ = preprocess_images(page.image, backend=backend,
+                                          correct_rotation=False)
+    align_boxes = [
+        {"syl": cb.char, "ul": cb.ul, "lr": cb.lr} for cb in syl_boxes
+    ]
+    iou, ink_iou = evaluate_alignment(gt_eval, align_boxes, image_unrot)
+    _, _, det_angle = preprocess_images(page.image, backend=backend)
+    diag = diagnose_alignment(
+        page.transcript, all_chars, gt,
+        rotate_back=(det_angle, image_bin.shape, page.image.shape[:2]))
+    return len(syl_boxes), iou, ink_iou, diag
+
+
+def llocs_ceiling_chars(page, angle, raw_shape, rot_shape):
+    """Perfect-OCR chars under the llocs RIGHT-EDGE box contract
+    (alignToOCR.py:164-182), in the pipeline's rotated frame: every char
+    and space emitted in reading order with its TRUE right edge, box =
+    [previous emitted right edge, own right edge] x line extent. Running
+    the pipeline on these measures the METRIC CEILING of the llocs
+    contract itself — what a recognizer with perfect classes AND perfect
+    positions would score."""
+    from collections import defaultdict
+
+    from text_alignment_tpu.pipeline.assemble import rotate_bboxes
+
+    lines = defaultdict(list)
+    for cb in page.char_boxes:
+        lines[cb.ul[1] // PAGE_KW["line_spacing"]].append(cb)
+    chars = []
+    for k in sorted(lines):
+        v = sorted(lines[k], key=lambda c: c.ul[0])
+        top = min(c.ul[1] for c in v)
+        bot = max(c.lr[1] for c in v)
+        seq = []
+        for a, b in zip(v, v[1:] + [None]):
+            seq.append((a.char, a.lr[0]))
+            if b is not None and b.ul[0] - a.lr[0] > PAGE_KW["gap"] + 2:
+                seq.append((" ", b.ul[0] - 1))
+        prev_r = max(v[0].ul[0] - 1, 0)
+        for ch, r in seq:
+            chars.append(CharBox(ch, (prev_r, top), (r, bot)))
+            prev_r = r
+    return rotate_bboxes(chars, angle, raw_shape, rot_shape)
+
+
+def ceiling_rung(page, gt, backend):
+    """(bbox IoU, ink IoU) of the pipeline fed PERFECT OCR through the
+    llocs contract — the demo's quality ceiling, measured not asserted."""
+    image_bin, _, angle = preprocess_images(page.image, backend=backend)
+    chars = llocs_ceiling_chars(page, angle, page.image.shape[:2],
+                                image_bin.shape)
+    result = process(page.image, page.transcript, existing_ocr=chars,
+                     backend=backend, verbose=False)
+    if result is None:
+        return 0, 0.0, 0.0
+    syl_boxes, _, _, _ = result
+    image_unrot, _, _ = preprocess_images(page.image, backend=backend,
+                                          correct_rotation=False)
+    ab = [{"syl": cb.char, "ul": cb.ul, "lr": cb.lr} for cb in syl_boxes]
+    iou, ink = evaluate_alignment([dict(g) for g in gt], ab, image_unrot)
+    return len(syl_boxes), iou, ink
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=2500)
@@ -100,6 +180,11 @@ def main():
     ap.add_argument("--backend", default="hybrid",
                     choices=["host", "hybrid", "device"])
     ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--stop-loss", type=float, default=None,
+                    help="override the recipe's early-stop loss")
+    ap.add_argument("--no-ladder", action="store_true",
+                    help="skip the CER-vs-ink-IoU checkpoint ladder "
+                    "(evaluate only the final model)")
     ap.add_argument("--recipe", default="fast", choices=["fast", "gradual"],
                     help="fast: clipped Adam on a training pool that "
                     "includes skewed+speckled pages (converges in a few "
@@ -111,7 +196,7 @@ def main():
                     "did not improve held-out box quality on this corpus; "
                     "kept as an experimentation knob)")
     ap.add_argument("--decode", default="region",
-                    choices=["region", "bestpath"],
+                    choices=["region", "bestpath", "region_end"],
                     help="region: ocropy-parity llocs decode (precision-"
                     "biased peaks, well-localized boxes; the alignment "
                     "layer bridges dropped chars). bestpath: higher raw "
@@ -136,6 +221,9 @@ def main():
     # on a representative pool reaches 0.59-0.60 — better than the slow
     # gradual recipe's 0.54, at ~1/6 the iterations. (The gradual crawl was
     # compensating for a train/test distribution gap, not a CTC property.)
+    # (measured r5: growing the noisy pool to 8 varied pages made held-out
+    # CER WORSE — 0.41 vs 0.29 — the harder pool fits each page less
+    # precisely at the same loss; the original 4-spec pool stands)
     page_specs = [(100 + s, 0, 0.0) for s in range(args.train_pages)]
     if args.recipe == "fast":
         page_specs += [(104, 40, 0.6), (105, 40, -0.5),
@@ -173,6 +261,8 @@ def main():
     else:
         tr = Trainer(codec=codec, lr=args.lr, seed=1, clip_norm=None)
         stop_loss = 0.12
+    if args.stop_loss is not None:
+        stop_loss = args.stop_loss
     # fast: 32-line minibatches keep the step cost constant as the pool
     # grows; gradual: ALWAYS the whole pool — it exists to reproduce the
     # original full-batch crawl, so it must not silently switch to
@@ -185,6 +275,13 @@ def main():
     # the >B path resamples every iteration and never touches it)
     full = batch_lines(frames_list, texts, codec, T, S) if len(idx) <= B \
         else None
+    # checkpoint ladder: snapshot the model the first time the loss
+    # crosses each rung — mid-training models with HIGHER CER, so the
+    # quality ceiling can be shown climbing with model quality rather than
+    # asserted (VERDICT r4 #3)
+    ckpt_dir = tempfile.mkdtemp(prefix="ta_e2e_")
+    ladder_rungs = [] if args.no_ladder else [6.0, 1.5, 0.5]
+    ladder_ckpts: list = []  # (loss_at_save, path)
     for it in range(args.iters):
         if len(idx) > B:
             b = rng.choice(idx, size=B, replace=False)
@@ -194,6 +291,12 @@ def main():
         else:
             xs, xlens, labels, llens = full
         loss = tr.step(xs, xlens, labels, llens)
+        while ladder_rungs and loss < ladder_rungs[0]:
+            thr = ladder_rungs.pop(0)
+            p = tr.save(os.path.join(ckpt_dir, f"rung{thr:g}"))
+            ladder_ckpts.append((loss, p))
+            print(f"[{time.time()-t_start:5.1f}s] ladder checkpoint at "
+                  f"loss {loss:.3f} (rung <{thr:g}): {os.path.basename(p)}")
         if it % 50 == 0 or it == args.iters - 1:
             print(f"[{time.time()-t_start:5.1f}s] iter {it:4d} "
                   f"loss {loss:8.3f}")
@@ -203,67 +306,81 @@ def main():
             break
 
     # 3. checkpoint round-trip through the ocropy-compatible format
-    ckpt_dir = tempfile.mkdtemp(prefix="ta_e2e_")
     model_path = tr.save(os.path.join(ckpt_dir, "synthetic"))
+    ladder_ckpts.append((loss, model_path))
     print(f"[{time.time()-t_start:5.1f}s] checkpoint: {model_path}")
 
-    # 4. held-out page through the real pipeline (skew + speckles on)
+    # 4./5. held-out page (skew + speckles on) through the real pipeline,
+    # once per ladder checkpoint — the CER-vs-ink-IoU ladder shows box
+    # quality CLIMBING with model quality (reference regime: ~80% char
+    # accuracy "on most pages", README.md:24 ~= CER 0.20)
     page = make_page(np.random.default_rng(999), speckles=40, angle=0.6,
                      **PAGE_KW)
-    from text_alignment_tpu.models.recognizer import SeqRecognizer
-    from text_alignment_tpu.pipeline.process import _accel_platform
-
-    rec = SeqRecognizer.from_pyrnn(model_path, decode=args.decode)
-    # passing an instance bypasses _resolve_recognizer, so mirror its
-    # normalize placement: device lineest on accelerator runtimes
-    rec.normalize_on_device = (
-        args.backend in ("device", "hybrid") and _accel_platform()
-    )
-    result = process(page.image, page.transcript, ocropus_model=rec,
-                     backend=args.backend, verbose=False)
-    assert result is not None, "pipeline produced no syllables"
-    syl_boxes, image_bin, peaks, all_chars = result
-    ocr_text = "".join(c.char for c in all_chars)
-    print(f"[{time.time()-t_start:5.1f}s] OCR len={len(ocr_text)} "
-          f"(truth {len(page.transcript)}); sample: {ocr_text[:48]!r}")
-    print(f"              truth sample: {page.transcript[:48]!r}")
-
-    # 5. score vs ground truth (reference metric, evaluate harness)
     gt = gt_syllable_boxes(page)
-    # predictions in the un-rotated frame: evaluate against the raw page
-    # like the reference (correct_rotation=False preprocessing)
-    image_unrot, _, _ = preprocess_images(page.image, backend=args.backend,
-                                          correct_rotation=False)
-    align_boxes = [
-        {"syl": cb.char, "ul": cb.ul, "lr": cb.lr} for cb in syl_boxes
-    ]
-    iou, ink_iou = evaluate_alignment(gt, align_boxes, image_unrot)
-    n_pred = len(syl_boxes)
-    print(f"[{time.time()-t_start:5.1f}s] syllables: {n_pred} predicted / "
-          f"{len(gt)} truth;  mean bbox IoU {iou:.3f};  ink IoU {ink_iou:.3f}")
+    rows = []
+    for save_loss, path in ladder_ckpts:
+        n_pred, iou, ink_iou, diag = evaluate_checkpoint(
+            path, page, gt, args.backend, args.decode)
+        rows.append((save_loss, path, n_pred, iou, ink_iou, diag))
+        c = diag["counts"] if diag else {}
+        print(f"[{time.time()-t_start:5.1f}s] {os.path.basename(path)}: "
+              f"CER {diag['ocr_cer'] if diag else 1.0:.2f}  "
+              f"syls {n_pred}/{len(gt)}  bbox IoU {iou:.3f}  "
+              f"ink IoU {ink_iou:.3f}  {c}")
 
-    # per-syllable failure breakdown (evaluate.diagnose_alignment): WHERE
-    # did each missed syllable go — OCR gaps, wrong line, or boundary?
-    # all_chars live in the rotated frame; rotate_back applies the
-    # pipeline's own un-rotation before comparing against the raw-frame GT
-    from text_alignment_tpu.evaluate import diagnose_alignment
+    final_loss, _, n_pred, iou, ink_iou, diag = rows[-1]
+    print(f"[{time.time()-t_start:5.1f}s] final model: syllables "
+          f"{n_pred}/{len(gt)}; mean bbox IoU {iou:.3f}; "
+          f"ink IoU {ink_iou:.3f}")
+    if diag:
+        print(f"              diagnosis: {diag['counts']}  "
+              f"(OCR CER through alignment: {diag['ocr_cer']:.2f})")
+        for si, (syl, cat, detail) in sorted(diag["categories"].items()):
+            if cat not in ("ok", "no-gt"):
+                print(f"                #{si:>3} {syl!r:<10} {cat}: {detail}")
 
-    _, _, det_angle = preprocess_images(page.image, backend=args.backend)
-    diag = diagnose_alignment(
-        page.transcript, all_chars, gt,
-        rotate_back=(det_angle, image_bin.shape, page.image.shape[:2]))
-    print(f"              diagnosis: {diag['counts']}  "
-          f"(OCR CER through alignment: {diag['ocr_cer']:.2f})")
-    for si, (syl, cat, detail) in sorted(diag["categories"].items()):
-        if cat not in ("ok", "no-gt"):
-            print(f"                #{si:>3} {syl!r:<10} {cat}: {detail}")
-    # success: most syllables located with solid ink overlap. (The OCR is a
-    # small model on a tiny synthetic corpus — char accuracy ~75%, the same
-    # regime as the reference's reported ~80% — and the alignment layer is
-    # what turns that into usable boxes, exactly as on real manuscripts.)
-    # Measured r3 (fast recipe): ink IoU 0.59-0.60 region/bestpath; the
-    # gate keeps margin for held-out seed variance.
+    if len(rows) > 1:
+        # the metric ceiling: PERFECT classes + positions through the
+        # llocs right-edge contract (measured r5: ink 0.717 on this page;
+        # the residual vs the trained rungs is llocs POSITION noise — the
+        # demo model's CTC peaks localize with ~36 px std even on exactly-
+        # recognized lines — not alignment failures)
+        n_c, iou_c, ink_c = ceiling_rung(page, gt, args.backend)
+        print("\n  CER-vs-ink-IoU ladder (held-out page, "
+              f"{len(gt)} GT syllables):")
+        print(f"  {'checkpoint':<26} {'CER':>5} {'ink IoU':>8} "
+              f"{'ok':>4} {'boundary':>9} {'wrong-line':>11}")
+        for save_loss, path, n_pred, iou, ink_iou, diag in rows:
+            c = diag["counts"] if diag else {}
+            print(f"  {os.path.basename(path):<26} "
+                  f"{diag['ocr_cer'] if diag else 1.0:>5.2f} {ink_iou:>8.3f} "
+                  f"{c.get('ok', 0):>4} {c.get('boundary', 0):>9} "
+                  f"{c.get('wrong-line', 0):>11}")
+        print(f"  {'perfect-OCR llocs ceiling':<26} {0.0:>5.2f} "
+              f"{ink_c:>8.3f}   (metric ceiling of the llocs box "
+              f"contract)")
+        wrong = [r[5]["counts"].get("wrong-line", 0) for r in rows if r[5]]
+        best = max(r[4] for r in rows)
+        if rows[-1][4] >= rows[0][4] + 0.01:
+            trend = "climbing"
+        elif rows[-1][4] >= rows[0][4] - 0.01:
+            trend = "saturated at the position-noise floor"
+        else:
+            trend = "NOT climbing"
+        print(f"  ladder: ink IoU {rows[0][4]:.3f} -> {rows[-1][4]:.3f} "
+              f"(best {best:.3f}, {trend}) toward ceiling {ink_c:.3f}; "
+              f"wrong-line {wrong} (must be all zero)")
+
+    # success: most syllables located with solid ink overlap, and the
+    # alignment layer never places a syllable on the wrong line at any
+    # model quality (misplacement would be an ALIGNMENT defect; boundary
+    # cases are the OCR-quality-bound tail that the ladder shows
+    # shrinking as CER falls).
     ok = n_pred >= 0.8 * len(gt) and ink_iou > 0.50
+    if len(rows) > 1:
+        ok = ok and all(
+            r[5] is not None and r[5]["counts"].get("wrong-line", 0) == 0
+            for r in rows)
     print(f"[{time.time()-t_start:5.1f}s] {'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1
 

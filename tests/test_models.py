@@ -309,8 +309,11 @@ def test_bestpath_batched_matches_oracle(rng):
     outputs[:, ::7, 0] = 2.0
     outputs[:, 20:26, 3] = 3.0
     lengths = np.array([90, 80, 73, 90, 1, 45], np.int32)
+    from text_alignment_tpu.models.ctc import region_end_np
+
     for mode, oracle_fn in (("bestpath", bestpath_np),
-                            ("region", translate_back_np)):
+                            ("region", translate_back_np),
+                            ("region_end", region_end_np)):
         fr, cl, cnt = translate_back_batched(
             jnp.asarray(outputs), jnp.asarray(lengths), max_regions=16,
             mode=mode)

@@ -44,6 +44,34 @@ def translate_back_np(outputs: np.ndarray, threshold: float = THRESHOLD):
     return result
 
 
+def region_end_np(outputs: np.ndarray, threshold: float = THRESHOLD):
+    """Oracle for decode="region_end": ocropy's blank-threshold region
+    segmentation and peak CLASS, but the reported frame is the region's
+    LAST frame. The llocs contract treats each position as the char's
+    RIGHTMOST edge (alignToOCR.py:164-182) while a CTC peak sits near the
+    glyph's center — on boxes this costs ~half a glyph of systematic left
+    bias. The region's end frame (where the blank reclaims the line) is
+    the closest decode-level estimate of the right edge, measurably
+    tightening box quality (examples/end_to_end_synthetic.py ladder).
+    Opt-in (strict=False family): "region" stays the parity default."""
+    mask = outputs[:, 0] < threshold
+    result = []
+    t = 0
+    T = len(outputs)
+    while t < T:
+        if not mask[t]:
+            t += 1
+            continue
+        s = t
+        while t < T and mask[t]:
+            t += 1
+        block = outputs[s:t]
+        flat = int(np.argmax(block))
+        r, c = divmod(flat, outputs.shape[1])
+        result.append((t - 1, c))
+    return result
+
+
 def bestpath_np(outputs: np.ndarray):
     """Best-path oracle decode for one line: maximal runs of a constant
     argmax class != blank each emit (peak frame, class). Robust on young
@@ -74,14 +102,17 @@ def translate_back_batched(outputs, lengths, max_regions=256,
     """Batched decode. outputs: (B, T, C); lengths: (B,).
 
     mode="region": ocropy translate_back semantics (blank-threshold
-    regions); mode="bestpath": argmax-path runs (bestpath_np semantics).
+    regions); mode="bestpath": argmax-path runs (bestpath_np semantics);
+    mode="region_end": region segmentation + peak class, but the frame is
+    the region's LAST frame (region_end_np semantics — the right-edge
+    estimate for the llocs box contract; opt-in, non-parity).
     Returns (frames (B, R) int32, classes (B, R) int32, counts (B,) int32);
     entries past counts[b] are padding (frame = T).
     """
     B, T, C = outputs.shape
     t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
     valid = t_idx < lengths[:, None]
-    if mode == "region":
+    if mode in ("region", "region_end"):
         mask = (outputs[:, :, 0] < threshold) & valid
         # region ids: 1-based per run of consecutive masked frames
         prev = jnp.concatenate([jnp.zeros((B, 1), bool), mask[:, :-1]],
@@ -112,8 +143,17 @@ def translate_back_batched(outputs, lengths, max_regions=256,
         frame_of = jnp.full((R + 1,), T, jnp.int32).at[rid_b].min(
             jnp.where(is_peak, t_idx[0], T)
         )
-        frames = frame_of[1 : R + 1]
-        cls = jnp.where(frames < T, fc_b[jnp.clip(frames, 0, T - 1)], 0)
+        peak_frames = frame_of[1 : R + 1]
+        cls = jnp.where(peak_frames < T,
+                        fc_b[jnp.clip(peak_frames, 0, T - 1)], 0)
+        if mode == "region_end":
+            # position = last frame of the region (class stays the peak's)
+            end_of = jnp.full((R + 1,), -1, jnp.int32).at[rid_b].max(
+                jnp.where(mask_b, t_idx[0], -1)
+            )
+            frames = jnp.where(peak_frames < T, end_of[1 : R + 1], T)
+        else:
+            frames = peak_frames
         # cap at R: a line with more regions than max_regions (plausible
         # for bestpath on a non-peaky model whose argmax flaps) must not
         # report a count larger than the frames/classes blocks it ships —

@@ -204,7 +204,10 @@ class SeqRecognizer:
         # posteriors peaky); "bestpath" = argmax-path runs, robust for
         # freshly trained models whose blank has not yet learned to clear
         # the threshold between adjacent different characters
-        assert decode in ("region", "bestpath"), decode
+        # "region_end" = region segmentation + peak class, position = the
+        # region's LAST frame — the right-edge estimate for the llocs box
+        # contract (models.ctc.region_end_np; opt-in, non-parity)
+        assert decode in ("region", "bestpath", "region_end"), decode
         self.decode = decode
         # optional jax.sharding.Mesh: shard the batch over its 'data' axis
         # (parallel.infer_dp) — the multi-chip serving path
