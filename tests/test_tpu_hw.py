@@ -243,3 +243,38 @@ def test_device_skew_matches_host_on_tpu(on_tpu):
     w.finish()
     for p, s in zip(pages, slots):
         assert w.angle(s) == oracle.rotation_angle_projections(p, -6, 6)
+
+
+def test_cc_pallas_matches_oracle_on_tpu(on_tpu):
+    """The REAL Mosaic scan-line union-find CC kernel (ops.cc_pallas) at
+    page scale vs the host oracle: all three filter modes, the 3-pass
+    cleanup chain, and the program-B table — bit parity on hardware."""
+    import jax.numpy as jnp
+
+    from text_alignment_tpu.ops import cc_pallas, cc_runs, oracle
+    from text_alignment_tpu.synth import make_page
+
+    page = make_page(np.random.default_rng(77), n_lines=6,
+                     words_per_line=3, H=900, W=1100, speckles=150,
+                     angle=0.7)
+    img = oracle.to_onebit(page.image)
+
+    got, ok = cc_pallas.despeckle(img, 100, interpret=False)
+    assert ok
+    np.testing.assert_array_equal(got, oracle.despeckle(img, 100))
+
+    got, ok = cc_pallas.preproc_clean(img, 100, 150, interpret=False)
+    assert ok
+    want = oracle.remove_tall_ccs(
+        ~oracle.despeckle(~oracle.despeckle(img, 100), 100), 150)
+    np.testing.assert_array_equal(got, want)
+
+    tab, count, okt = cc_pallas.cc_table_compact(
+        want, min_area_keep=100, max_ccs=2048, interpret=False)
+    tw, cw, okw = cc_runs.cc_table_compact(
+        jnp.asarray(want), min_area_keep=100, max_ccs=2048)
+    assert bool(np.asarray(okt)) and bool(np.asarray(okw))
+    count = int(np.asarray(count))
+    assert count == int(np.asarray(cw))
+    np.testing.assert_array_equal(np.asarray(tab)[:count],
+                                  np.asarray(tw)[:count])

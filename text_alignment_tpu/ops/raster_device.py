@@ -151,11 +151,26 @@ def _make_raster_page(H: int, W: int, minangle: float, maxangle: float,
     Wp = -(-W // 128) * 128
     search = sd._make_search(Hp, Wp, minangle, maxangle)
 
+    import os
+
+    cc_backend = os.environ.get("TEXT_ALIGNMENT_TPU_CC", "pallas")
+
     def fn(packed, despeckle_amt, sat_area_thresh):
-        img = _unpack_bits(packed, W)
-        img, ok = cc_runs.preproc_clean(
-            img, despeckle_amt, sat_area_thresh, max_runs,
-            sat_by_area=sat_by_area)
+        if cc_backend == "pallas":
+            # scan-line union-find on the scalar unit (ops.cc_pallas) —
+            # measured 23-39x the XLA run-graph CC below on v5e; takes
+            # the bit-packed page directly (same little-endian layout)
+            from . import cc_pallas
+
+            cleaned, ok = cc_pallas.preproc_clean_packed(
+                packed, H, W, despeckle_amt, sat_area_thresh,
+                sat_by_area=sat_by_area)
+            img = _unpack_bits(cleaned, W)
+        else:
+            img = _unpack_bits(packed, W)
+            img, ok = cc_runs.preproc_clean(
+                img, despeckle_amt, sat_area_thresh, max_runs,
+                sat_by_area=sat_by_area)
         imgb = jnp.pad(
             img.astype(jnp.float32), ((0, Hp - H), (0, Wp - W))
         ).reshape(Hp, Wp // 128, 128)
@@ -176,7 +191,18 @@ def _masked_cc_table_impl(eroded, row_mask, noise_thresh, max_ccs: int,
     """Program B: separator-erased CC table of the eroded page
     (textAlignPreprocessing.py:217-235 semantics; the noise filter
     ``area > noise_thresh`` runs on device so the download shrinks)."""
+    import os
+
     er = eroded & ~row_mask[:, None]
+    if os.environ.get("TEXT_ALIGNMENT_TPU_CC", "pallas") == "pallas":
+        from . import cc_pallas
+        from .device import pack_bool
+
+        H, W = er.shape
+        table, count, okb = cc_pallas.cc_table_packed(
+            pack_bool(er), H, W, min_area_keep=noise_thresh,
+            max_ccs=max_ccs)
+        return table, count, okb
     return cc_runs.cc_table_compact(
         er, min_area_keep=noise_thresh, max_ccs=max_ccs, max_runs=max_runs)
 
