@@ -554,7 +554,11 @@ def _tb_statics(Dp: int, L: int):
     diagonal-layout pointer tensor guarantees >= T_STEPS path steps before
     the cursor can leave it (d = i + j drops by at most 2 per step, i by at
     most 1). Window origins are chosen 8/128-aligned (Mosaic DMA tiling),
-    which costs up to 8 rows / 128 lanes of look-back slack."""
+    which costs up to 8 rows / 128 lanes of look-back slack. (512, 384)
+    balances DMA latency (~5 us/hop) against DMA bytes per path step
+    (~780 B at this shape; the DMA path runs at ~50 GB/s effective) —
+    a (1024, 512) tile measured no better (28% more bytes, half the
+    hops)."""
     TH = min(512, Dp)          # Dp is a multiple of 32
     TW = min(L, 384)
     steps_d = (TH - 8) // 2
@@ -592,12 +596,9 @@ def _make_tb_kernel(Dp: int, L: int, P: int):
         bidx = pl.program_id(0)
         Nt = dims_ref[bidx, 0]
         No = dims_ref[bidx, 1]
-
-        def zero(i, _):
-            ops_ref[bidx, i] = 0
-            return 0
-
-        jax.lax.fori_loop(0, P, zero, 0)
+        # no ops_ref zero-init: every consumer reads ops[:k] only
+        # (replay_ops; the fused wire masks with & 3), and the init loop
+        # cost P scalar stores per pair (~32k at the 16k^2 stress shape)
 
         def load_cell(r, c):
             # SMEM scalar load: dynamic scalar indices are native here
@@ -627,15 +628,22 @@ def _make_tb_kernel(Dp: int, L: int, P: int):
             def step(_, st2):
                 xpt, ypt, mpt, k = st2
                 d = xpt + ypt
-                in_tile = (d >= d0) & (xpt >= i0)
-                active = (xpt > 0) & (ypt > 0) & in_tile
+                # no in_tile check: T_STEPS is derived so the cursor
+                # CANNOT leave the window within the loop (d drops <= 2
+                # and i <= 1 per step, and the origin slack bounds give
+                # d - d0 >= TH - 8 - 2*T_STEPS >= 0, xpt - i0 >=
+                # TW - LANE - T_STEPS >= 0); after termination the
+                # cursor stops moving, so it stays in-window too
+                active = (xpt > 0) & (ypt > 0)
 
                 cell = load_cell(d - d0, xpt - i0)
                 nxt = (cell >> (2 * mpt)) & 3
 
-                @pl.when(active)
-                def _():
-                    ops_ref[bidx, k] = mpt
+                # unconditional store: when inactive, k is frozen one
+                # slot PAST the emitted ops, so this writes junk that
+                # every consumer ignores (they read ops[:k]) — cheaper
+                # than a predicated store on the scalar core
+                ops_ref[bidx, k] = mpt
 
                 dec_x = ((mpt != 2) & active).astype(jnp.int32)
                 dec_y = ((mpt != 1) & active).astype(jnp.int32)
@@ -648,7 +656,7 @@ def _make_tb_kernel(Dp: int, L: int, P: int):
             # retire several path steps per loop iteration (same lever as
             # the fill's diagonal-retirement unroll: the walk is
             # loop-overhead-bound, not select-bound)
-            U = 8
+            U = 16
 
             def stepU(_, st2):
                 for _u in range(U):
@@ -700,9 +708,10 @@ def traceback_ops_pallas_batched(packed, Nts, Nos, P, L: int,
     iteration)."""
     B, D, _ = packed.shape
     # SMEM bound: the (B, P) int32 ops output lives whole in SMEM (scalar
-    # stores), so cap each launch at ~256 KB of ops and slice larger
-    # batches into consecutive launches (the pointer tensors stay in HBM
-    # either way; only the per-launch scalar outputs are bounded)
+    # stores) NEXT TO the (1024, 512) hop tile (512 KB), so cap each
+    # launch at ~256 KB of ops and slice larger batches into consecutive
+    # launches (the pointer tensors stay in HBM either way; only the
+    # per-launch scalar outputs are bounded)
     TBB = max(1, (256 << 10) // (4 * P))
     if B > TBB:
         parts = [
