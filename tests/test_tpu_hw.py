@@ -278,3 +278,58 @@ def test_cc_pallas_matches_oracle_on_tpu(on_tpu):
     assert count == int(np.asarray(cw))
     np.testing.assert_array_equal(np.asarray(tab)[:count],
                                   np.asarray(tw)[:count])
+
+
+def test_pallas_tail_decode_equality_on_tpu(on_tpu):
+    """The Pallas fused normalizer tail (models.lineest_pallas) must
+    produce a BYTE-IDENTICAL decode wire to the XLA tail on real strips
+    through the whole fused recognizer — the decode-equality gate every
+    normalizer change rides (measured r5: also -11% exec time at the
+    sweep shape)."""
+    import functools
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from text_alignment_tpu.models.codec import Codec
+    from text_alignment_tpu.models.lstm_jax import init_bilstm
+    from text_alignment_tpu.models.recognizer import (
+        SeqRecognizer,
+        _recognize_device,
+    )
+    from text_alignment_tpu.pipeline.preprocess import (
+        identify_text_lines,
+        preprocess_images,
+    )
+    from text_alignment_tpu.synth import make_page
+
+    codec = Codec()
+    params = init_bilstm(jax.random.PRNGKey(0), 48, 100, len(codec))
+    rec = SeqRecognizer(params, codec, normalize_on_device=True)
+    strips = []
+    for i in range(9):
+        page = make_page(np.random.default_rng(30 + i), n_lines=8,
+                         words_per_line=3, H=1600, W=1300, speckles=30,
+                         angle=0.4)
+        image, eroded, _ = preprocess_images(page.image, backend="hybrid")
+        ls, _, _ = identify_text_lines(image, eroded, backend="hybrid",
+                                       verbose=False)
+        strips.extend(np.asarray(s.img) for s in ls)
+    assert len(strips) >= 64, len(strips)
+    packed_meta, hs, ws, Wp = rec._pack_strips(strips)
+    t_max = rec._initial_t_max(Wp, ws[: len(strips)])
+    fused = jax.jit(functools.partial(
+        _recognize_device, t_max=t_max, target_height=48, pad=16,
+        max_regions=128, decode="region"))
+    pj = jnp.asarray(packed_meta)
+    wires = {}
+    from text_alignment_tpu.models import lineest_pallas
+
+    for mode in ("xla", "pallas"):
+        os.environ["TEXT_ALIGNMENT_TPU_TAIL"] = mode
+        jax.clear_caches()
+        lineest_pallas._jit_tail.cache_clear()
+        wires[mode] = np.asarray(fused(params, pj))
+    os.environ.pop("TEXT_ALIGNMENT_TPU_TAIL", None)
+    np.testing.assert_array_equal(wires["xla"], wires["pallas"])

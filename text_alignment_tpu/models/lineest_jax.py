@@ -269,142 +269,15 @@ def _windowed_mean_w(x, size):
     return (hi_v - lo_v + n_in * mu) / s[:, None, None].astype(jnp.float32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("target_height", "pad", "t_max", "onebit"),
-)
-def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
-                           pad=DEFAULT_PAD, t_max=4096, onebit=False):
-    """Batched CenterNormalizer.measure + normalize + prepare_line.
-
-    grey: (B, Hp, Wp) float32 — or uint8 {0,1} with ``onebit=True`` —
-          ink-dark (1/1.0 background), garbage outside each strip's
-          (hs[b], ws[b]) region (masked here).
-    Returns (frames (B, t_max, target_height) f32, lengths (B,) i32,
-    t_raws (B,) i32). lengths = t_raw + 2*pad, 0 for blank strips.
-
-    ``onebit=True`` asserts every valid pixel is exactly 0.0 or 1.0 (the
-    recognizer's bit-unpacked production input): the contrast
-    normalization collapses to boolean reductions — temp IS the ink mask
-    (zeroed, like the general path, for the degenerate all-ink strip
-    whose max grey is 0) — replacing two full-image f32 max reductions
-    and a division pass. Values identical to the general path on such
-    inputs (tested).
-    """
+def _dewarp_zoom(grey, mx, center, r, hs, ws, blank, onebit,
+                 target_height, pad, t_max):
+    """Dewarp + bilinear zoom + prepare_line from a computed (center, r)
+    — shared by the XLA tail and the Pallas fused tail
+    (models.lineest_pallas)."""
     B, Hp, Wp = grey.shape
     i_idx = jnp.arange(Hp, dtype=jnp.int32)
     x_idx = jnp.arange(Wp, dtype=jnp.int32)
-    valid = (i_idx[None, :, None] < hs[:, None, None]) & (
-        x_idx[None, None, :] < ws[:, None, None]
-    )
-
     NEG = jnp.float32(-1e30)
-    if onebit:
-        # the onebit path never materializes a float page: grey may arrive
-        # as uint8 {0,1} (the recognizer's bit-unpacked input), every
-        # full-page intermediate before the matmuls stays 1 byte wide
-        # (HBM bandwidth is this program's wall), and the u8->f32
-        # converts fuse into the matmul operand reads
-        grey = jnp.where(valid, grey.astype(jnp.uint8), jnp.uint8(1))
-        ink_b = valid & (grey == 0)
-        any_ink = jnp.any(ink_b, axis=(1, 2))
-        any_bg = jnp.any(valid & (grey != 0), axis=(1, 2))
-        blank = ~(any_ink & any_bg)
-        mx = jnp.where(any_bg, 1.0, 0.0).astype(jnp.float32)  # max grey
-        temp = jnp.where(ink_b & any_bg[:, None, None], jnp.uint8(1),
-                         jnp.uint8(0))
-    else:
-        grey = jnp.where(valid, grey, 1.0)
-        mx = jnp.max(jnp.where(valid, grey, NEG), axis=(1, 2))  # (B,)
-        temp = mx[:, None, None] - grey
-        temp = jnp.where(valid, temp, 0.0)
-        tmax = jnp.max(temp, axis=(1, 2))
-        blank = tmax <= 0.0
-        temp = temp / jnp.where(blank, 1.0, tmax)[:, None, None]
-
-    hf = hs.astype(jnp.float32)
-
-    # -- measure --
-    # axis-0 gaussian, sigma = 0.5 h: per-strip (Hp, Hp) kernel matrix
-    k0max = 2 * int(_TRUNCATE * Hp * 0.5 + 0.5) + 1
-    sig0 = 0.5 * hf
-    rad0 = jnp.floor(_TRUNCATE * sig0 + 0.5).astype(jnp.int32)
-    d0 = i_idx[:, None] - i_idx[None, :]  # (Hp, Hp)
-    w0 = jnp.exp(
-        -0.5 * (d0[None].astype(jnp.float32) / jnp.maximum(sig0, 1e-6)[:, None, None]) ** 2
-    )
-    w0 = jnp.where(jnp.abs(d0)[None] <= rad0[:, None, None], w0, 0.0)
-    # normalize over the FULL kernel sum (scipy), not just in-matrix taps:
-    # taps with |d| <= rad0 outside [0, Hp) exist only if rad0 >= Hp; the
-    # full sum is computed analytically over [-rad0, rad0]
-    t_full = jnp.arange(-(k0max // 2), k0max // 2 + 1,
-                        dtype=jnp.float32)[None, :]
-    wfull = jnp.exp(-0.5 * (t_full / jnp.maximum(sig0, 1e-6)[:, None]) ** 2)
-    wfull = jnp.where(
-        jnp.abs(t_full) <= rad0.astype(jnp.float32)[:, None], wfull, 0.0
-    )
-    w0 = w0 / jnp.sum(wfull, axis=1)[:, None, None]
-    dt_sm = _smooth_dtype()
-    sm = jnp.einsum("bij,bjx->bix", w0, temp.astype(jnp.float32),
-                    precision=_HI).astype(dt_sm)
-
-    # axis-1 gaussian, sigma = smoothness * h, grouped conv
-    k1max = 2 * int(_TRUNCATE * Hp * _SMOOTHNESS + 0.5) + 1
-    k1 = _gauss_kernel_bank(_SMOOTHNESS * hf, k1max)
-    sm = _conv_rows(sm, k1)
-
-    # + 0.001 * uniform_filter(sm, (0.5 h, w)); the uniform windows must
-    # see zeros outside the strip's true (h, w) region (scipy's array ends
-    # there), while our padded computation leaves garbage in the margins
-    sm_z = jnp.where(valid, sm, jnp.zeros((), dt_sm))
-    u = _windowed_mean_h(sm_z, (0.5 * hf).astype(jnp.int32))
-    u = _windowed_mean_w(u, ws)
-    sm = (sm + jnp.asarray(0.001, dt_sm) * u.astype(dt_sm))
-
-    # argmax over rows (restricted to i < h), first-max wins like numpy
-    sm = jnp.where(i_idx[None, :, None] < hs[:, None, None],
-                   sm.astype(jnp.float32), NEG)
-    a = jnp.argmax(sm, axis=1).astype(jnp.float32)  # (B, Wp)
-    a = jnp.where(x_idx[None, :] < ws[:, None], a, 0.0)
-
-    # gaussian_filter1d(a, extra * h) with scipy's DEFAULT mode="reflect",
-    # then int cast (truncation). Reflect-extend each strip's true [0, w)
-    # range by the max radius, correlate VALID, all per strip.
-    r2max = int(_TRUNCATE * Hp * _EXTRA + 0.5)
-    k2 = _gauss_kernel_bank(_EXTRA * hf, 2 * r2max + 1)
-    ext_idx = jnp.arange(-r2max, Wp + r2max, dtype=jnp.int32)
-
-    def reflect_extend(ab, w):
-        # scipy 'reflect': (d c b a | a b c d | d c b a), period 2w
-        m = jnp.mod(ext_idx, 2 * w)
-        m = jnp.where(m < 0, m + 2 * w, m)
-        src = jnp.where(m < w, m, 2 * w - 1 - m)
-        return ab[jnp.clip(src, 0, Wp - 1)]
-
-    a_ext = jax.vmap(reflect_extend)(a, ws)  # (B, Wp + 2*r2max)
-    lhs = a_ext[None, :, :]                   # N=1, C=B
-    rhs = k2[:, None, ::-1]
-    a_s = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding="VALID",
-        feature_group_count=B, dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=_HI,
-    )[0]
-    center = a_s.astype(jnp.int32)  # (B, Wp), truncation toward zero
-
-    # mad = float64-exact mean of |i - center[x]| over ink pixels
-    deltas = jnp.abs(i_idx[None, :, None] - center[:, None, :])
-    ink = (temp != 0) & valid
-    dsum = jnp.sum(jnp.where(ink, deltas, 0), axis=(1, 2),
-                   dtype=jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
-    dcnt = jnp.sum(ink, axis=(1, 2), dtype=jnp.int32)
-    mad = dsum.astype(jnp.float64 if jax.config.jax_enable_x64
-                      else jnp.float32) / jnp.maximum(dcnt, 1)
-    mad = jnp.where(dcnt > 0, mad, hf / 4.0)
-    r = (1.0 + _RANGE * mad).astype(jnp.int32)  # (B,), truncation
-    # clamp to Hp: the matmul dewarp below covers 2r <= 2*Hp rows; r > Hp
-    # only occurs for degenerate strips (ink scattered to the extreme rows)
-    # where the dewarped window is mostly background anyway
-    r = jnp.clip(r, 1, Hp)
 
     # -- dewarp + zoom fused gather --
     # dewarped[v, x] = padded(grey)[center[x] - r + v, x], v in [0, 2r);
@@ -514,3 +387,163 @@ def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
     )
     lengths = jnp.where(blank | (t_raw == 0), 0, t_raw + 2 * pad)
     return frames, lengths.astype(jnp.int32), t_raw.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("target_height", "pad", "t_max", "onebit"),
+)
+def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
+                           pad=DEFAULT_PAD, t_max=4096, onebit=False):
+    """Batched CenterNormalizer.measure + normalize + prepare_line.
+
+    grey: (B, Hp, Wp) float32 — or uint8 {0,1} with ``onebit=True`` —
+          ink-dark (1/1.0 background), garbage outside each strip's
+          (hs[b], ws[b]) region (masked here).
+    Returns (frames (B, t_max, target_height) f32, lengths (B,) i32,
+    t_raws (B,) i32). lengths = t_raw + 2*pad, 0 for blank strips.
+
+    ``onebit=True`` asserts every valid pixel is exactly 0.0 or 1.0 (the
+    recognizer's bit-unpacked production input): the contrast
+    normalization collapses to boolean reductions — temp IS the ink mask
+    (zeroed, like the general path, for the degenerate all-ink strip
+    whose max grey is 0) — replacing two full-image f32 max reductions
+    and a division pass. Values identical to the general path on such
+    inputs (tested).
+    """
+    B, Hp, Wp = grey.shape
+    i_idx = jnp.arange(Hp, dtype=jnp.int32)
+    x_idx = jnp.arange(Wp, dtype=jnp.int32)
+    valid = (i_idx[None, :, None] < hs[:, None, None]) & (
+        x_idx[None, None, :] < ws[:, None, None]
+    )
+
+    NEG = jnp.float32(-1e30)
+    if onebit:
+        # the onebit path never materializes a float page: grey may arrive
+        # as uint8 {0,1} (the recognizer's bit-unpacked input), every
+        # full-page intermediate before the matmuls stays 1 byte wide
+        # (HBM bandwidth is this program's wall), and the u8->f32
+        # converts fuse into the matmul operand reads
+        grey = jnp.where(valid, grey.astype(jnp.uint8), jnp.uint8(1))
+        ink_b = valid & (grey == 0)
+        any_ink = jnp.any(ink_b, axis=(1, 2))
+        any_bg = jnp.any(valid & (grey != 0), axis=(1, 2))
+        blank = ~(any_ink & any_bg)
+        mx = jnp.where(any_bg, 1.0, 0.0).astype(jnp.float32)  # max grey
+        temp = jnp.where(ink_b & any_bg[:, None, None], jnp.uint8(1),
+                         jnp.uint8(0))
+    else:
+        grey = jnp.where(valid, grey, 1.0)
+        mx = jnp.max(jnp.where(valid, grey, NEG), axis=(1, 2))  # (B,)
+        temp = mx[:, None, None] - grey
+        temp = jnp.where(valid, temp, 0.0)
+        tmax = jnp.max(temp, axis=(1, 2))
+        blank = tmax <= 0.0
+        temp = temp / jnp.where(blank, 1.0, tmax)[:, None, None]
+
+    hf = hs.astype(jnp.float32)
+
+    # -- measure --
+    # axis-0 gaussian, sigma = 0.5 h: per-strip (Hp, Hp) kernel matrix
+    k0max = 2 * int(_TRUNCATE * Hp * 0.5 + 0.5) + 1
+    sig0 = 0.5 * hf
+    rad0 = jnp.floor(_TRUNCATE * sig0 + 0.5).astype(jnp.int32)
+    d0 = i_idx[:, None] - i_idx[None, :]  # (Hp, Hp)
+    w0 = jnp.exp(
+        -0.5 * (d0[None].astype(jnp.float32) / jnp.maximum(sig0, 1e-6)[:, None, None]) ** 2
+    )
+    w0 = jnp.where(jnp.abs(d0)[None] <= rad0[:, None, None], w0, 0.0)
+    # normalize over the FULL kernel sum (scipy), not just in-matrix taps:
+    # taps with |d| <= rad0 outside [0, Hp) exist only if rad0 >= Hp; the
+    # full sum is computed analytically over [-rad0, rad0]
+    t_full = jnp.arange(-(k0max // 2), k0max // 2 + 1,
+                        dtype=jnp.float32)[None, :]
+    wfull = jnp.exp(-0.5 * (t_full / jnp.maximum(sig0, 1e-6)[:, None]) ** 2)
+    wfull = jnp.where(
+        jnp.abs(t_full) <= rad0.astype(jnp.float32)[:, None], wfull, 0.0
+    )
+    w0 = w0 / jnp.sum(wfull, axis=1)[:, None, None]
+    dt_sm = _smooth_dtype()
+    sm = jnp.einsum("bij,bjx->bix", w0, temp.astype(jnp.float32),
+                    precision=_HI).astype(dt_sm)
+
+    # axis-1 gaussian, sigma = smoothness * h, grouped conv
+    k1max = 2 * int(_TRUNCATE * Hp * _SMOOTHNESS + 0.5) + 1
+    k1 = _gauss_kernel_bank(_SMOOTHNESS * hf, k1max)
+    sm = _conv_rows(sm, k1)
+
+    # Pallas fused tail (means -> argmax -> k2 smoothing -> MAD) keeps
+    # the strip in VMEM instead of streaming (B, Hp, Wp) tensors through
+    # HBM once per stage (models.lineest_pallas; engagement-gated:
+    # accelerator + onebit + f32 chain + wide buckets)
+    from . import lineest_pallas as _lpal
+
+    use_ptail = (onebit and dt_sm == jnp.float32
+                 and _lpal.engaged(Wp, B)
+                 and not jax.config.jax_enable_x64)
+    if use_ptail:
+        center, dsum, dcnt = _lpal.tail_from_sm(
+            sm.astype(jnp.float32), temp, hs, ws, interpret=False)
+        mad = dsum.astype(jnp.float32) / jnp.maximum(dcnt, 1)
+        mad = jnp.where(dcnt > 0, mad, hf / 4.0)
+        r = (1.0 + _RANGE * mad).astype(jnp.int32)
+        r = jnp.clip(r, 1, Hp)
+        return _dewarp_zoom(grey, mx, center, r, hs, ws, blank, onebit,
+                            target_height, pad, t_max)
+
+    # + 0.001 * uniform_filter(sm, (0.5 h, w)); the uniform windows must
+    # see zeros outside the strip's true (h, w) region (scipy's array ends
+    # there), while our padded computation leaves garbage in the margins
+    sm_z = jnp.where(valid, sm, jnp.zeros((), dt_sm))
+    u = _windowed_mean_h(sm_z, (0.5 * hf).astype(jnp.int32))
+    u = _windowed_mean_w(u, ws)
+    sm = (sm + jnp.asarray(0.001, dt_sm) * u.astype(dt_sm))
+
+    # argmax over rows (restricted to i < h), first-max wins like numpy
+    sm = jnp.where(i_idx[None, :, None] < hs[:, None, None],
+                   sm.astype(jnp.float32), NEG)
+    a = jnp.argmax(sm, axis=1).astype(jnp.float32)  # (B, Wp)
+    a = jnp.where(x_idx[None, :] < ws[:, None], a, 0.0)
+
+    # gaussian_filter1d(a, extra * h) with scipy's DEFAULT mode="reflect",
+    # then int cast (truncation). Reflect-extend each strip's true [0, w)
+    # range by the max radius, correlate VALID, all per strip.
+    r2max = int(_TRUNCATE * Hp * _EXTRA + 0.5)
+    k2 = _gauss_kernel_bank(_EXTRA * hf, 2 * r2max + 1)
+    ext_idx = jnp.arange(-r2max, Wp + r2max, dtype=jnp.int32)
+
+    def reflect_extend(ab, w):
+        # scipy 'reflect': (d c b a | a b c d | d c b a), period 2w
+        m = jnp.mod(ext_idx, 2 * w)
+        m = jnp.where(m < 0, m + 2 * w, m)
+        src = jnp.where(m < w, m, 2 * w - 1 - m)
+        return ab[jnp.clip(src, 0, Wp - 1)]
+
+    a_ext = jax.vmap(reflect_extend)(a, ws)  # (B, Wp + 2*r2max)
+    lhs = a_ext[None, :, :]                   # N=1, C=B
+    rhs = k2[:, None, ::-1]
+    a_s = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        feature_group_count=B, dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=_HI,
+    )[0]
+    center = a_s.astype(jnp.int32)  # (B, Wp), truncation toward zero
+
+    # mad = float64-exact mean of |i - center[x]| over ink pixels
+    deltas = jnp.abs(i_idx[None, :, None] - center[:, None, :])
+    ink = (temp != 0) & valid
+    dsum = jnp.sum(jnp.where(ink, deltas, 0), axis=(1, 2),
+                   dtype=jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+    dcnt = jnp.sum(ink, axis=(1, 2), dtype=jnp.int32)
+    mad = dsum.astype(jnp.float64 if jax.config.jax_enable_x64
+                      else jnp.float32) / jnp.maximum(dcnt, 1)
+    mad = jnp.where(dcnt > 0, mad, hf / 4.0)
+    r = (1.0 + _RANGE * mad).astype(jnp.int32)  # (B,), truncation
+    # clamp to Hp: the matmul dewarp below covers 2r <= 2*Hp rows; r > Hp
+    # only occurs for degenerate strips (ink scattered to the extreme rows)
+    # where the dewarped window is mostly background anyway
+    r = jnp.clip(r, 1, Hp)
+
+    return _dewarp_zoom(grey, mx, center, r, hs, ws, blank, onebit,
+                        target_height, pad, t_max)
