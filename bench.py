@@ -354,6 +354,37 @@ def grid_sweep_metric(pages, ocrs):
               file=sys.stderr)
 
 
+def cc_pallas_metric(pages):
+    """Secondary metric: the Pallas scan-line union-find CC kernel — the
+    3-pass preproc_clean chain (textAlignPreprocessing.py:166-178) on a
+    device-resident packed bench page, vs 1,574 ms for the XLA run-graph
+    CC it replaces (docs/DESIGN.md round 5)."""
+    import jax.numpy as jnp
+    from text_alignment_tpu.ops import oracle, cc_pallas
+
+    img = oracle.to_onebit(pages[1].image)
+    H, W = img.shape
+    pk = jnp.asarray(cc_pallas.pack_page(img))
+
+    def clean(p):
+        out, okj = cc_pallas.preproc_clean_packed(p, H, W, 100, 150,
+                                                  interpret=False)
+        return out
+    np.asarray(clean(pk)[0, 0])
+    K = 10
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(K - 1):
+            clean(pk)
+        np.asarray(clean(pk)[0, 0])
+        best = min(best, (time.perf_counter() - t0) / K)
+    record("cc_pallas_clean_ms", best * 1e3, higher_is_better=False)
+    print(f"# cc pallas preproc_clean (3 passes, device-resident): "
+          f"{best*1e3:.2f} ms (XLA run-graph CC: 1574 ms)",
+          file=sys.stderr)
+
+
 def train_metric():
     """Secondary metric: CTC training throughput — the ocropus-rtrain
     equivalent (reference README.md:52-56). The reference's only published
@@ -609,6 +640,12 @@ def main():
             ocr_metrics(pages, dev_rec)
     except Exception as e:  # secondary metric must not sink the headline
         print(f"# ocr metric failed: {e}", file=sys.stderr)
+
+    try:
+        if not degraded:
+            cc_pallas_metric(pages)
+    except Exception as e:  # secondary metric must not sink the headline
+        print(f"# cc pallas metric failed: {e}", file=sys.stderr)
 
     try:
         if not degraded:
