@@ -105,3 +105,39 @@ def test_engagement_gate():
     assert not lp.engaged(1536, 8)       # small batch
     # CPU backend never engages (interpret path is test-only)
     assert not lp.engaged(1536, 128) or jax.default_backend() != "cpu"
+
+
+def test_full_chain_matches_xla_up_to_plateau_edges():
+    """center_from_temp (v-gauss + h-gauss + tail in one kernel) vs the
+    XLA chain in interpret mode: ±1 plateau knife edges only, exact ink
+    counts. On-hardware decode-equality gating is pending (the kernel is
+    opt-in via TEXT_ALIGNMENT_TPU_TAIL=full until it passes)."""
+    B, Hp, Wp = 6, 96, 768
+    sm, tj, hs, ws, valid = _build_case(B, Hp, Wp)
+    cx, dsx, dcx = _xla_tail(sm, tj, hs, ws, valid, Hp, Wp)
+
+    hf = jnp.asarray(hs).astype(jnp.float32)
+    i_idx = jnp.arange(Hp, dtype=jnp.int32)
+    sig0 = 0.5 * hf
+    rad0 = jnp.floor(4.0 * sig0 + 0.5).astype(jnp.int32)
+    d0 = i_idx[:, None] - i_idx[None, :]
+    w0 = jnp.exp(-0.5 * (d0[None].astype(jnp.float32)
+                         / jnp.maximum(sig0, 1e-6)[:, None, None]) ** 2)
+    w0 = jnp.where(jnp.abs(d0)[None] <= rad0[:, None, None], w0, 0.0)
+    k0max = 2 * int(4.0 * Hp * 0.5 + 0.5) + 1
+    t_full = jnp.arange(-(k0max // 2), k0max // 2 + 1,
+                        dtype=jnp.float32)[None, :]
+    wfull = jnp.exp(-0.5 * (t_full / jnp.maximum(sig0, 1e-6)[:, None]) ** 2)
+    wfull = jnp.where(jnp.abs(t_full) <= rad0.astype(jnp.float32)[:, None],
+                      wfull, 0.0)
+    w0 = w0 / jnp.sum(wfull, axis=1)[:, None, None]
+    k1max = 2 * int(4.0 * Hp * 1.0 + 0.5) + 1
+    k1 = lj._gauss_kernel_bank(1.0 * hf, k1max)
+
+    cp, dsp, dcp = lp.center_from_temp(tj, w0, k1, hs, ws, interpret=True)
+    cp = np.asarray(cp)
+    np.testing.assert_array_equal(np.asarray(dcp), dcx)
+    for b in range(B):
+        w = ws[b]
+        d = np.abs(cp[b, :w].astype(np.int64) - cx[b, :w])
+        assert d.max() <= 1, (b, d.max())

@@ -465,6 +465,25 @@ def normalize_batch_device(grey, hs, ws, target_height=DEFAULT_TARGET_HEIGHT,
     )
     w0 = w0 / jnp.sum(wfull, axis=1)[:, None, None]
     dt_sm = _smooth_dtype()
+
+    # full-chain Pallas route: v-gauss + h-gauss + tail in one kernel,
+    # sm never materializes in HBM (models.lineest_pallas; opt-in via
+    # TEXT_ALIGNMENT_TPU_TAIL=full until gated on hardware)
+    from . import lineest_pallas as _lpal0
+
+    if (onebit and dt_sm == jnp.float32 and _lpal0.engaged_full(Wp, B)
+            and not jax.config.jax_enable_x64):
+        k1max_f = 2 * int(_TRUNCATE * Hp * _SMOOTHNESS + 0.5) + 1
+        k1_f = _gauss_kernel_bank(_SMOOTHNESS * hf, k1max_f)
+        center, dsum, dcnt = _lpal0.center_from_temp(
+            temp, w0, k1_f, hs, ws, interpret=False)
+        mad = dsum.astype(jnp.float32) / jnp.maximum(dcnt, 1)
+        mad = jnp.where(dcnt > 0, mad, hf / 4.0)
+        r = (1.0 + _RANGE * mad).astype(jnp.int32)
+        r = jnp.clip(r, 1, Hp)
+        return _dewarp_zoom(grey, mx, center, r, hs, ws, blank, onebit,
+                            target_height, pad, t_max)
+
     sm = jnp.einsum("bij,bjx->bix", w0, temp.astype(jnp.float32),
                     precision=_HI).astype(dt_sm)
 
