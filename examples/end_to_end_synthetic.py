@@ -12,6 +12,11 @@
    evaluation harness (evaluate.py: bbox IoU + ink IoU).
 
 Run: python examples/end_to_end_synthetic.py [--iters N] [--backend hybrid]
+(JAX_PLATFORMS=cpu runs hermetically on CPU — measured r5: the default
+region decode passes there too at ink IoU ~0.51; --decode bestpath on a
+CPU-trained trajectory measured ~0.47, just under the gate — the CPU
+XLA training path grounds llocs positions slightly less well than the
+TPU one at identical seeds.)
 
 The default "fast" recipe — clipped Adam over a training pool that includes
 skewed+speckled pages (the held-out distribution) — converges in a few
@@ -34,6 +39,16 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# honor JAX_PLATFORMS=cpu even when an out-of-tree TPU plugin is
+# installed (the env var ALONE is ignored then — same double pin as
+# tests/conftest.py; lets the demo run hermetically on CPU-only hosts
+# or when the accelerator tunnel is down)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    os.environ.setdefault("TEXT_ALIGNMENT_TPU_NO_COMPILE_CACHE", "1")
 
 from text_alignment_tpu.synth import make_page
 from text_alignment_tpu.pipeline.preprocess import (
