@@ -333,3 +333,72 @@ def test_pallas_tail_decode_equality_on_tpu(on_tpu):
         wires[mode] = np.asarray(fused(params, pj))
     os.environ.pop("TEXT_ALIGNMENT_TPU_TAIL", None)
     np.testing.assert_array_equal(wires["xla"], wires["pallas"])
+
+
+def test_pallas_full_chain_decode_on_tpu(on_tpu):
+    """The full-chain kernel (TEXT_ALIGNMENT_TPU_TAIL=full) vs the tail
+    kernel on real strips: decoded counts and classes must be IDENTICAL;
+    position slots may shift on the documented f32 knife-edge class
+    (a center plateau flip stepping the dewarp radius — measured r5:
+    2/121 strips, one 5-frame shift each, at -23% exec time). Gate:
+    >= 95% of strips byte-identical, zero count/class differences."""
+    import functools
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from text_alignment_tpu.models.codec import Codec
+    from text_alignment_tpu.models.lstm_jax import init_bilstm
+    from text_alignment_tpu.models.recognizer import (
+        SeqRecognizer,
+        _recognize_device,
+        _unpack_wire_rows,
+    )
+    from text_alignment_tpu.pipeline.preprocess import (
+        identify_text_lines,
+        preprocess_images,
+    )
+    from text_alignment_tpu.synth import make_page
+
+    codec = Codec()
+    params = init_bilstm(jax.random.PRNGKey(0), 48, 100, len(codec))
+    rec = SeqRecognizer(params, codec, normalize_on_device=True)
+    strips = []
+    for i in range(9):
+        page = make_page(np.random.default_rng(30 + i), n_lines=8,
+                         words_per_line=3, H=1600, W=1300, speckles=30,
+                         angle=0.4)
+        image, eroded, _ = preprocess_images(page.image, backend="hybrid")
+        ls, _, _ = identify_text_lines(image, eroded, backend="hybrid",
+                                       verbose=False)
+        strips.extend(np.asarray(s.img) for s in ls)
+    assert len(strips) >= 64, len(strips)
+    packed_meta, hs, ws, Wp = rec._pack_strips(strips)
+    t_max = rec._initial_t_max(Wp, ws[: len(strips)])
+    fused = jax.jit(functools.partial(
+        _recognize_device, t_max=t_max, target_height=48, pad=16,
+        max_regions=128, decode="region"))
+    pj = jnp.asarray(packed_meta)
+    rows = {}
+    from text_alignment_tpu.models import lineest_pallas
+
+    for mode in ("pallas", "full"):
+        os.environ["TEXT_ALIGNMENT_TPU_TAIL"] = mode
+        jax.clear_caches()
+        lineest_pallas._jit_tail.cache_clear()
+        lineest_pallas._jit_full.cache_clear()
+        rows[mode] = _unpack_wire_rows(np.asarray(fused(params, pj)))
+    os.environ.pop("TEXT_ALIGNMENT_TPU_TAIL", None)
+    wa, wb = rows["pallas"], rows["full"]
+    B = len(strips)
+    n_same = 0
+    for b in range(B):
+        ca, cb = wa[b, 0], wb[b, 0]
+        assert ca == cb, (b, ca, cb)
+        # classes occupy the second slot of each (frame, class) pair
+        assert np.array_equal(wa[b, 2:1 + 2 * ca:2],
+                              wb[b, 2:1 + 2 * cb:2]), b
+        if np.array_equal(wa[b, 1:1 + 2 * ca], wb[b, 1:1 + 2 * cb]):
+            n_same += 1
+    assert n_same >= 0.95 * B, (n_same, B)

@@ -279,7 +279,8 @@ def _make_full_kernel(Hp: int, Wp: int, NO: int):
         h = hw_ref[b, 0]
         w = hw_ref[b, 1]
         temp = temp_ref[0]                      # (Hp, Wp) u8
-        x = temp.astype(jnp.float32)
+        # Mosaic lacks a direct u8 -> f32 cast; go through int32
+        x = temp.astype(jnp.int32).astype(jnp.float32)
 
         # v-gauss: per-strip (Hp, Hp) bank matmul
         sm1 = jnp.dot(w0_ref[0], x, preferred_element_type=jnp.float32)
